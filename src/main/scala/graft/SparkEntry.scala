@@ -17,6 +17,7 @@ object SparkEntry {
       (RelationalCore.queries, RelationalCore.oracles),
       (Analytic.queries, Analytic.oracles),
       (ScalarFns.queries, ScalarFns.oracles),
+      (CosmapDomain.queries, CosmapDomain.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

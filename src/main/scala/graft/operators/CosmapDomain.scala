@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Tables
+import graft.domain.{SkyBounds, SphereSampler}
+import graft.plans.ConeJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The cosmap-shaped domain queries, run against the driver corpus.
+  *
+  * q31 derives deterministic ra/dec from TPC-H keys so the full cone
+  * join (theta-join on spherical separation) is SQL-expressible and
+  * DuckDB-oracle-checked — the radius (19.97°) is chosen off the 0.1°
+  * coordinate lattice so no pair lands within float-ulp distance of
+  * the predicate boundary (Java vs libm trig differ in the last ulp).
+  *
+  * q32/q33 exercise the seeded sampler and the full quickstart
+  * pipeline (sampler → cone join → per-sample aggregate,
+  * /root/reference/README.md:55-174); the sampler's hash-based draws
+  * are not expressible in DuckDB SQL, so these are rows-only for the
+  * driver and exactly pinned by ScalaTest goldens instead.
+  */
+object CosmapDomain {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** orders → pseudo-catalog: ra ∈ [0,360) and dec ∈ [-60,60) on an
+    * exact 0.1° lattice (integer-derived doubles — identical in any
+    * engine). */
+  private def derivedCatalog(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey").as("object_id"),
+      ((col("o_orderkey") % 3600).cast("double") / 10.0).as("ra"),
+      ((col("o_custkey") % 1200).cast("double") / 10.0 - 60.0).as("dec"))
+
+  private def derivedSamples(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "region").select(
+      col("r_regionkey").cast("long").as("sample_id"),
+      (col("r_regionkey").cast("double") * 60.0 + 30.0).as("ra"),
+      (col("r_regionkey").cast("double") * 25.0 - 50.0).as("dec"),
+      lit(19.97).as("radius_deg"))
+
+  /** Quickstart region: RA ∈ [31,38], Dec ∈ [−11,−4]
+    * (/root/reference/README.md:146-150), 2-arcmin circles. */
+  val QuickstartBounds: SkyBounds = SkyBounds(31, 38, -11, -4)
+  val QuickstartRadiusDeg: Double = 2.0 / 60.0
+
+  val queries: Map[String, Q] = Map(
+    // -- cone theta-join via the dec-band equi-join rewrite, + per-
+    //    sample aggregate. The oracle states the same query as a raw
+    //    theta-join: band rewrite ≡ theta join is thereby gate-checked.
+    "q31_cone_join_agg" -> { (s, dir) =>
+      val joined = ConeJoin.bandJoin(
+        derivedCatalog(s, dir), derivedSamples(s, dir), bandDeg = 5.0)
+      joined.groupBy(col("sample_id"))
+        .agg(count(lit(1)).as("n_objects"),
+          sum(col("sep_deg").cast("decimal(18,6)")).cast("double").as("sum_sep"))
+    },
+
+    // -- seeded area-uniform sampler (rows-only; pinned by golden spec)
+    "q32_sampler" -> { (s, _) =>
+      SphereSampler.uniformCircles(s, 1000, QuickstartBounds,
+        QuickstartRadiusDeg, seed = 42L)
+    },
+
+    // -- full quickstart parity pipeline: sampler → broadcast cone
+    //    join → min-separation filter → per-sample (n, inv) with
+    //    empty samples preserved (rows-only; pinned by golden spec)
+    "q33_quickstart_pipeline" -> { (s, dir) =>
+      val catalog = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey").as("object_id"),
+        (lit(31.0) + (col("l_orderkey") % 7000).cast("double") / 1000.0).as("ra"),
+        (lit(-11.0) + (col("l_partkey") % 7000).cast("double") / 1000.0).as("dec"))
+      val samples = SphereSampler.uniformCircles(s, 1000, QuickstartBounds,
+        QuickstartRadiusDeg, seed = 42L)
+      val joined = ConeJoin.broadcastJoin(catalog, samples)
+      ConeJoin.quickstartAggregate(joined, samples, minSepArcsec = 5.0)
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q31_cone_join_agg" ->
+      """WITH cat AS (
+        |  SELECT o_orderkey AS object_id,
+        |         (o_orderkey % 3600) / 10.0 AS ra,
+        |         (o_custkey % 1200) / 10.0 - 60.0 AS dec
+        |  FROM orders),
+        |smp AS (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS sample_id,
+        |         r_regionkey * 60.0 + 30.0 AS ra,
+        |         r_regionkey * 25.0 - 50.0 AS dec,
+        |         19.97 AS radius_deg
+        |  FROM region)
+        |SELECT s.sample_id,
+        |  count(*) AS n_objects,
+        |  CAST(sum(CAST(
+        |    degrees(2 * asin(least(1.0, sqrt(
+        |      sin(radians(c.dec - s.dec) / 2) * sin(radians(c.dec - s.dec) / 2)
+        |      + cos(radians(s.dec)) * cos(radians(c.dec))
+        |        * sin(radians(c.ra - s.ra) / 2) * sin(radians(c.ra - s.ra) / 2)))))
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_sep
+        |FROM cat c, smp s
+        |WHERE degrees(2 * asin(least(1.0, sqrt(
+        |        sin(radians(c.dec - s.dec) / 2) * sin(radians(c.dec - s.dec) / 2)
+        |        + cos(radians(s.dec)) * cos(radians(c.dec))
+        |          * sin(radians(c.ra - s.ra) / 2) * sin(radians(c.ra - s.ra) / 2)))))
+        |      <= s.radius_deg
+        |GROUP BY s.sample_id""".stripMargin,
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.domain.{SkyBounds, SphereSampler}
+import graft.plans.ConeJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class ConeJoinSpec extends SparkSpec {
+
+  /** Deterministic pseudo-catalog across the whole sphere. */
+  private lazy val catalog: DataFrame =
+    spark.range(20000).select(
+      col("id").as("object_id"),
+      ((col("id") * 7919) % 36000).cast("double").divide(100.0).as("ra"),
+      (((col("id") * 104729) % 17000).cast("double") / 100.0 - 85.0).as("dec"))
+
+  private lazy val samples: DataFrame = {
+    // centers spread over the sphere incl. high-dec and RA-wraparound
+    val rows = Seq(
+      (0L, 1.0, 0.0, 3.0),      // RA wraparound at 0/360
+      (1L, 359.5, 10.0, 2.0),   // wraparound other side
+      (2L, 180.0, -80.0, 5.0),  // near south pole
+      (3L, 90.0, 45.0, 1.0),
+      (4L, 270.0, 80.0, 4.0))   // near north pole
+    import spark.implicits._
+    rows.toDF("sample_id", "ra", "dec", "radius_deg")
+  }
+
+  private def key(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("sample_id").cast("long"), col("object_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("band-join rewrite ≡ broadcast theta-join (several band widths)") {
+    val reference = key(ConeJoin.broadcastJoin(catalog, samples))
+    assert(reference.nonEmpty)
+    for (band <- Seq(0.5, 1.0, 2.0, 7.0)) {
+      val banded = key(ConeJoin.bandJoin(catalog, samples, band))
+      assert(banded === reference, s"bandDeg=$band")
+    }
+  }
+
+  test("band join matches per-pair brute force") {
+    val got = key(ConeJoin.bandJoin(catalog, samples, 1.0))
+    // brute force on the driver (20k × 5 pairs)
+    val cat = catalog.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val smp = samples.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    def sepDeg(ra1: Double, dec1: Double, ra2: Double, dec2: Double): Double = {
+      val h = math.pow(math.sin(math.toRadians(dec2 - dec1) / 2), 2) +
+        math.cos(math.toRadians(dec1)) * math.cos(math.toRadians(dec2)) *
+          math.pow(math.sin(math.toRadians(ra2 - ra1) / 2), 2)
+      math.toDegrees(2 * math.asin(math.min(1.0, math.sqrt(h))))
+    }
+    val want = (for {
+      (oid, cra, cdec) <- cat
+      (sid, sra, sdec, rad) <- smp
+      if sepDeg(cra, cdec, sra, sdec) <= rad
+    } yield (sid, oid)).toSet
+    assert(got === want)
+  }
+
+  test("quickstart aggregate preserves empty samples with n=0") {
+    val bounds = SkyBounds(31, 38, -11, -4)
+    val smp = SphereSampler.uniformCircles(spark, 50, bounds, 0.001, seed = 3)
+    // catalog far away from the region → every cone is empty
+    val far = spark.range(100).select(col("id").as("object_id"),
+      lit(200.0).as("ra"), lit(50.0).as("dec"))
+    val out = ConeJoin.quickstartAggregate(
+      ConeJoin.broadcastJoin(far, smp), smp, minSepArcsec = 5.0)
+    assert(out.count() === 50)
+    assert(out.filter(col("n") === 0 && col("inv") === 0.0).count() === 50)
+  }
+
+  test("quickstart pipeline end-to-end is reproducible (golden invariants)") {
+    val q = graft.operators.CosmapDomain.queries("q33_quickstart_pipeline")
+    val out1 = q(spark, sf0001).orderBy("sample_id").collect()
+    val out2 = q(spark, sf0001).orderBy("sample_id").collect()
+    assert(out1.sameElements(out2))
+    assert(out1.length === 1000)
+  }
+}
