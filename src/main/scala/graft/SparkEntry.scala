@@ -18,6 +18,9 @@ object SparkEntry {
       (Analytic.queries, Analytic.oracles),
       (ScalarFns.queries, ScalarFns.oracles),
       (CosmapDomain.queries, CosmapDomain.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,88 @@
+package graft.dedup
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection
+  * (shingle → minhash signature → band → bucket-join → exact verify).
+  *
+  * Scale design, stage by stage:
+  *  1. Signatures are computed *per row with zero shuffle*: the
+  *     shingle set is an array column, and sig[k] = min over shingles
+  *     of xxhash64(shingle, k) is a nested higher-order expression —
+  *     no explode, no groupBy. A 100 TB corpus signs in one map pass.
+  *  2. Banding emits `bands` rows per doc (the only row expansion),
+  *     keyed by (band, band-signature-hash) — the classic LSH
+  *     bucket key. The following self-join is an *equi-join* Catalyst
+  *     executes as a shuffled hash join on the bucket key; candidate
+  *     generation never goes quadratic in corpus size, only within
+  *     buckets (AQE's skew handling covers pathological buckets).
+  *  3. Exact Jaccard verification runs only on candidate pairs.
+  *
+  * With b bands of r rows: P(candidate | J) = 1 - (1 - J^r)^b —
+  * b=16, r=4 gives ~0.96 recall at J=0.8, ~0.007 at J=0.2.
+  */
+object MinHashLSH {
+
+  /** (doc_id, band, bucket) — one row per band per doc. */
+  def bandBuckets(docs: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(Text.wordNGrams(col(textCol), shingleN),
+        g => xxhash64(g, k))))
+    val bandCols = (0 until bands).map(b =>
+      xxhash64(slice(col("sig"), b * r + 1, r), lit(b)))
+    docs.select(col(idCol).as("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket. */
+  def candidatePairs(buckets: DataFrame): DataFrame =
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** Exact word-n-gram Jaccard for given pairs only. Pairs whose gram
+    * sets are disjoint would drop out of the inner join — but LSH
+    * candidates always share ≥1 band, and verification keeps only
+    * J ≥ threshold > 0, so no left-join resurrection is needed. */
+  def verify(docs: DataFrame, pairs: DataFrame, idCol: String,
+             textCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(Text.wordNGrams(col(textCol), shingleN)).as("g"))
+    val sizes = docs.select(col(idCol).as("doc_id"),
+      size(Text.wordNGrams(col(textCol), shingleN)).as("ng"))
+    val inter = grams.as("ga")
+      .join(pairs, col("ga.doc_id") === col("doc_a"))
+      .join(grams.as("gb"),
+        col("gb.doc_id") === col("doc_b") && col("ga.g") === col("gb.g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sa.ng") + col("sb.ng") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Full pipeline: near-dup pairs with exact Jaccard ≥ threshold. */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", numHashes: Int = 64,
+                   bands: Int = 16, shingleN: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    val buckets = bandBuckets(docs, idCol, textCol, numHashes, bands, shingleN)
+    verify(docs, candidatePairs(buckets), idCol, textCol, shingleN, threshold)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column algebra over `array<float|double>` embedding
+  * columns (north-star similarity surface).
+  *
+  * Determinism: every reduction is an ordered left fold
+  * (`aggregate`) over the array — accumulation order is the array
+  * order on any engine and any partitioning, so cosine scores are
+  * bit-reproducible (unlike summing exploded elements, whose shuffle
+  * order is free).
+  */
+object Vectors {
+
+  /** Ordered-fold dot product, elementwise in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit LSH bucket: for each hyperplane (a deterministic
+    * constant vector), one bit = (v · plane ≥ 0). Buckets collide for
+    * nearby directions — the scale path for ANN over 10⁹+ vectors:
+    * bucket once (narrow shuffle key), then search within buckets.
+    */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedlit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (driver-side constants —
+    * the Spark-era analog of the reference's Setup block computing
+    * values once pre-distribution,
+    * /root/reference/src/cosmap/analysis/setup.py:24-31). */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** All bucket ids within Hamming distance 1 of `bucket` (multi-probe
+    * LSH: probing neighbor buckets trades a little compute for much
+    * higher recall at the same bucket granularity). */
+  def probeBuckets(bucket: Column, nPlanes: Int): Column =
+    array(bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1 << i))): _*)
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables
+import graft.dedup.MinHashLSH
+import graft.functions.{SimHash, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection operators over `documents`:
+  * n-gram Jaccard (exact, gram-inverted-index join), MinHash+LSH
+  * (sketch + banded bucket join), SimHash (bit-sketch + chunk join).
+  *
+  * The three share one scale shape: turn an all-pairs O(n²) problem
+  * into (sketch map-pass) + (equi-join on a collision key) + (exact
+  * verify on candidates only). The exact Jaccard query doubles as the
+  * ground truth for the sketch pipelines' specs.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // -- exact n-gram Jaccard via inverted gram join (sound for any
+    //    threshold > 0: pairs sharing no gram have J = 0) --
+    "q44_ngram_jaccard" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val grams = d.select(col("doc_id"),
+        explode(Text.wordNGrams(col("text"), 3)).as("g"))
+      val sizes = d.select(col("doc_id"),
+        size(Text.wordNGrams(col("text"), 3)).as("ng"))
+      val inter = grams.as("a")
+        .join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") /
+            (col("sa.ng") + col("sb.ng") - col("inter")).cast("double"), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    },
+
+    // -- MinHash LSH near-dup pairs (rows-only for the driver; spec
+    //    pins equality with the exact Jaccard query's output) --
+    "q45_minhash_lsh" -> { (s, dir) =>
+      MinHashLSH.nearDupPairs(Tables.load(s, dir, "documents"),
+        numHashes = 64, bands = 16, shingleN = 3, threshold = 0.5)
+    },
+
+    // -- SimHash fingerprints + chunk-collision near-dup candidates,
+    //    verified by Hamming distance (complete for distance ≤ 3 by
+    //    pigeonhole over 4 chunks) --
+    "q46_simhash_pairs" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          SimHash.simhash64(Text.tokens(col("text"))).as("fp"))
+      val chunkCols = (0 until 4).map(c =>
+        shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)))
+      val chunks = d.select(col("doc_id"), col("fp"),
+        posexplode(array(chunkCols: _*)))
+        .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk_id") === col("b.chunk_id") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          SimHash.hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    },
+  )
+
+  // q44's DuckDB statement mirrors the gram-inverted-index shape; the
+  // sketch queries (q45/q46) hinge on xxhash64, which DuckDB lacks →
+  // rows-only for the driver, pinned exactly by DedupSpec instead.
+  val oracles: Map[String, String] = Map(
+    "q44_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |  FROM tok),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM g0),
+        |sz AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (sa.ng + sb.ng - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON doc_a = sa.doc_id
+        |JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE round(CAST(i AS DOUBLE) / (sa.ng + sb.ng - i), 6) >= 0.5""".stripMargin,
+  )
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's `private[sql]` Column↔Expression converters,
+  * needed to expose a custom Catalyst `Expression` as a user-facing
+  * `Column` (the pre-4.0 `new Column(expr)` constructor is gone).
+  * Lives in the spark.sql package namespace solely for access. */
+package object graftbridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
