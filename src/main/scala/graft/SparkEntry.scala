@@ -22,6 +22,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
       (MultimodalOps.queries, MultimodalOps.oracles),
+      (PipelineOps.queries, PipelineOps.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.config.ConfigTree
+import graft.config.ConfigTree.Tree
+import graft.domain.{SkyBounds, SphereSampler}
+import graft.plans.ConeJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The `cosmap run <config.json>` equivalent: one entry point that
+  * takes a run configuration + transformation spec + registered
+  * transforms and executes the whole analysis as a single Catalyst
+  * plan (SURVEY.md §3.1 restated for Spark).
+  *
+  * Lifecycle parity with the reference:
+  *  1. parse config, resolve `@`-references, merge analysis defaults
+  *     (right-biased, run config wins) — cmds.py:20-30, block.py:10-69
+  *  2. validate sample shape (Circle only — task.py:76-77)
+  *  3. Setup block (if any) runs driver-side; sinks → parameters —
+  *     setup.py:12-55
+  *  4. sampler draws N circles (sampler.py:127-144) — here a
+  *     `spark.range` source, no driver materialization
+  *  5. the per-sample cone search + per-sample transformation loop
+  *     (task.py:125-188) becomes: cone join (broadcast or band plan)
+  *     + the Main-block DAG compiled over the joined DataFrame —
+  *     transformations see the data kind "catalog" with a
+  *     `sample_id` column and aggregate per sample instead of
+  *     looping, so the whole analysis is one distributed plan.
+  */
+object AnalysisRunner {
+
+  final case class SamplingParams(bounds: SkyBounds, radiusDeg: Double,
+                                  nSamples: Long, seed: Long)
+
+  def parseSampling(cfg: Tree): SamplingParams = {
+    val sp = ConfigTree.getPath(cfg, "sampling_parameters") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Tree]
+      case _ => throw DagCompiler.PipelineError("config missing sampling_parameters")
+    }
+    sp.get("sample_shape").map(_.toString).foreach { shape =>
+      // Circle is the only supported sample shape — hard error like
+      // /root/reference/src/cosmap/analysis/task.py:76-77
+      if (shape != "Circle")
+        throw DagCompiler.PipelineError(s"unsupported sample shape '$shape' (only Circle)")
+    }
+    val boundsVals = sp.get("region_bounds") match {
+      case Some(m: Map[_, _]) =>
+        val t = m.asInstanceOf[Tree]
+        val unit = t.getOrElse("units", "deg")
+        t("value").asInstanceOf[Seq[Any]]
+          .map(v => ConfigTree.parseQuantityDeg(Map("value" -> v, "units" -> unit)))
+      case Some(xs: Seq[_]) => xs.map(ConfigTree.parseQuantityDeg)
+      case other => throw DagCompiler.PipelineError(s"bad region_bounds: $other")
+    }
+    require(boundsVals.length == 4, s"region_bounds must be [raMin, decMin, raMax, decMax]")
+    val radius = ConfigTree.parseQuantityDeg(
+      sp.getOrElse("sample_dimensions",
+        throw DagCompiler.PipelineError("sampling_parameters.sample_dimensions missing")))
+    val n = sp.get("n_samples") match {
+      case Some(l: Long) => l
+      case Some(d: Double) => d.toLong
+      case other => throw DagCompiler.PipelineError(s"bad n_samples: $other")
+    }
+    val seed = sp.get("seed") match {
+      case Some(l: Long) => l
+      case _ => 42L
+    }
+    // region_bounds order is [raMin, decMin, raMax, decMax]
+    // (README.md:146-150: [31.0, -11.0, 38, -4])
+    SamplingParams(
+      SkyBounds(raMin = boundsVals(0), raMax = boundsVals(2),
+        decMin = boundsVals(1), decMax = boundsVals(3)),
+      radius, n, seed)
+  }
+
+  /** Merge run config over analysis defaults, resolve refs. The run
+    * config's top-level scalar parameters form the `Main` block the
+    * `@Main.x` references see (README.md:137-163: `radius`,
+    * `min_radius` live at the run-config top level). */
+  def effectiveConfig(runConfig: Tree, analysisDefaults: Tree): Tree = {
+    val merged = ConfigTree.deepMerge(analysisDefaults, runConfig)
+    val structuralBlocks = Set(
+      "sampling_parameters", "output_parameters", "dataset_parameters",
+      "Main", "Setup")
+    val withMain = merged.get("Main") match {
+      case Some(_) => merged
+      case None =>
+        merged + ("Main" -> merged.filterNot(kv => structuralBlocks(kv._1)))
+    }
+    ConfigTree.resolveRefs(withMain)
+  }
+
+  /** Execute: returns the output DataFrame (one row per sample). */
+  def run(spark: SparkSession, runConfigJson: String,
+          analysisDefaultsJson: String, transformationsJson: String,
+          registry: TransformRegistry, catalog: DataFrame,
+          useBandJoin: Boolean = false): DataFrame = {
+    val cfg = effectiveConfig(
+      ConfigTree.parse(runConfigJson), ConfigTree.parse(analysisDefaultsJson))
+    val sampling = parseSampling(cfg)
+    val blocks = PipelineSpec.fromJson(transformationsJson)
+
+    // Setup block: driver-side pre-pass → parameter splice
+    val params = blocks.get("Setup") match {
+      case Some(setup) =>
+        DagCompiler.runSetup(setup, registry, Map.empty, cfg, spark = Some(spark))
+      case None => cfg
+    }
+
+    val samples = SphereSampler.uniformCircles(spark, sampling.nSamples,
+      sampling.bounds, sampling.radiusDeg, sampling.seed)
+    val joined =
+      if (useBandJoin) ConeJoin.bandJoin(catalog, samples)
+      else ConeJoin.broadcastJoin(catalog, samples)
+
+    val main = blocks.getOrElse("Main",
+      throw DagCompiler.PipelineError("transformations must define a Main block"))
+    DagCompiler.runPipeline(main, registry,
+      data = Map("catalog" -> joined, "samples" -> samples),
+      params = params, spark = Some(spark)) match {
+      case df: DataFrame => df
+      case other =>
+        throw DagCompiler.PipelineError(
+          s"Main output must be a DataFrame, got ${other.getClass}")
+    }
+  }
+}
