@@ -23,6 +23,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (MultimodalOps.queries, MultimodalOps.oracles),
       (PipelineOps.queries, PipelineOps.oracles),
+      (Sessionize.queries, Sessionize.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

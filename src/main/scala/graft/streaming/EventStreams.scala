@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference's "stream" is a bounded as-completed iterator with
+  * incremental flush (/root/reference/src/cosmap/analysis/analysis.py:150-162)
+  * — batch writes reproduce that (SURVEY.md §1.3). This module is the
+  * north-star extension to true unbounded streams: watermarked
+  * tumbling/sliding/session windows and custom state, all on Spark's
+  * incremental execution engine. Each builder takes/returns DataFrames
+  * so the same transforms compose into foreachBatch pipelines.
+  *
+  * Scale: state is keyed by (window × type) or user — partitioned
+  * across executors by key; the watermark bounds state size, which is
+  * what makes these run indefinitely on a real cluster.
+  */
+object EventStreams {
+
+  /** Schema of the events stream with `ts` pre-converted from
+    * parquet TIMESTAMP(NANOS) (read as long) to TimestampType. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch nanos (legacy nanosAsLong read)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over a directory containing
+    * events.parquet (each new file = one micro-batch of the stream). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark
+    * bounding late data (and state). */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding windows (overlapping aggregation). */
+  def slidingCounts(events: DataFrame, window_ : String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"))
+
+  /** Session windows: per-user activity bursts separated by > gap. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
+  // ---- custom state: running per-user aggregate with timeout ------
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** flatMapGroupsWithState: running per-user totals — the
+    * mapGroupsWithState/flatMapGroupsWithState surface of the engine
+    * (emits an updated row per user per micro-batch). */
+  def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(user, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Incremental sink: per-micro-batch append with progress logging —
+    * the streaming analog of the reference's per-chunk flush + log
+    * (analysis.py:150-162). */
+  def writeIncremental(df: DataFrame, outDir: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.persist()
+        val n = batch.count()
+        batch.write.mode("append").parquet(outDir)
+        // per-chunk progress observability (analysis.py:156-159)
+        Console.err.println(s"[graft.streaming] batch $batchId flushed $n rows")
+        batch.unpersist()
+        ()
+      }
+      .start()
+}

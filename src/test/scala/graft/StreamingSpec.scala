@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String = "append") = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling-window counts equal the batch equivalent") {
+    val stream = EventStreams.readEventsStream(spark, sf0001)
+    val got = runToMemory(EventStreams.tumblingCounts(stream), "t_tumbling", "complete")
+      .orderBy("window_start", "event_type").collect()
+    val want = Tables.load(spark, sf0001, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type").collect()
+    assert(got.nonEmpty)
+    assert(got.sameElements(want))
+  }
+
+  test("streaming session windows equal the batch session_window op") {
+    val stream = EventStreams.readEventsStream(spark, sf0001)
+    val got = runToMemory(EventStreams.sessionCounts(stream), "t_sessions", "complete")
+      .orderBy("user_id", "session_start").collect()
+    val want = graft.operators.Sessionize.queries("q52_session_window")(spark, sf0001)
+      .orderBy("user_id", "session_start").collect()
+    assert(got.nonEmpty)
+    assert(got.sameElements(want))
+  }
+
+  test("sliding windows produce overlapping coverage") {
+    val stream = EventStreams.readEventsStream(spark, sf0001)
+    val slid = runToMemory(EventStreams.slidingCounts(stream), "t_sliding", "complete")
+    // each event lands in window/slide = 2 windows: total n doubles
+    val totalN = slid.agg(sum("n")).head().getLong(0)
+    assert(totalN === 2 * Tables.load(spark, sf0001, "events").count())
+  }
+
+  test("flatMapGroupsWithState accumulates running user totals") {
+    val stream = EventStreams.readEventsStream(spark, sf0001)
+    val got = runToMemory(EventStreams.runningUserTotals(stream).toDF(), "t_state")
+    val want = Tables.load(spark, sf0001, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // single micro-batch → one emitted row per user with final counts
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMap === want)
+  }
+
+  test("incremental foreachBatch sink appends per micro-batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftstream")
+    val stream = EventStreams.readEventsStream(spark, sf0001)
+    val q = EventStreams.writeIncremental(
+      stream.select("event_id", "user_id", "value"),
+      s"$tmp/out", s"$tmp/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$tmp/out").count() ===
+      Tables.load(spark, sf0001, "events").count())
+  }
+
+  test("q51 lag-sessionization and q52 session_window agree on sessions") {
+    val lag = graft.operators.Sessionize.queries("q51_sessionize_lag")(spark, sf0001)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start").collect()
+    val sw = graft.operators.Sessionize.queries("q52_session_window")(spark, sf0001)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start").collect()
+    assert(lag.sameElements(sw))
+  }
+}
