@@ -25,18 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** (doc_id, band, bucket) — one row per band per doc. */
+  /** (doc_id, band, bucket) — one row per band per doc. Signatures
+    * come from the [[graft.functions.MinHashSignature]] expression
+    * (one tight loop per row — see its scaladoc for why not HOFs). */
   def bandBuckets(docs: DataFrame, idCol: String, textCol: String,
                   numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(Text.wordNGrams(col(textCol), shingleN),
-        g => xxhash64(g, k))))
     val bandCols = (0 until bands).map(b =>
       xxhash64(slice(col("sig"), b * r + 1, r), lit(b)))
-    docs.select(col(idCol).as("doc_id"), sig.as("sig"))
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.MinHashSig.minhashSignature(
+        Text.tokens(col(textCol)), numHashes, shingleN).as("sig"))
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
@@ -82,7 +82,11 @@ object MinHashLSH {
                    textCol: String = "text", numHashes: Int = 64,
                    bands: Int = 16, shingleN: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    val buckets = bandBuckets(docs, idCol, textCol, numHashes, bands, shingleN)
-    verify(docs, candidatePairs(buckets), idCol, textCol, shingleN, threshold)
+    // widen single-file inputs before the compute-heavy sketch stage
+    // (no-op partitioning cost at real scale, where sources are wide)
+    val wide = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    val buckets = bandBuckets(wide, idCol, textCol, numHashes, bands, shingleN)
+    verify(wide, candidatePairs(buckets), idCol, textCol, shingleN, threshold)
   }
 }

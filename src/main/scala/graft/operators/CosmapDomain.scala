@@ -72,7 +72,12 @@ object CosmapDomain {
         (lit(-11.0) + (col("l_partkey") % 7000).cast("double") / 1000.0).as("dec"))
       val samples = SphereSampler.uniformCircles(s, 1000, QuickstartBounds,
         QuickstartRadiusDeg, seed = 42L)
-      val joined = ConeJoin.broadcastJoin(catalog, samples)
+      // band plan: the broadcast nested-loop plan evaluates
+      // |catalog| x |samples| separations and is bound by the scan's
+      // partition count; the 0.25-degree band equi-join prunes pairs
+      // and parallelizes on the shuffle key (band==broadcast
+      // equivalence is property-tested in ConeJoinSpec)
+      val joined = ConeJoin.bandJoin(catalog, samples, bandDeg = 0.25)
       ConeJoin.quickstartAggregate(joined, samples, minSepArcsec = 5.0)
     },
   )

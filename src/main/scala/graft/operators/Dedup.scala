@@ -22,7 +22,13 @@ object Dedup {
     // -- exact n-gram Jaccard via inverted gram join (sound for any
     //    threshold > 0: pairs sharing no gram have J = 0) --
     "q44_ngram_jaccard" -> { (s, dir) =>
+      // a single small parquet file arrives as ONE partition; the
+      // shingle construction is compute-heavy per row, so widen to
+      // the cluster's parallelism before the map stage (at real scale
+      // the source already has many partitions and this is a no-op
+      // cost-wise: one narrow-ish shuffle of the raw docs)
       val d = Tables.load(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       val grams = d.select(col("doc_id"),
         explode(Text.wordNGrams(col("text"), 3)).as("g"))
       val sizes = d.select(col("doc_id"),

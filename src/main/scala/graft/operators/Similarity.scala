@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Vectors
+import graft.functions.{VectorExprs, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,7 +30,7 @@ object Similarity {
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          round(Vectors.cosine(col("embedding"), col("q_emb")), 6)
+          round(VectorExprs.cosineFast(col("embedding"), col("q_emb")), 6)
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
@@ -43,7 +43,7 @@ object Similarity {
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(Vectors.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+          round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.4)
     },
 
@@ -60,7 +60,7 @@ object Similarity {
       bucketed.filter(col("vec_id") =!= 0)
         .join(broadcast(q), col("bucket") === col("probe"))
         .select(col("vec_id"), col("label"),
-          round(Vectors.cosine(col("embedding"), col("q_emb")), 6)
+          round(VectorExprs.cosineFast(col("embedding"), col("q_emb")), 6)
             .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)

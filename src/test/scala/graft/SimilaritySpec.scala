@@ -45,3 +45,16 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets === Set(0b1010, 0b1011, 0b1000, 0b1110, 0b0010))
   }
 }
+class VectorExprsSpec extends SparkSpec {
+  import graft.functions.{VectorExprs, Vectors}
+  import org.apache.spark.sql.functions._
+
+  test("custom CosineSimilarity expression is bit-identical to the HOF composition") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val both = e.crossJoin(broadcast(q)).select(
+      Vectors.cosine(col("embedding"), col("q_emb")).as("hof"),
+      VectorExprs.cosineFast(col("embedding"), col("q_emb")).as("fast"))
+    assert(both.filter(col("hof") =!= col("fast")).count() === 0)
+  }
+}
