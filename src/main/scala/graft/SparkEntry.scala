@@ -24,6 +24,8 @@ object SparkEntry {
       (MultimodalOps.queries, MultimodalOps.oracles),
       (PipelineOps.queries, PipelineOps.oracles),
       (Sessionize.queries, Sessionize.oracles),
+      (AdvancedJoins.queries, AdvancedJoins.oracles),
+      (CollectionFns.queries, CollectionFns.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
