@@ -36,6 +36,13 @@ object SphereSampler {
     val maxAbsDec = math.max(math.abs(bounds.decMin), math.abs(bounds.decMax))
     val edge = math.min(89.9, maxAbsDec + radiusDeg)
     val raPad = radiusDeg / math.cos(math.toRadians(edge))
+    if (bounds.raMax - bounds.raMin <= 2 * raPad ||
+        bounds.decMax - bounds.decMin <= 2 * radiusDeg)
+      throw new IllegalArgumentException(
+        s"sampling region $bounds is too small for sample radius " +
+          s"$radiusDeg° (needs > ${2 * raPad}° of RA and " +
+          s"${2 * radiusDeg}° of Dec); the reference would silently " +
+          "produce an inverted frame here")
     SkyBounds(bounds.raMin + raPad, bounds.raMax - raPad,
       bounds.decMin + radiusDeg, bounds.decMax - radiusDeg)
   }

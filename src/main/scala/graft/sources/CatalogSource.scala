@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The catalog-ingest seam (SURVEY.md §2.1): the reference reads
+  * survey catalogs through pluggable dataset wrappers (heinlein /
+  * opencosmo HDF5, /root/reference/src/cosmap/dataset/opencosmo.py);
+  * here any columnar format that can yield a DataFrame plugs in by
+  * implementing this trait and registering.
+  *
+  * Parquet is the production path (the test corpus's format). HDF5
+  * registers as an explicit unsupported stub: Spark ships no HDF5
+  * DataSource and this environment has no HDF5 libs — the documented
+  * route is a one-time conversion to Parquet, or dropping a
+  * DataSourceV2 implementation in here.
+  */
+trait CatalogSource {
+  def format: String
+  def load(spark: SparkSession, path: String, columns: Seq[String] = Nil): DataFrame
+}
+
+object ParquetCatalogSource extends CatalogSource {
+  val format = "parquet"
+  def load(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    // dataset_columns projection (opencosmo.py:22-24): applied at the
+    // source so Catalyst prunes the scan's ReadSchema
+    if (columns.isEmpty) df else df.select(columns.map(org.apache.spark.sql.functions.col): _*)
+  }
+}
+
+object Hdf5CatalogSource extends CatalogSource {
+  val format = "hdf5"
+  def load(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
+    throw new UnsupportedOperationException(
+      "HDF5 ingest is not available in this build: convert to Parquet " +
+        "(one-time, e.g. h5py→pyarrow offline) or register a DataSourceV2 " +
+        "implementation here. The engine's query surface is format-agnostic " +
+        "beyond this seam.")
+}
+
+object CatalogSources {
+  private val registry: Map[String, CatalogSource] =
+    Seq(ParquetCatalogSource, Hdf5CatalogSource).map(s => s.format -> s).toMap
+
+  def apply(format: String): CatalogSource =
+    registry.getOrElse(format, throw new IllegalArgumentException(
+      s"unknown catalog format '$format' (known: ${registry.keys.mkString(", ")})"))
+}
