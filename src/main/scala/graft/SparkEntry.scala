@@ -25,6 +25,7 @@ object SparkEntry {
       (PipelineOps.queries, PipelineOps.oracles),
       (Sessionize.queries, Sessionize.oracles),
       (AdvancedJoins.queries, AdvancedJoins.oracles),
+      (ExtendedRelational.queries, ExtendedRelational.oracles),
       (CollectionFns.queries, CollectionFns.oracles),
     )
 

@@ -18,10 +18,9 @@ import org.apache.spark.sql.functions._
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
-    // -- exact n-gram Jaccard via inverted gram join (sound for any
-    //    threshold > 0: pairs sharing no gram have J = 0) --
-    "q44_ngram_jaccard" -> { (s, dir) =>
+  /** Exact n-gram Jaccard via inverted gram join (sound for any
+    * threshold > 0: pairs sharing no gram have J = 0). */
+  private val ngramJaccard: Q = { (s, dir) =>
       // a single small parquet file arrives as ONE partition; the
       // shingle construction is compute-heavy per row, so widen to
       // the cluster's parallelism before the map stage (at real scale
@@ -46,7 +45,10 @@ object Dedup {
             (col("sa.ng") + col("sb.ng") - col("inter")).cast("double"), 6)
             .as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-    },
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q44_ngram_jaccard" -> ngramJaccard,
 
     // -- MinHash LSH near-dup pairs (rows-only for the driver; spec
     //    pins equality with the exact Jaccard query's output) --
@@ -77,6 +79,16 @@ object Dedup {
         .distinct()
         .filter(col("hamming") <= 3)
     },
+
+    // -- dedup materialization: keep every document that is not the
+    //    higher-id member of any J >= 0.5 near-dup pair (anti-join:
+    //    drop duplicates, keep the canonical representative) --
+    "q53_neardup_dedup_keep" -> { (s, dir) =>
+      val drop = ngramJaccard(s, dir).select(col("doc_b").as("doc_id")).distinct()
+      Tables.load(s, dir, "documents")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    },
   )
 
   // q44's DuckDB statement mirrors the gram-inverted-index shape; the
@@ -104,5 +116,30 @@ object Dedup {
         |JOIN sz sa ON doc_a = sa.doc_id
         |JOIN sz sb ON doc_b = sb.doc_id
         |WHERE round(CAST(i AS DOUBLE) / (sa.ng + sb.ng - i), 6) >= 0.5""".stripMargin,
+
+    "q53_neardup_dedup_keep" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |  FROM tok),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM g0),
+        |sz AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT DISTINCT doc_b AS doc_id
+        |  FROM inter
+        |  JOIN sz sa ON doc_a = sa.doc_id
+        |  JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE round(CAST(i AS DOUBLE) / (sa.ng + sb.ng - i), 6) >= 0.5)
+        |SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
   )
 }
