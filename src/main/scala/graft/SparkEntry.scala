@@ -27,6 +27,7 @@ object SparkEntry {
       (AdvancedJoins.queries, AdvancedJoins.oracles),
       (ExtendedRelational.queries, ExtendedRelational.oracles),
       (CollectionFns.queries, CollectionFns.oracles),
+      (ApproxAggs.queries, ApproxAggs.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
