@@ -55,7 +55,16 @@ object BuiltinOps {
             expr(str(spec, "condition")),
             spec.get("how").map(_.toString).getOrElse("inner"))
       case "orderBy" =>
-        df(args, "df").orderBy(strSeq(spec, "exprs").map(expr): _*)
+        // a trailing " asc"/" desc" is a sort direction, not part of
+        // the expression (expr() would read it as a column alias)
+        val sortCols = strSeq(spec, "exprs").map { e =>
+          val t = e.trim
+          val lower = t.toLowerCase
+          if (lower.endsWith(" desc")) expr(t.dropRight(5)).desc
+          else if (lower.endsWith(" asc")) expr(t.dropRight(4)).asc
+          else expr(t)
+        }
+        df(args, "df").orderBy(sortCols: _*)
       case "limit" =>
         df(args, "df").limit(str(spec, "n").toInt)
       case "union" =>

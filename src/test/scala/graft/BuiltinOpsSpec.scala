@@ -1,0 +1,63 @@
+package graft
+
+import graft.pipeline.{BuiltinOps, DagCompiler, PipelineSpec, TransformRegistry}
+import org.apache.spark.sql.DataFrame
+
+/** Every builtin op kind exercised through a compiled pipeline. */
+class BuiltinOpsSpec extends SparkSpec {
+
+  private def run(specJson: String, data: Map[String, Any]): DataFrame =
+    DagCompiler.runPipeline(
+      PipelineSpec.fromJson(specJson)("Main"), TransformRegistry.empty,
+      data, Map.empty, spark = Some(spark)).asInstanceOf[DataFrame]
+
+  test("select/filter/join/orderBy/limit/union/distinct compose through a spec") {
+    val spec =
+      """{"Main": {
+        |  "cust": {"needed-data": ["customer"], "op": {"kind": "table", "table": "customer"}},
+        |  "ords": {"needed-data": ["orders"], "op": {"kind": "table", "table": "orders"}},
+        |  "big": {"dependencies": {"ords": "df"},
+        |          "op": {"kind": "filter", "condition": "o_totalprice > 200000"}},
+        |  "joined": {"dependencies": {"cust": "left", "big": "right"},
+        |             "op": {"kind": "join", "condition": "l.c_custkey = r.o_custkey",
+        |                    "how": "inner"}},
+        |  "proj": {"dependencies": {"joined": "df"},
+        |           "op": {"kind": "select",
+        |                  "exprs": ["c_custkey", "c_name", "o_totalprice",
+        |                            "row_number() over (partition by c_custkey order by o_totalprice desc, o_orderkey) as rn"]}},
+        |  "top": {"dependencies": {"proj": "df"},
+        |          "op": {"kind": "filter", "condition": "rn = 1"}},
+        |  "sorted": {"dependencies": {"top": "df"},
+        |             "op": {"kind": "orderBy", "exprs": ["o_totalprice desc", "c_custkey"]}},
+        |  "limited": {"dependencies": {"sorted": "df"},
+        |              "op": {"kind": "limit", "n": "5"}, "is-output": true}
+        |}}""".stripMargin
+    val out = run(spec, Map(
+      "customer" -> Tables.load(spark, sf0001, "customer"),
+      "orders" -> Tables.load(spark, sf0001, "orders")))
+    val rows = out.collect()
+    assert(rows.length === 5)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("union + distinct + agg kinds") {
+    val spec =
+      """{"Main": {
+        |  "c": {"needed-data": ["customer"], "op": {"kind": "table", "table": "customer"}},
+        |  "keys1": {"dependencies": {"c": "df"},
+        |            "op": {"kind": "select", "exprs": ["c_nationkey as k"]}},
+        |  "keys2": {"dependencies": {"c": "df"},
+        |            "op": {"kind": "select", "exprs": ["c_nationkey as k"]}},
+        |  "u": {"dependencies": {"keys1": "left", "keys2": "right"},
+        |        "op": {"kind": "union"}},
+        |  "d": {"dependencies": {"u": "df"}, "op": {"kind": "distinct"}},
+        |  "n": {"dependencies": {"d": "df"},
+        |        "op": {"kind": "agg", "aggs": ["count(1) as n"]}, "is-output": true}
+        |}}""".stripMargin
+    val out = run(spec, Map("customer" -> Tables.load(spark, sf0001, "customer")))
+    val distinctKeys = Tables.load(spark, sf0001, "customer")
+      .select("c_nationkey").distinct().count()
+    assert(out.head().getLong(0) === distinctKeys)
+  }
+}

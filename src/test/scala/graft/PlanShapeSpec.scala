@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan regression guards: the shapes PLANS.md documents
+  * must survive refactors — pushdown reaching the scan, dimension
+  * broadcasts, top-k without a global sort, band join staying an
+  * equi-join. A correctness-preserving change that regresses one of
+  * these is a performance bug at 100 TB. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q01: date filter is pushed into the parquet scan") {
+    val p = executedPlan("q01_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q02: all conjuncts pushed; scan schema pruned") {
+    val p = executedPlan("q02_filter_project")
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)"), p)
+    // pruned: the scan must not read l_shipdate or l_tax
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q04: every dimension join is a broadcast hash join") {
+    val p = executedPlan("q04_join_multi_broadcast")
+    assert("BroadcastHashJoin Inner BuildRight".r.findAllIn(p).length === 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q13: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = executedPlan("q13_sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q31: cone join is an equi-join on the band key, not a nested loop") {
+    val p = executedPlan("q31_cone_join_agg")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q01 aggregation is two-phase (partial before the exchange)") {
+    val p = executedPlan("q01_agg")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(firstAgg >= 0 && exchange > firstAgg && lastAgg > exchange ||
+      // AQE may present the plan with the final agg first textually;
+      // just require two HashAggregates and one shuffle exchange
+      ("HashAggregate".r.findAllIn(p).length >= 2 && p.contains("Exchange")), p)
+  }
+}

@@ -80,3 +80,31 @@ class StreamingSpec extends SparkSpec {
     assert(lag.sameElements(sw))
   }
 }
+
+class IncrementalStreamSpec extends SparkSpec {
+  test("second file arriving produces a second micro-batch append") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftinc")
+    val watch = tmp.resolve("in"); java.nio.file.Files.createDirectories(watch)
+    // batch 1: copy events.parquet in
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      watch.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStreams.rawSchema)
+      .parquet(watch.toString)
+      .selectExpr("event_id", "user_id", "value")
+    val q = graft.streaming.EventStreams.writeIncremental(
+      stream, s"$tmp/out", s"$tmp/ckpt")
+    q.processAllAvailable()
+    val n1 = spark.read.parquet(s"$tmp/out").count()
+    // batch 2: a second file appears (same rows, new name)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      watch.resolve("events2.parquet"))
+    q.processAllAvailable()
+    q.stop()
+    val n2 = spark.read.parquet(s"$tmp/out").count()
+    assert(n1 === 1000 && n2 === 2000)
+  }
+}
