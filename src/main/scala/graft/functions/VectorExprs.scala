@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * oracle requires) at memory-bandwidth speed.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -52,6 +52,38 @@ case class CosineSimilarity(left: Expression, right: Expression)
     // same operation shape as dot/(sqrt(na)*sqrt(nb)) used by the
     // HOF formulation and the DuckDB oracle
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** Whole-stage codegen: emits the same fused loop in Java so the
+    * expression stays inside the generated stage (no per-row
+    * interpreter dispatch). Arithmetic order matches nullSafeEval
+    * exactly — results are bit-identical either path. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (left.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+      (v: String, i: String) => s"(double) $v.getFloat($i)"
+    else (v: String, i: String) => s"$v.getDouble($i)"
+    val bGet = if (right.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+      (v: String, i: String) => s"(double) $v.getFloat($i)"
+    else (v: String, i: String) => s"$v.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${aGet(a, i)};
+         |  double $y = ${bGet(b, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(
