@@ -106,17 +106,27 @@ object AnalysisRunner {
       case None => cfg
     }
 
-    val samples = SphereSampler.uniformCircles(spark, sampling.nSamples,
-      sampling.bounds, sampling.radiusDeg, sampling.seed)
-    val joined =
-      if (useBandJoin) ConeJoin.bandJoin(catalog, samples)
-      else ConeJoin.broadcastJoin(catalog, samples)
-
     val main = blocks.getOrElse("Main",
       throw DagCompiler.PipelineError("transformations must define a Main block"))
+
+    // demand-driven data pruning (analysis.py:71-77): the union of
+    // needed-data across the DAG decides what is fetched AT ALL — an
+    // analysis that never asks for "catalog" never runs the cone join
+    // (Catalyst prunes columns; pruning whole data kinds is the
+    // compiler's job — SURVEY.md §4#2)
+    val demanded = main.flatMap(_.neededData).toSet
+    val samples = SphereSampler.uniformCircles(spark, sampling.nSamples,
+      sampling.bounds, sampling.radiusDeg, sampling.seed)
+    val data = Map.newBuilder[String, Any]
+    if (demanded.contains("samples")) data += ("samples" -> samples)
+    if (demanded.contains("catalog")) {
+      val joined =
+        if (useBandJoin) ConeJoin.bandJoin(catalog, samples)
+        else ConeJoin.broadcastJoin(catalog, samples)
+      data += ("catalog" -> joined)
+    }
     DagCompiler.runPipeline(main, registry,
-      data = Map("catalog" -> joined, "samples" -> samples),
-      params = params, spark = Some(spark)) match {
+      data = data.result(), params = params, spark = Some(spark)) match {
       case df: DataFrame => df
       case other =>
         throw DagCompiler.PipelineError(

@@ -143,3 +143,35 @@ class AnalysisRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/scores").columns.toSeq === Seq("id", "score"))
   }
 }
+
+/** Demand-driven data pruning: an analysis whose DAG never declares
+  * needed-data "catalog" must not execute the cone join at all
+  * (analysis.py:71-77 semantics). */
+class DemandPruningSpec extends SparkSpec {
+  test("samples-only analysis never touches the catalog") {
+    val transformations =
+      """{"Main": {
+        |  "count_samples": {
+        |    "needed-data": ["samples"],
+        |    "is-output": true}}}""".stripMargin
+    val registry = graft.pipeline.TransformRegistry(
+      "count_samples" -> graft.pipeline.Transform { args =>
+        assert(!args.contains("catalog"))
+        args("samples").asInstanceOf[org.apache.spark.sql.DataFrame]
+          .groupBy().count().withColumnRenamed("count", "n_samples")
+      })
+    // a catalog whose read would throw if ever executed
+    val poisonCatalog = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_orderkey as object_id",
+        "assert_true(false) as ra", "1.0 as dec")
+    val out = graft.pipeline.AnalysisRunner.run(spark,
+      """{"sampling_parameters": {
+        |  "region_bounds": {"value": [31.0, -11.0, 38, -4], "units": "degree"},
+        |  "n_samples": 50, "seed": 1},
+        | "radius": {"value": 2, "units": "arcmin"}}""".stripMargin,
+      """{"sampling_parameters": {"sample_shape": "Circle",
+        |  "sample_dimensions": "@Main.radius"}}""".stripMargin,
+      transformations, registry, poisonCatalog)
+    assert(out.head().getLong(0) === 50L)
+  }
+}
