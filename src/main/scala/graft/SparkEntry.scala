@@ -28,6 +28,7 @@ object SparkEntry {
       (ExtendedRelational.queries, ExtendedRelational.oracles),
       (CollectionFns.queries, CollectionFns.oracles),
       (ApproxAggs.queries, ApproxAggs.oracles),
+      (Workloads.queries, Workloads.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
