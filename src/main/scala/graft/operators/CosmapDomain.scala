@@ -80,7 +80,25 @@ object CosmapDomain {
       val joined = ConeJoin.bandJoin(catalog, samples, bandDeg = 0.25)
       ConeJoin.quickstartAggregate(joined, samples, minSepArcsec = 5.0)
     },
+
+    "q68_cone_centroid" -> coneCentroid,
   )
+
+  /** q68: per-sample angular centroid of cone contents via the typed
+    * CentroidAgg UDAF (partial+merge aggregation; buffer is 4 doubles
+    * per group). Same derived geometry as q31 so DuckDB can state the
+    * centroid directly with unit-vector sums. */
+  private def coneCentroid: Q = { (s, dir) =>
+    import graft.functions.CentroidAgg
+    val joined = ConeJoin.bandJoin(
+      derivedCatalog(s, dir), derivedSamples(s, dir), bandDeg = 5.0)
+    joined.select(col("sample_id"), col("ra"), col("dec"))
+      .groupBy(col("sample_id"))
+      .agg(CentroidAgg.udafColumn(col("ra"), col("dec")).as("c"))
+      .select(col("sample_id"),
+        round(col("c.ra"), 6).as("centroid_ra"),
+        round(col("c.dec"), 6).as("centroid_dec"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q31_cone_join_agg" ->
@@ -110,5 +128,38 @@ object CosmapDomain {
         |          * sin(radians(c.ra - s.ra) / 2) * sin(radians(c.ra - s.ra) / 2)))))
         |      <= s.radius_deg
         |GROUP BY s.sample_id""".stripMargin,
+
+    "q68_cone_centroid" ->
+      """WITH cat AS (
+        |  SELECT o_orderkey AS object_id,
+        |         (o_orderkey % 3600) / 10.0 AS ra,
+        |         (o_custkey % 1200) / 10.0 - 60.0 AS dec
+        |  FROM orders),
+        |smp AS (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS sample_id,
+        |         r_regionkey * 60.0 + 30.0 AS ra,
+        |         r_regionkey * 25.0 - 50.0 AS dec,
+        |         19.97 AS radius_deg
+        |  FROM region),
+        |joined AS (
+        |  SELECT s.sample_id, c.ra, c.dec
+        |  FROM cat c, smp s
+        |  WHERE degrees(2 * asin(least(1.0, sqrt(
+        |          sin(radians(c.dec - s.dec) / 2) * sin(radians(c.dec - s.dec) / 2)
+        |          + cos(radians(s.dec)) * cos(radians(c.dec))
+        |            * sin(radians(c.ra - s.ra) / 2) * sin(radians(c.ra - s.ra) / 2)))))
+        |        <= s.radius_deg),
+        |sums AS (
+        |  SELECT sample_id,
+        |    sum(cos(radians(dec)) * cos(radians(ra))) AS x,
+        |    sum(cos(radians(dec)) * sin(radians(ra))) AS y,
+        |    sum(sin(radians(dec))) AS z
+        |  FROM joined GROUP BY sample_id)
+        |SELECT sample_id,
+        |  round(CASE WHEN degrees(atan2(y, x)) < 0
+        |             THEN degrees(atan2(y, x)) + 360.0
+        |             ELSE degrees(atan2(y, x)) END, 6) AS centroid_ra,
+        |  round(degrees(asin(z / sqrt(x*x + y*y + z*z))), 6) AS centroid_dec
+        |FROM sums""".stripMargin,
   )
 }

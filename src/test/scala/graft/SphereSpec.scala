@@ -72,3 +72,27 @@ class SphereSpec extends SparkSpec {
     assert(math.abs(mean - 0.5) < 3 * 0.2887 / math.sqrt(a.length.toDouble))
   }
 }
+
+class CentroidAggSpec extends SparkSpec {
+  import graft.functions.CentroidAgg
+  import org.apache.spark.sql.functions._
+
+  test("angular centroid handles RA wraparound (naive mean would give 180)") {
+    import spark.implicits._
+    val df = Seq((1L, 359.0, 0.0), (1L, 1.0, 0.0)).toDF("g", "ra", "dec")
+    val c = df.groupBy("g").agg(CentroidAgg.udafColumn(col("ra"), col("dec")).as("c"))
+      .select("c.ra", "c.dec").head()
+    assert(math.abs(c.getDouble(0) - 0.0) < 1e-9 ||
+      math.abs(c.getDouble(0) - 360.0) < 1e-9)
+    assert(math.abs(c.getDouble(1)) < 1e-9)
+  }
+
+  test("angular centroid of symmetric points about a pole-ward center") {
+    import spark.implicits._
+    val df = Seq((1L, 100.0, 50.0), (1L, 100.0, 70.0)).toDF("g", "ra", "dec")
+    val c = df.groupBy("g").agg(CentroidAgg.udafColumn(col("ra"), col("dec")).as("c"))
+      .select("c.ra", "c.dec").head()
+    assert(math.abs(c.getDouble(0) - 100.0) < 1e-9)
+    assert(math.abs(c.getDouble(1) - 60.0) < 1e-9)
+  }
+}
