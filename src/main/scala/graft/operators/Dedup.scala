@@ -80,6 +80,14 @@ object Dedup {
         .filter(col("hamming") <= 3)
     },
 
+    // -- connected-components clustering of the near-dup graph:
+    //    every doc in a near-dup component labeled with the component
+    //    min (iterative min-label propagation; see
+    //    graft.dedup.ConnectedComponents) --
+    "q69_dedup_clusters" -> { (s, dir) =>
+      graft.dedup.ConnectedComponents.clusterLabels(ngramJaccard(s, dir))
+    },
+
     // -- dedup materialization: keep every document that is not the
     //    higher-id member of any J >= 0.5 near-dup pair (anti-join:
     //    drop duplicates, keep the canonical representative) --
@@ -141,5 +149,37 @@ object Dedup {
         |SELECT doc_id, lang, source, n_chars
         |FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
+
+    "q69_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |  FROM tok),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM g0),
+        |sz AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter
+        |  JOIN sz sa ON doc_a = sa.doc_id
+        |  JOIN sz sb ON doc_b = sb.doc_id
+        |  WHERE round(CAST(i AS DOUBLE) / (sa.ng + sb.ng - i), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |walk AS (
+        |  SELECT src AS doc_id, src AS reach FROM edges
+        |  UNION
+        |  SELECT w.doc_id, e.dst
+        |  FROM walk w JOIN edges e ON w.reach = e.src)
+        |SELECT doc_id, min(reach) AS cluster_id
+        |FROM walk GROUP BY doc_id""".stripMargin,
   )
 }

@@ -53,3 +53,36 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 }
+
+class PartitionPruningSpec extends SparkSpec {
+  test("partitioned write + filter prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part")
+    Tables.load(spark, sf0001, "orders")
+      .write.partitionBy("o_orderstatus").mode("overwrite")
+      .parquet(dir.toString)
+    val q = spark.read.parquet(dir.toString)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("o_orderstatus#") && plan.contains("= F"), plan)
+    // only the F partition directory is read
+    val filesRead = q.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(q.count() === Tables.load(spark, sf0001, "orders")
+      .filter("o_orderstatus = 'F'").count())
+  }
+}
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitive chains collapse to one cluster with min label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val labels = graft.dedup.ConnectedComponents.clusterLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+}
