@@ -108,3 +108,29 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(n1 === 1000 && n2 === 2000)
   }
 }
+
+/** Stream-static join: the streaming events enriched against a
+  * static dimension — the standard shape for joining a stream with
+  * reference data (the static side is re-read per micro-batch;
+  * broadcast when small). */
+class StreamStaticJoinSpec extends SparkSpec {
+  test("streaming events join a static user dimension; counts match batch") {
+    import org.apache.spark.sql.functions._
+    val users = spark.range(0, 50).select(
+      col("id").as("user_id"),
+      concat(lit("tier_"), pmod(col("id"), lit(3))).as("tier"))
+    val stream = graft.streaming.EventStreams.readEventsStream(spark, sf0001)
+      .join(broadcast(users), Seq("user_id"))
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("t_ss").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_ss").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.load(spark, sf0001, "events")
+      .join(users, Seq("user_id"))
+      .groupBy("tier").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want && got.nonEmpty)
+  }
+}
