@@ -63,6 +63,20 @@ object TextAnalysis {
           .otherwise("de").as("pred_lang"))
     },
 
+    // -- deterministic train/val/test split: md5-of-key thresholds
+    //    (fixed-length lowercase hex compares lexicographically =
+    //    numerically), reproducible on any engine, partitioning, or
+    //    cluster size — the standard reproducible-split operator for
+    //    training corpora. 80/10/10. --
+    "q70_deterministic_split" -> { (s, dir) =>
+      val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(h < "cccccccc", "train")
+            .when(h < "e6666666", "val")
+            .otherwise("test").as("split"))
+    },
+
     // -- exact dedup: normalized-md5 fingerprint groups --
     "q43_dedup_exact" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
@@ -120,6 +134,15 @@ object TextAnalysis {
         |       WHEN s_fr >= s_de THEN 'fr'
         |       ELSE 'de' END AS pred_lang
         |FROM sc""".stripMargin,
+
+    "q70_deterministic_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q43_dedup_exact" ->
       """SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
