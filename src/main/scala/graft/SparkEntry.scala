@@ -29,6 +29,7 @@ object SparkEntry {
       (CollectionFns.queries, CollectionFns.oracles),
       (ApproxAggs.queries, ApproxAggs.oracles),
       (Workloads.queries, Workloads.oracles),
+      (CorpusStats.queries, CorpusStats.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
