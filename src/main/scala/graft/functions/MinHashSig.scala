@@ -2,40 +2,16 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.types._
 
-/** MinHash signature of a token array as one custom Catalyst
-  * expression: token-hash once, roll shingles of `shingleN` token
-  * hashes, and track `numHashes` per-salt minima — all in a single
-  * JVM loop per row.
-  *
-  * Replaces the nested higher-order-function formulation whose
-  * re-evaluated shingle construction made signing 500 docs take 374 s
-  * at bench (each of the 64 salts re-built the whole shingle array
-  * through the interpreter). Same sketch semantics: sig[k] =
-  * min over shingles of hash_k(shingle); duplicates don't affect the
-  * min, so no shingle dedup is needed. Hash family: XXH64 re-seeded
-  * per salt — the same family as the engine's `xxhash64`.
-  */
-case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  require(numHashes > 0 && shingleN > 0)
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other =>
-      TypeCheckResult.TypeCheckFailure(s"minhash requires array<string>, got $other")
-  }
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+/** The signature kernel as a static method so both the interpreted
+  * path and whole-stage-generated Java call the identical code. */
+object MinHashSigKernel {
+  def compute(arr: ArrayData, numHashes: Int, shingleN: Int): GenericArrayData = {
     val nTok = arr.numElements()
     val tokHash = new Array[Long](nTok)
     var i = 0
@@ -51,7 +27,6 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
     val nShingles = nTok - shingleN + 1
     var g = 0
     while (g < nShingles) {
-      // combine the n token hashes of this shingle into one 64-bit id
       var sh = 0x9E3779B97F4A7C15L
       var j = 0
       while (j < shingleN) {
@@ -68,6 +43,44 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
     }
     new GenericArrayData(sig)
   }
+}
+
+/** MinHash signature of a token array as one custom Catalyst
+  * expression: token-hash once, roll shingles of `shingleN` token
+  * hashes, and track `numHashes` per-salt minima — all in a single
+  * JVM loop per row.
+  *
+  * Replaces the nested higher-order-function formulation whose
+  * re-evaluated shingle construction made signing 500 docs take 374 s
+  * at bench (each of the 64 salts re-built the whole shingle array
+  * through the interpreter). Same sketch semantics: sig[k] =
+  * min over shingles of hash_k(shingle); duplicates don't affect the
+  * min, so no shingle dedup is needed. Hash family: XXH64 re-seeded
+  * per salt — the same family as the engine's `xxhash64`.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
+    extends UnaryExpression {
+
+  require(numHashes > 0 && shingleN > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"minhash requires array<string>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigKernel.compute(input.asInstanceOf[ArrayData], numHashes, shingleN)
+
+  /** Codegen: the generated stage evaluates the child inline and
+    * calls the shared static kernel — no interpreted expression
+    * dispatch, and identical results to the eval path by
+    * construction. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashSigKernel.compute($a, $numHashes, $shingleN);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)

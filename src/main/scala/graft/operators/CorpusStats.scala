@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
 object CorpusStats {
   type Q = (SparkSession, String) => DataFrame
 
+  // -- generator / UDTF surface: one row per (doc, position, token) --
+  private val explodeTokens: Q = { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "term")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("term"))
+  }
+
   val queries: Map[String, Q] = Map(
     // -- vocabulary with frequencies: top 100 terms --
     "q71_vocab" -> { (s, dir) =>
@@ -24,6 +32,8 @@ object CorpusStats {
         .orderBy(col("freq").desc, col("term"))
         .limit(100)
     },
+
+    "q73_explode_tokens" -> explodeTokens,
 
     // -- TF-IDF per (doc, term): tf = in-doc count, idf = ln(N/df) --
     "q72_tfidf" -> { (s, dir) =>
@@ -46,6 +56,14 @@ object CorpusStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_explode_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)
+        |SELECT doc_id,
+        |  unnest(generate_series(1, len(t))) AS pos,
+        |  t[unnest(generate_series(1, len(t)))] AS term
+        |FROM tok""".stripMargin,
+
     "q71_vocab" ->
       """SELECT term, count(*) AS freq
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS term

@@ -134,3 +134,33 @@ class StreamStaticJoinSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 }
+
+/** Streaming deduplication: dropDuplicates keyed on event_id with a
+  * watermark bounding the dedup state. */
+class StreamingDedupSpec extends SparkSpec {
+  test("duplicate events across micro-batches are emitted once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftsdedup")
+    val watch = tmp.resolve("in"); java.nio.file.Files.createDirectories(watch)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      watch.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStreams.rawSchema)
+      .parquet(watch.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("t_dedup").start()
+    q.processAllAvailable()
+    // the same file again: every event is a duplicate
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      watch.resolve("events_dup.parquet"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t_dedup").count() === 1000)
+  }
+}
