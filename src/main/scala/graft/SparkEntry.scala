@@ -30,6 +30,7 @@ object SparkEntry {
       (ApproxAggs.queries, ApproxAggs.oracles),
       (Workloads.queries, Workloads.oracles),
       (CorpusStats.queries, CorpusStats.oracles),
+      (Profiling.queries, Profiling.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
