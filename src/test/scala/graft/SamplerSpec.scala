@@ -55,3 +55,29 @@ class SamplerSpec extends SparkSpec {
     assert((f.raMin - 0) > (fEq.raMin - 0))
   }
 }
+
+class SamplerChiSquareSpec extends SparkSpec {
+  test("chi-square: samples uniform across equal-area dec bands (sampler.py:96-104 spec)") {
+    import graft.domain.{SkyBounds, SphereSampler}
+    val bounds = SkyBounds(31, 38, -11, -4)
+    val r = 2.0 / 60.0
+    val n = 20000
+    val f = SphereSampler.frame(bounds, r)
+    val (zLo, zHi) = (math.sin(math.toRadians(f.decMin)), math.sin(math.toRadians(f.decMax)))
+    val k = 20 // equal-area bands = equal-z bands
+    val zs = SphereSampler.uniformCircles(spark, n, bounds, r, seed = 11)
+      .select(org.apache.spark.sql.functions.sin(
+        org.apache.spark.sql.functions.radians(
+          org.apache.spark.sql.functions.col("dec"))))
+      .collect().map(_.getDouble(0))
+    val counts = new Array[Int](k)
+    zs.foreach { z =>
+      val b = math.min(k - 1, ((z - zLo) / (zHi - zLo) * k).toInt)
+      counts(b) += 1
+    }
+    val expected = n.toDouble / k
+    val chi2 = counts.map(c => (c - expected) * (c - expected) / expected).sum
+    // df = 19; P(chi2 > 43.8) ≈ 0.001 — generous bound for a fixed seed
+    assert(chi2 < 43.8, s"chi2=$chi2 counts=${counts.mkString(",")}")
+  }
+}
