@@ -67,14 +67,15 @@ object MinHashLSH {
         col("gb.doc_id") === col("doc_b") && col("ga.g") === col("gb.g"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("doc_id").as("id_a"), col("ng").as("ng_a"))
+    val sb = sizes.select(col("doc_id").as("id_b"), col("ng").as("ng_b"))
     inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("sa.ng") + col("sb.ng") - col("inter")).cast("double"), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .join(sa, col("doc_a") === col("id_a"))
+      .join(sb, col("doc_b") === col("id_b"))
+      // exact ppm integer jaccard (cross-engine-stable; see Dedup)
+      .selectExpr("doc_a", "doc_b",
+        "inter * 1000000 div (CAST(ng_a AS BIGINT) + ng_b - inter) AS jaccard_ppm")
+      .filter(col("jaccard_ppm") >= math.round(threshold * 1e6))
   }
 
   /** Full pipeline: near-dup pairs with exact Jaccard ≥ threshold. */

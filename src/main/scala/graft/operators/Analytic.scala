@@ -35,7 +35,8 @@ object Analytic {
 
     // -- running-total frame (rows unbounded preceding .. current) --
     "q11_win_running" -> { (s, dir) =>
-      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
       val w = Window.partitionBy(col("l_suppkey")).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "lineitem")
@@ -113,7 +114,7 @@ object Analytic {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  sum(l_quantity) OVER (
         |    PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem""".stripMargin,
 

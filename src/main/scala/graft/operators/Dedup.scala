@@ -37,14 +37,16 @@ object Dedup {
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
+      val sa = sizes.select(col("doc_id").as("id_a"), col("ng").as("ng_a"))
+      val sb = sizes.select(col("doc_id").as("id_b"), col("ng").as("ng_b"))
       inter
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          round(col("inter").cast("double") /
-            (col("sa.ng") + col("sb.ng") - col("inter")).cast("double"), 6)
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+        .join(sa, col("doc_a") === col("id_a"))
+        .join(sb, col("doc_b") === col("id_b"))
+        // jaccard in exact ppm integer arithmetic (ratio-of-ints
+        // round() boundaries differ across engines; div does not)
+        .selectExpr("doc_a", "doc_b",
+          "inter * 1000000 div (CAST(ng_a AS BIGINT) + ng_b - inter) AS jaccard_ppm")
+        .filter(col("jaccard_ppm") >= 500000L)
   }
 
   val queries: Map[String, Q] = Map(
@@ -119,11 +121,11 @@ object Dedup {
         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
-        |  round(CAST(i AS DOUBLE) / (sa.ng + sb.ng - i), 6) AS jaccard
+        |  CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) AS jaccard_ppm
         |FROM inter
         |JOIN sz sa ON doc_a = sa.doc_id
         |JOIN sz sb ON doc_b = sb.doc_id
-        |WHERE round(CAST(i AS DOUBLE) / (sa.ng + sb.ng - i), 6) >= 0.5""".stripMargin,
+        |WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000""".stripMargin,
 
     "q53_neardup_dedup_keep" ->
       """WITH tok AS (
@@ -145,7 +147,7 @@ object Dedup {
         |  FROM inter
         |  JOIN sz sa ON doc_a = sa.doc_id
         |  JOIN sz sb ON doc_b = sb.doc_id
-        |  WHERE round(CAST(i AS DOUBLE) / (sa.ng + sb.ng - i), 6) >= 0.5)
+        |  WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000)
         |SELECT doc_id, lang, source, n_chars
         |FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
@@ -170,7 +172,7 @@ object Dedup {
         |  FROM inter
         |  JOIN sz sa ON doc_a = sa.doc_id
         |  JOIN sz sb ON doc_b = sb.doc_id
-        |  WHERE round(CAST(i AS DOUBLE) / (sa.ng + sb.ng - i), 6) >= 0.5),
+        |  WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000),
         |edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION SELECT doc_b, doc_a FROM pairs),

@@ -23,28 +23,27 @@ object TextAnalysis {
     // -- token counting (whitespace + BPE-ish regex) & shape stats --
     "q40_text_stats" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
-      d.select(col("doc_id"),
-        Text.tokenCount(col("text")).as("n_tokens"),
-        size(Text.bpeTokens(col("text"))).as("n_bpe_tokens"),
-        round(Text.typeTokenRatio(col("text")), 6).as("ttr"),
-        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
-          greatest(Text.tokenCount(col("text")), lit(1)).cast("double"), 6)
-          .as("avg_token_len"))
+      // ratio columns as parts-per-million via integer floor division:
+      // p/q ratios of small ints can land exactly on round()'s .5
+      // boundary where Spark (shortest-decimal) and C engines (binary)
+      // disagree — integer arithmetic is identical everywhere
+      d.selectExpr("doc_id",
+        "size(split(text, '\\\\s+')) AS n_tokens",
+        "size(regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)) AS n_bpe_tokens",
+        "CAST(size(array_distinct(split(text, '\\\\s+'))) AS BIGINT) * 1000000 div greatest(size(split(text, '\\\\s+')), 1) AS ttr_ppm",
+        "CAST(length(text) - length(regexp_replace(text, '[\\\\p{Punct}]', '')) AS BIGINT) * 1000000 div greatest(length(text), 1) AS punct_ppm",
+        "CAST(length(regexp_replace(text, '\\\\s', '')) AS BIGINT) * 1000000 div greatest(size(split(text, '\\\\s+')), 1) AS tok_len_ppm")
     },
 
-    // -- quality score: diversity + stopword density + length prior --
+    // -- quality score: diversity + stopword density + length prior,
+    //    all in exact ppm integer arithmetic (see q40 note) --
     "q41_quality_score" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      val nTok = greatest(Text.tokenCount(col("text")), lit(1)).cast("double")
-      val stopRatio = Text.wordSetCount(col("text"), stopEn).cast("double") / nTok
-      val lenScore = least(lit(1.0), col("n_chars").cast("double") / 500.0)
-      d.select(col("doc_id"),
-        round(Text.typeTokenRatio(col("text")), 6).as("ttr"),
-        round(stopRatio, 6).as("stop_ratio"),
-        round(lenScore, 6).as("len_score"),
-        round(Text.typeTokenRatio(col("text")) * 0.5 + stopRatio * 0.3 +
-          lenScore * 0.2, 6).as("quality"))
+      Tables.load(s, dir, "documents").selectExpr("doc_id",
+        "CAST(size(array_distinct(split(text, '\\\\s+'))) AS BIGINT) * 1000000 div greatest(size(split(text, '\\\\s+')), 1) AS ttr_ppm",
+        "CAST(size(filter(split(text, '\\\\s+'), x -> x IN ('the','a','of','in','to','is'))) AS BIGINT) * 1000000 div greatest(size(split(text, '\\\\s+')), 1) AS stop_ppm",
+        "least(1000000L, CAST(n_chars AS BIGINT) * 2000) AS len_ppm")
+        .selectExpr("doc_id", "ttr_ppm", "stop_ppm", "len_ppm",
+          "(ttr_ppm * 5 + stop_ppm * 3 + len_ppm * 2) div 10 AS quality_ppm")
     },
 
     // -- stopword-profile language ID with deterministic tie-break --
@@ -90,12 +89,12 @@ object TextAnalysis {
       """SELECT doc_id,
         |  len(string_split_regex(text, '\s+')) AS n_tokens,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
-        |  round(CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
-        |    / greatest(len(string_split_regex(text, '\s+')), 1), 6) AS ttr,
-        |  round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-        |    / greatest(length(text), 1), 6) AS punct_ratio,
-        |  round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-        |    / greatest(len(string_split_regex(text, '\s+')), 1), 6) AS avg_token_len
+        |  CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT) * 1000000
+        |    // greatest(len(string_split_regex(text, '\s+')), 1) AS ttr_ppm,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) * 1000000
+        |    // greatest(length(text), 1) AS punct_ppm,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 1000000
+        |    // greatest(len(string_split_regex(text, '\s+')), 1) AS tok_len_ppm
         |FROM documents""".stripMargin,
 
     "q41_quality_score" ->
@@ -105,15 +104,15 @@ object TextAnalysis {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id,
-        |    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS ttr,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+        |      // greatest(len(toks), 1) AS ttr_ppm,
         |    CAST(len(list_filter(toks,
-        |      x -> x IN ('the','a','of','in','to','is'))) AS DOUBLE)
-        |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio,
-        |    least(1.0, CAST(n_chars AS DOUBLE) / 500.0) AS len_score
+        |      x -> x IN ('the','a','of','in','to','is'))) AS BIGINT) * 1000000
+        |      // greatest(len(toks), 1) AS stop_ppm,
+        |    least(1000000, CAST(n_chars AS BIGINT) * 2000) AS len_ppm
         |  FROM t)
-        |SELECT doc_id, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
-        |  round(len_score, 6) AS len_score,
-        |  round(ttr * 0.5 + stop_ratio * 0.3 + len_score * 0.2, 6) AS quality
+        |SELECT doc_id, ttr_ppm, stop_ppm, len_ppm,
+        |  (ttr_ppm * 5 + stop_ppm * 3 + len_ppm * 2) // 10 AS quality_ppm
         |FROM c""".stripMargin,
 
     "q42_langid" ->

@@ -20,9 +20,9 @@ class DedupSpec extends SparkSpec {
 
   test("minhash verify reports jaccard equal to exact computation") {
     val lsh = MinHashLSH.nearDupPairs(docs, threshold = 0.5)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     val exact = Dedup.queries("q44_ngram_jaccard")(spark, sf0001)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(lsh === exact)
   }
 
