@@ -22,19 +22,28 @@ object Text {
   def bpeTokens(c: Column): Column =
     regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
 
-  /** Distinct word n-grams as an array column (shingles). */
+  /** Distinct word n-grams as an array column (shingles). Texts with
+    * fewer than `n` tokens yield an empty array: `sequence(1, k)` with
+    * k <= 0 is the DESCENDING array [1, 0], whose 0 start index makes
+    * `slice` throw — so the short case must be guarded out entirely
+    * (DuckDB's generate_series(1, 0) is empty, which this matches). */
   def wordNGrams(c: Column, n: Int): Column = {
     val t = tokens(c)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(t) - lit(n - 1), lit(0))),
-      i => concat_ws(" ", slice(t, i, lit(n)))))
+    when(size(t) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
-  /** Character n-grams (for language-ID-style profiles). */
+  /** Character n-grams (for language-ID-style profiles); same short-
+    * input guard as [[wordNGrams]]. */
   def charNGrams(c: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(c) - lit(n - 1), lit(0))),
-      i => c.substr(i, lit(n))))
+    when(length(c) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(c) - lit(n - 1)),
+        i => c.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Ratio of punctuation characters to all characters. */
   def punctRatio(c: Column): Column =

@@ -73,17 +73,34 @@ object Workloads {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     },
 
-    // -- edit distance (levenshtein) for fuzzy matching, blocked by
-    //    source to bound pairs --
+    // -- edit distance (levenshtein) for fuzzy matching. Semantics:
+    //    same source, |Δn_chars| <= 100 (the standard ER length
+    //    filter), head edit distance <= 10. The length predicate is
+    //    implemented as a LOSSLESS band equi-join (same pattern as the
+    //    cone join): each doc lands in bands floor(l/B) and
+    //    floor((l+B)/B), so any pair within the tolerance shares a
+    //    band — blocking-key cardinality is sources × length-bands and
+    //    grows with the data, unlike the round-1 source-only blocking
+    //    whose per-key pair count grew O(n²/k) with fixed k. --
     "q65_edit_distance" -> { (s, dir) =>
+      val bandW = 100 // band width == length tolerance (lossless: see above)
       val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"), col("source"), col("n_chars"),
           substring(col("text"), 1, 30).as("head"))
-      d.as("a").join(d.as("b"),
+      val banded = d.withColumn("band",
+        explode(array_distinct(array(
+          floor(col("n_chars") / bandW).cast("long"),
+          floor((col("n_chars") + bandW) / bandW).cast("long")))))
+      banded.as("a").join(banded.as("b"),
           col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.n_chars") - col("b.n_chars")) <= bandW)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.head"), col("b.head")).as("edit_dist"))
+          col("a.head").as("head_a"), col("b.head").as("head_b"))
+        .distinct() // a pair can share both bands
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("head_a"), col("head_b")).as("edit_dist"))
         .filter(col("edit_dist") <= 10)
     },
 
@@ -153,14 +170,18 @@ object Workloads {
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
         |                      WHERE i.o_custkey = o.o_custkey)""".stripMargin,
 
+    // the oracle states the pure declarative semantics — the Spark
+    // side's band equi-join is lossless w.r.t. the length predicate,
+    // so outputs match exactly
     "q65_edit_distance" ->
       """WITH d AS (
-        |  SELECT doc_id, source, substring(text, 1, 30) AS head
+        |  SELECT doc_id, source, n_chars, substring(text, 1, 30) AS head
         |  FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  levenshtein(a.head, b.head) AS edit_dist
         |FROM d a JOIN d b
         |  ON a.source = b.source AND a.doc_id < b.doc_id
+        |  AND abs(a.n_chars - b.n_chars) <= 100
         |WHERE levenshtein(a.head, b.head) <= 10""".stripMargin,
 
     "q66_regression_aggs" ->

@@ -57,6 +57,51 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("n-gram shingles of short/empty texts are empty, not a crash") {
+    import spark.implicits._
+    // sequence(1, size-n+1) with size < n is the DESCENDING [1, 0] in
+    // Spark — unguarded, slice(toks, 0, n) throws. Regression per
+    // round-1 advice: any corpus containing a short doc took down the
+    // whole n-gram family.
+    val df = Seq((1L, ""), (2L, "one"), (3L, "one two"),
+      (4L, "one two three")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Text.wordNGrams(col("text"), 3).as("wg"),
+        Text.charNGrams(col("text"), 4).as("cg"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (r.getSeq[String](1).length, r.getSeq[String](2).length)).toMap
+    assert(rows(1L) === ((0, 0)))
+    assert(rows(2L) === ((0, 0)))   // "one" = 1 token, 3 chars
+    assert(rows(3L)._1 === 0)       // 2 tokens < 3
+    assert(rows(3L)._2 > 0)         // 7 chars >= 4
+    assert(rows(4L)._1 === 1)
+    // and the full pair pipeline tolerates short docs
+    val pairs = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text")
+    val grams = pairs.select(col("doc_id"),
+      explode(Text.wordNGrams(col("text"), 3)).as("g"))
+    assert(grams.count() === 0L)
+  }
+
+  test("connected components: long chain converges in log rounds (pointer doubling)") {
+    import spark.implicits._
+    // a path graph of diameter 60 — far beyond the old one-hop-per-
+    // round budget of 10; pointer doubling must close it in <= 16
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.dedup.ConnectedComponents.clusterLabels(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 61)
+    assert(labels.values.forall(_ === 0L))
+  }
+
+  test("connected components: non-convergence is loud, not silently wrong") {
+    import spark.implicits._
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.dedup.ConnectedComponents.clusterLabels(chain, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("exact dedup fingerprint normalizes whitespace and case") {
     import spark.implicits._
     val fp = Seq("Hello  World", "hello world", " hello\tworld ")
