@@ -20,12 +20,13 @@ import java.nio.file.{Files, Paths}
   */
 object RunAnalysis {
 
-  /** Testable core: returns (output DataFrame, rows written). */
+  /** Testable core: returns (output DataFrame, rows written).
+    * Accepts `.json` or `.toml` run configs (cmds.py:21-29 parity —
+    * dispatch in ConfigTree.parseFile). */
   def execute(spark: SparkSession, runConfigPath: String,
               catalogPath: String, registryDir: String,
               registry: TransformRegistry): (DataFrame, Long) = {
-    val runConfigJson = Files.readString(Paths.get(runConfigPath))
-    val runConfig = ConfigTree.parse(runConfigJson)
+    val runConfig = ConfigTree.parseFile(Paths.get(runConfigPath))
     val analysisName = runConfig.get("base-analysis").map(_.toString)
       .getOrElse(throw new IllegalArgumentException(
         "run config missing 'base-analysis'"))
@@ -40,20 +41,27 @@ object RunAnalysis {
     val progress = RunObservability.attachProgress(spark)
     try {
       val catalog = spark.read.parquet(catalogPath)
-      val out = AnalysisRunner.run(spark, runConfigJson, defaults,
-        transformations, registry, catalog)
+      val out = AnalysisRunner.runParsed(spark, runConfig,
+        ConfigTree.parse(defaults), transformations, registry, catalog,
+        useBandJoin = false, plugins = graft.pipeline.PluginManager.empty)
       val expected = AnalysisRunner.parseSampling(
         AnalysisRunner.effectiveConfig(runConfig, ConfigTree.parse(defaults)))
         .nSamples
-      runConfig.get("output").map(_.toString) match {
-        case Some(path) =>
-          val fmt = ConfigTree.getPath(runConfig, "output_parameters.write_format")
-            .map(_.toString).getOrElse("csv")
-          Sinks.write(out, path, fmt)
-        case None => ()
-      }
-      val n = RunObservability.expectCount(out, expected)
-      (out, n)
+      // cache before write + count: otherwise the whole analysis plan
+      // executes twice, and the counted result is a recomputation that
+      // could diverge from what was written (round-1 advice)
+      out.persist()
+      try {
+        runConfig.get("output").map(_.toString) match {
+          case Some(path) =>
+            val fmt = ConfigTree.getPath(runConfig, "output_parameters.write_format")
+              .map(_.toString).getOrElse("csv")
+            Sinks.write(out, path, fmt)
+          case None => ()
+        }
+        val n = RunObservability.expectCount(out, expected)
+        (out, n)
+      } finally out.unpersist()
     } finally spark.sparkContext.removeSparkListener(progress)
   }
 

@@ -31,6 +31,21 @@ object ConfigTree {
     case other => throw new IllegalArgumentException(s"config root must be an object, got $other")
   }
 
+  /** Parse a config file by extension — `.json` or `.toml`, like the
+    * reference's run_analysis dispatch
+    * (/root/reference/src/cosmap/api/cmds.py:21-29). Both routes
+    * produce the identical Tree shape (integer → Long, float →
+    * Double), so everything downstream (merge, `@`-refs, quantities)
+    * is format-agnostic. */
+  def parseFile(path: java.nio.file.Path): Tree = {
+    val content = java.nio.file.Files.readString(path)
+    val name = path.getFileName.toString
+    if (name.endsWith(".json")) parse(content)
+    else if (name.endsWith(".toml")) Toml.parse(content)
+    else throw new IllegalArgumentException(
+      s"Could not parse the analysis config $path: expect a toml or json file")
+  }
+
   private def fromJValue(v: JValue): Any = v match {
     case JObject(fields) => fields.map { case (k, x) => k -> fromJValue(x) }.toMap
     case JArray(xs)      => xs.map(fromJValue)

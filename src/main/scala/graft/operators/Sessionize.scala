@@ -52,22 +52,26 @@ object Sessionize {
   )
 
   val oracles: Map[String, String] = Map(
+    // the cumulative-sum window carries the SAME (ts, event_id)
+    // tie-break as the Spark window — ORDER BY ts alone made session
+    // assignment nondeterministic on duplicate timestamps (round-1
+    // advice)
     "q51_sessionize_lag" ->
       s"""WITH e AS (
-         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
          |    lag(CAST(ts AS TIMESTAMP)) OVER
          |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
          |      AS prev_ts
          |  FROM events),
          |m AS (
-         |  SELECT user_id, ts, value,
+         |  SELECT user_id, event_id, ts, value,
          |    CASE WHEN prev_ts IS NULL
          |           OR ts >= prev_ts + INTERVAL $gapMinutes MINUTE
          |         THEN 1 ELSE 0 END AS is_new
          |  FROM e),
          |sess AS (
          |  SELECT user_id, ts, value,
-         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |      AS session_id
          |  FROM m)
@@ -79,20 +83,20 @@ object Sessionize {
 
     "q52_session_window" ->
       s"""WITH e AS (
-         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
          |    lag(CAST(ts AS TIMESTAMP)) OVER
          |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
          |      AS prev_ts
          |  FROM events),
          |m AS (
-         |  SELECT user_id, ts, value,
+         |  SELECT user_id, event_id, ts, value,
          |    CASE WHEN prev_ts IS NULL
          |           OR ts >= prev_ts + INTERVAL $gapMinutes MINUTE
          |         THEN 1 ELSE 0 END AS is_new
          |  FROM e),
          |sess AS (
          |  SELECT user_id, ts, value,
-         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
          |  FROM m)
          |SELECT user_id, min(ts) AS session_start,

@@ -36,7 +36,12 @@ object Sinks {
 
   def write(df: DataFrame, path: String, format: String,
             mode: SaveMode = SaveMode.Append): Unit = format match {
-    case "csv" => appendCsv(df, path)
+    // csv honors the requested mode too — only Append takes the
+    // header-per-file append path (a silent append on Overwrite
+    // accumulated stale rows; round-1 advice)
+    case "csv" if mode == SaveMode.Append => appendCsv(df, path)
+    case "csv" =>
+      df.write.mode(mode).option("header", "true").csv(path)
     case "parquet" | "json" | "orc" =>
       df.write.mode(mode).format(format).save(path)
     case other =>

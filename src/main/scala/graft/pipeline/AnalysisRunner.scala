@@ -89,14 +89,28 @@ object AnalysisRunner {
     ConfigTree.resolveRefs(withMain)
   }
 
-  /** Execute: returns the output DataFrame (one row per sample). */
+  /** Execute: returns the output DataFrame (one row per sample).
+    * `plugins` is the replaceable hook surface (see [[PluginSlots]]):
+    * a registered `generate_samples` replaces the built-in
+    * SphereSampler draw, `initialize_sampler` pre-transforms the
+    * sampling parameters, and `generate_tasks` replaces the cone-join
+    * task-plan construction. */
   def run(spark: SparkSession, runConfigJson: String,
           analysisDefaultsJson: String, transformationsJson: String,
           registry: TransformRegistry, catalog: DataFrame,
-          useBandJoin: Boolean = false): DataFrame = {
-    val cfg = effectiveConfig(
-      ConfigTree.parse(runConfigJson), ConfigTree.parse(analysisDefaultsJson))
-    val sampling = parseSampling(cfg)
+          useBandJoin: Boolean = false,
+          plugins: PluginManager = PluginManager.empty): DataFrame =
+    runParsed(spark, ConfigTree.parse(runConfigJson),
+      ConfigTree.parse(analysisDefaultsJson), transformationsJson,
+      registry, catalog, useBandJoin, plugins)
+
+  /** Tree-based entry (JSON and TOML configs both land here — see
+    * ConfigTree.parseFile). */
+  def runParsed(spark: SparkSession, runConfig: Tree,
+                analysisDefaults: Tree, transformationsJson: String,
+                registry: TransformRegistry, catalog: DataFrame,
+                useBandJoin: Boolean, plugins: PluginManager): DataFrame = {
+    val cfg = effectiveConfig(runConfig, analysisDefaults)
     val blocks = PipelineSpec.fromJson(transformationsJson)
 
     // Setup block: driver-side pre-pass → parameter splice
@@ -105,6 +119,13 @@ object AnalysisRunner {
         DagCompiler.runSetup(setup, registry, Map.empty, cfg, spark = Some(spark))
       case None => cfg
     }
+
+    // initialize_sampler hook sees the full post-Setup parameter
+    // block, like the reference passes sampling + analysis params
+    // (plugins.py:26-37)
+    val sampling = plugins.get(PluginSlots.InitializeSampler)
+      .map(f => f(parseSampling(cfg), params))
+      .getOrElse(parseSampling(cfg))
 
     val main = blocks.getOrElse("Main",
       throw DagCompiler.PipelineError("transformations must define a Main block"))
@@ -115,14 +136,18 @@ object AnalysisRunner {
     // (Catalyst prunes columns; pruning whole data kinds is the
     // compiler's job — SURVEY.md §4#2)
     val demanded = main.flatMap(_.neededData).toSet
-    val samples = SphereSampler.uniformCircles(spark, sampling.nSamples,
-      sampling.bounds, sampling.radiusDeg, sampling.seed)
+    val samples = plugins.get(PluginSlots.GenerateSamples)
+      .map(f => f(spark, sampling))
+      .getOrElse(SphereSampler.uniformCircles(spark, sampling.nSamples,
+        sampling.bounds, sampling.radiusDeg, sampling.seed))
     val data = Map.newBuilder[String, Any]
     if (demanded.contains("samples")) data += ("samples" -> samples)
     if (demanded.contains("catalog")) {
-      val joined =
-        if (useBandJoin) ConeJoin.bandJoin(catalog, samples)
-        else ConeJoin.broadcastJoin(catalog, samples)
+      val joined = plugins.get(PluginSlots.GenerateTasks)
+        .map(f => f(catalog, samples, sampling))
+        .getOrElse(
+          if (useBandJoin) ConeJoin.bandJoin(catalog, samples)
+          else ConeJoin.broadcastJoin(catalog, samples))
       data += ("catalog" -> joined)
     }
     DagCompiler.runPipeline(main, registry,

@@ -55,6 +55,108 @@ class ControlPlaneSpec extends SparkSpec {
     assert(transforms.contains("Main")) // untouched by variant
   }
 
+  private val samplesOnlyTransforms =
+    """{"Main": {
+      |  "count_samples": {
+      |    "needed-data": ["samples"],
+      |    "is-output": true}}}""".stripMargin
+  private val samplesOnlyRegistry = graft.pipeline.TransformRegistry(
+    "count_samples" -> graft.pipeline.Transform { args =>
+      args("samples").asInstanceOf[org.apache.spark.sql.DataFrame]
+        .groupBy().count().withColumnRenamed("count", "n_samples")
+    })
+  private val minimalRunConfig =
+    """{"sampling_parameters": {
+      |  "region_bounds": {"value": [31.0, -11.0, 38, -4], "units": "degree"},
+      |  "n_samples": 50, "seed": 1},
+      | "radius": {"value": 2, "units": "arcmin"}}""".stripMargin
+  private val minimalDefaults =
+    """{"sampling_parameters": {"sample_shape": "Circle",
+      |  "sample_dimensions": "@Main.radius"}}""".stripMargin
+  private def anyCatalog = Tables.load(spark, sf0001, "nation")
+    .selectExpr("n_nationkey AS object_id", "32.0 AS ra", "-6.0 AS dec")
+
+  test("plugins: registered generate_samples replaces the built-in sampler") {
+    import spark.implicits._
+    val pm = new graft.pipeline.PluginManager(_ => ())
+    pm.register(graft.pipeline.PluginSlots.GenerateSamples,
+      (s: org.apache.spark.sql.SparkSession,
+       _: graft.pipeline.AnalysisRunner.SamplingParams) => {
+        import s.implicits._
+        Seq((0L, 32.0, -6.0), (1L, 33.0, -7.0), (2L, 34.0, -8.0))
+          .toDF("sample_id", "ra", "dec")
+      })
+    val out = graft.pipeline.AnalysisRunner.run(spark, minimalRunConfig,
+      minimalDefaults, samplesOnlyTransforms, samplesOnlyRegistry,
+      anyCatalog, plugins = pm)
+    // 3 plugin samples, not the config's 50
+    assert(out.head().getLong(0) === 3L)
+  }
+
+  test("plugins: initialize_sampler pre-transforms sampling parameters") {
+    val pm = new graft.pipeline.PluginManager(_ => ())
+    pm.register(graft.pipeline.PluginSlots.InitializeSampler,
+      (p: graft.pipeline.AnalysisRunner.SamplingParams,
+       _: graft.config.ConfigTree.Tree) => p.copy(nSamples = 7L))
+    val out = graft.pipeline.AnalysisRunner.run(spark, minimalRunConfig,
+      minimalDefaults, samplesOnlyTransforms, samplesOnlyRegistry,
+      anyCatalog, plugins = pm)
+    assert(out.head().getLong(0) === 7L)
+  }
+
+  test("plugins: generate_tasks replaces the cone-join task plan") {
+    import spark.implicits._
+    val transforms =
+      """{"Main": {
+        |  "count_catalog": {
+        |    "needed-data": ["catalog"],
+        |    "is-output": true}}}""".stripMargin
+    val registry = graft.pipeline.TransformRegistry(
+      "count_catalog" -> graft.pipeline.Transform { args =>
+        args("catalog").asInstanceOf[org.apache.spark.sql.DataFrame]
+          .groupBy().count().withColumnRenamed("count", "n_rows")
+      })
+    // a catalog that would throw if the BUILT-IN cone join ever ran
+    val poison = spark.read.parquet(s"$sf0001/nation.parquet")
+      .selectExpr("n_nationkey AS object_id",
+        "assert_true(false) AS ra", "1.0 AS dec")
+    val pm = new graft.pipeline.PluginManager(_ => ())
+    pm.register(graft.pipeline.PluginSlots.GenerateTasks,
+      (_: org.apache.spark.sql.DataFrame,
+       _: org.apache.spark.sql.DataFrame,
+       _: graft.pipeline.AnalysisRunner.SamplingParams) =>
+        Seq((0L, 1.0), (0L, 2.0), (1L, 3.0), (1L, 4.0), (2L, 5.0))
+          .toDF("sample_id", "sep_deg"))
+    val out = graft.pipeline.AnalysisRunner.run(spark, minimalRunConfig,
+      minimalDefaults, transforms, registry, poison, plugins = pm)
+    assert(out.head().getLong(0) === 5L)
+  }
+
+  test("plugins: unique-slot re-registration warns and last wins; unknown name errors") {
+    import graft.pipeline.{GraftPluginException, PluginManager, PluginSlots}
+    val pm = new PluginManager(_ => ())
+    val f1 = (s: org.apache.spark.sql.SparkSession,
+              _: graft.pipeline.AnalysisRunner.SamplingParams) =>
+      s.range(1).toDF("sample_id")
+    val f2 = (s: org.apache.spark.sql.SparkSession,
+              _: graft.pipeline.AnalysisRunner.SamplingParams) =>
+      s.range(2).toDF("sample_id")
+    pm.register(PluginSlots.GenerateSamples, f1)
+    assert(pm.warnings.isEmpty)
+    pm.register(PluginSlots.GenerateSamples, f2)
+    assert(pm.warnings.exists(_.contains("already registered")))
+    // last wins (manage.py:33-38 semantics)
+    assert(pm.request(PluginSlots.GenerateSamples) eq f2)
+    // unknown plugin name is an error (manage.py:29-32)
+    intercept[GraftPluginException] {
+      pm.registerAll(Map("not_a_plugin" -> f1))
+    }
+    // requesting an unimplemented slot is an error (manage.py:47-58)
+    intercept[GraftPluginException] {
+      new PluginManager(_ => ()).request(PluginSlots.GenerateTasks)
+    }
+  }
+
   test("validSplit: null-safe predicate split, nothing lost") {
     import spark.implicits._
     val df = Seq[(Long, java.lang.Double)](

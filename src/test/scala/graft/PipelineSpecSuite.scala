@@ -167,4 +167,90 @@ class ConfigTreeSuite extends AnyFunSuite {
     intercept[IllegalArgumentException](
       ConfigTree.parseSkyCoordDeg(Map("coordinate" -> Seq(1L))))
   }
+
+  test("TOML quickstart config parses to the identical tree as the JSON form (cmds.py:21-29)") {
+    val json = ConfigTree.parse(
+      """{
+        |  "base-analysis": "quickstart",
+        |  "threads": 4,
+        |  "sampling_parameters": {
+        |    "region_type": "Rectangle",
+        |    "region_bounds": {"value": [31.0, -11.0, 38, -4], "units": "degree"},
+        |    "sample_type": "Random",
+        |    "n_samples": 1000,
+        |    "seed": 42
+        |  },
+        |  "radius": {"value": 2, "units": "arcmin"},
+        |  "min_radius": {"value": 5, "units": "arcsec"}
+        |}""".stripMargin)
+    val toml = graft.config.Toml.parse(
+      """# cosmap quickstart run config, TOML form
+        |"base-analysis" = "quickstart"
+        |threads = 4
+        |
+        |[sampling_parameters]
+        |region_type = "Rectangle"
+        |region_bounds = { value = [31.0, -11.0, 38, -4], units = "degree" }
+        |sample_type = "Random"
+        |n_samples = 1_000
+        |seed = 42
+        |
+        |[radius]
+        |value = 2
+        |units = "arcmin"
+        |
+        |[min_radius]
+        |value = 5
+        |units = "arcsec"
+        |""".stripMargin)
+    assert(toml === json)
+  }
+
+  test("TOML parser: strings, numbers, arrays, nested/dotted tables, array-of-tables") {
+    val t = graft.config.Toml.parse(
+      """title = "basic \"quoted\" string"
+        |lit = 'C:\no\escape'
+        |neg = -17
+        |hexv = 0xFF
+        |big = 1e3
+        |frac = 0.25
+        |flag = false
+        |multi = [
+        |  1, 2,   # trailing comment
+        |  3,
+        |]
+        |nested = [[1, 2], ["a"]]
+        |[outer.inner]
+        |x = 1
+        |dotted.key = "v"
+        |[[items]]
+        |n = 1
+        |[[items]]
+        |n = 2
+        |""".stripMargin)
+    assert(t("title") === "basic \"quoted\" string")
+    assert(t("lit") === """C:\no\escape""")
+    assert(t("neg") === -17L)
+    assert(t("hexv") === 255L)
+    assert(t("big") === 1000.0)
+    assert(t("frac") === 0.25)
+    assert(t("flag") === false)
+    assert(t("multi") === Seq(1L, 2L, 3L))
+    assert(t("nested") === Seq(Seq(1L, 2L), Seq("a")))
+    assert(ConfigTree.getPath(t, "outer.inner.x") === Some(1L))
+    assert(ConfigTree.getPath(t, "outer.inner.dotted.key") === Some("v"))
+    assert(t("items") === Seq(Map("n" -> 1L), Map("n" -> 2L)))
+    // errors are loud
+    intercept[IllegalArgumentException](graft.config.Toml.parse("k = "))
+    intercept[IllegalArgumentException](graft.config.Toml.parse("k = 1\nk = 2"))
+  }
+
+  test("parseFile dispatches .json/.toml and rejects other extensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_toml")
+    val j = dir.resolve("c.json"); java.nio.file.Files.writeString(j, """{"a": 1}""")
+    val m = dir.resolve("c.toml"); java.nio.file.Files.writeString(m, "a = 1")
+    val bad = dir.resolve("c.yaml"); java.nio.file.Files.writeString(bad, "a: 1")
+    assert(ConfigTree.parseFile(j) === ConfigTree.parseFile(m))
+    intercept[IllegalArgumentException](ConfigTree.parseFile(bad))
+  }
 }

@@ -52,5 +52,38 @@ class RunAnalysisSpec extends SparkSpec {
     val back = spark.read.option("header", "true").csv(outPath)
     assert(back.count() === 200)
     assert(back.columns.toSeq === Seq("sample_id", "ra", "dec", "n", "inv"))
+
+    // the SAME run expressed as TOML (cmds.py:21-29 parity) produces
+    // the identical result rows
+    val tomlPath = cfgPath.getParent.resolve("run.toml")
+    val outPath2 = Files.createTempDirectory("graft_out2").resolve("result.csv").toString
+    Files.writeString(tomlPath,
+      s"""'base-analysis' = "quickstart"
+         |output = "$outPath2"
+         |
+         |[output_parameters]
+         |write_format = "csv"
+         |
+         |[sampling_parameters]
+         |region_bounds = { value = [31.0, -11.0, 38, -4], units = "degree" }
+         |n_samples = 200
+         |seed = 42
+         |
+         |[radius]
+         |value = 2
+         |units = "arcmin"
+         |
+         |[min_radius]
+         |value = 5
+         |units = "arcsec"
+         |""".stripMargin)
+    val (_, n2) = RunAnalysis.execute(spark, tomlPath.toString, catalogPath,
+      registryDir.toString, StandardTransforms.registry)
+    assert(n2 === 200)
+    val backToml = spark.read.option("header", "true").csv(outPath2)
+      .orderBy("sample_id").collect()
+    val backJson = spark.read.option("header", "true").csv(outPath)
+      .orderBy("sample_id").collect()
+    assert(backToml.sameElements(backJson))
   }
 }
