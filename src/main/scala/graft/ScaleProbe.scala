@@ -1,0 +1,118 @@
+package graft
+
+import graft.dedup.MinHashLSH
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth probe for the dedup/similarity family: replicates the
+  * sf0.1 corpus k× (k = 1, 2, 5, 10) and measures how each operator's
+  * CANDIDATE-PAIR count grows with corpus size. A bucketed design
+  * should grow ~linearly (growth exponent α ≈ 1 in candidates ∝ n^α);
+  * an all-pairs design grows quadratically (α ≈ 2). This is the
+  * evidence requested by the round-1 verdict (#8) that the LSH /
+  * prefix-filter / chunk-collision shapes hold at 100 TB.
+  *
+  * Replication model: replica r of a document gets a fresh doc_id
+  * range and a BIJECTIVE per-replica token renaming (every token t →
+  * t·saltᵣ). Jaccard similarity is invariant under a bijective token
+  * renaming, so each replica's planted near-dup structure is EXACTLY
+  * the original's; across replicas the vocabularies are disjoint, so
+  * no cross-replica similarity appears — corpus size grows k× while
+  * true-pair density per doc stays constant, the right null model for
+  * measuring candidate growth. (A naive interleaved-salt model fails:
+  * grams like "salt w salt" manufacture similarity between unrelated
+  * docs of the same replica.)
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] — prints one JSON line per
+  * scale plus a summary line with growth exponents.
+  */
+object ScaleProbe {
+
+  def saltedDocs(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      val base = docs.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      if (r == 0) base
+      else base.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", s"$$1zq$r"))
+    }.reduce(_ unionByName _)
+
+  def replicatedEmbeddings(emb: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      emb.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        col("label"), col("embedding"))
+    }.reduce(_ unionByName _)
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = Tables.load(spark, sfDir, "documents")
+    val emb0 = Tables.load(spark, sfDir, "embeddings")
+    val planes = Vectors.randomPlanes(nPlanes = 4, dim = 64, seed = 7L)
+
+    val scales = Seq(1, 2, 5, 10)
+    val results = scales.map { k =>
+      val docs = saltedDocs(docs0, k)
+        .repartition(spark.sparkContext.defaultParallelism).cache()
+      val nDocs = docs.count()
+      val emb = replicatedEmbeddings(emb0, k).cache()
+      val nVecs = emb.count()
+
+      val (c44, t44) = timed(
+        graft.operators.Dedup.jaccardCandidates(docs).count())
+      val (c45, t45) = timed(MinHashLSH.candidatePairs(
+        MinHashLSH.bandBuckets(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleN = 3)).count())
+      val (c46, t46) = timed(
+        graft.operators.Dedup.simhashPairs(docs).count())
+      // q49 shape: candidates probed for one query vector
+      val bucketed = emb.select(col("vec_id"), col("embedding"),
+        Vectors.lshBucket(col("embedding"), planes).as("bucket"))
+      val q = bucketed.filter(col("vec_id") === 0)
+        .select(explode(Vectors.probeBuckets(col("bucket"), planes.length))
+          .as("probe"))
+      val (c49, t49) = timed(
+        bucketed.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("probe")).count())
+
+      docs.unpersist(); emb.unpersist()
+      val line = s"""{"scale":$k,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
+        s""""q44_prefix_cand":$c44,"q45_lsh_cand":$c45,""" +
+        s""""q46_simhash_cand":$c46,"q49_ann_cand":$c49,""" +
+        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q49":$t49%.2f}}"""
+      println(line)
+      (k, Map("q44" -> c44, "q45" -> c45, "q46" -> c46, "q49" -> c49))
+    }
+
+    // growth exponent α over the widest span: candidates ∝ n^α
+    val (k1, base) = results.head
+    val (kN, top) = results.last
+    val span = math.log(kN.toDouble / k1)
+    val alphas = base.keys.toSeq.sorted.map { q =>
+      val a =
+        if (base(q) == 0 || top(q) == 0) Double.NaN
+        else math.log(top(q).toDouble / base(q)) / span
+      f""""$q":$a%.2f"""
+    }
+    println(s"""{"metric":"candidate_growth_exponent","alpha":{${alphas.mkString(",")}},"note":"alpha~1 linear (bucketed), alpha~2 quadratic (all-pairs)"}""")
+    spark.stop()
+  }
+}

@@ -39,6 +39,40 @@ object Dedup {
     * identical to the naive join — the DuckDB oracles are unchanged.
     * Hot grams are pruned structurally: a high-df gram is in almost no
     * document's rarest-half prefix. */
+  /** (doc_id, grams, ng) shingle table over a documents DataFrame. */
+  private def gramTable(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), Text.wordNGrams(col("text"), 3).as("grams"))
+      .withColumn("ng", size(col("grams")))
+      .filter(col("ng") > 0)
+
+  /** Prefix-filtered candidate pairs (doc_a < doc_b) for J ≥ 0.5 —
+    * exposed for the scale probe (graft.ScaleProbe), which measures
+    * candidate growth vs corpus growth. */
+  def jaccardCandidates(d: DataFrame): DataFrame = {
+    val grams = gramTable(d)
+    // global document frequency per gram (one keyed agg)
+    val df = grams.select(explode(col("grams")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    // per-doc prefix: the ⌊ng/2⌋+1 rarest grams under the global
+    // (df, gram) total order
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("gdf"), col("g"))
+    val prefix = grams
+      .select(col("doc_id"), col("ng"), explode(col("grams")).as("g"))
+      .join(df, "g")
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= floor(col("ng") / 2) + lit(1))
+      .select(col("doc_id"), col("ng"), col("g"))
+    // candidates: prefix-gram collision + size filter (t = 0.5 →
+    // sizes within 2× of each other)
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.ng") <= col("b.ng") * 2 && col("b.ng") <= col("a.ng") * 2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   private val ngramJaccard: Q = { (s, dir) =>
       // a single small parquet file arrives as ONE partition; the
       // shingle construction is compute-heavy per row, so widen to
@@ -47,31 +81,8 @@ object Dedup {
       // cost-wise: one narrow-ish shuffle of the raw docs)
       val d = Tables.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-      val grams = d.select(col("doc_id"),
-          Text.wordNGrams(col("text"), 3).as("grams"))
-        .withColumn("ng", size(col("grams")))
-        .filter(col("ng") > 0)
-      // global document frequency per gram (one keyed agg)
-      val df = grams.select(explode(col("grams")).as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-      // per-doc prefix: the ⌊ng/2⌋+1 rarest grams under the global
-      // (df, gram) total order
-      val byDoc = Window.partitionBy(col("doc_id"))
-        .orderBy(col("gdf"), col("g"))
-      val prefix = grams
-        .select(col("doc_id"), col("ng"), explode(col("grams")).as("g"))
-        .join(df, "g")
-        .withColumn("rnk", row_number().over(byDoc))
-        .filter(col("rnk") <= floor(col("ng") / 2) + lit(1))
-        .select(col("doc_id"), col("ng"), col("g"))
-      // candidates: prefix-gram collision + size filter (t = 0.5 →
-      // sizes within 2× of each other)
-      val cand = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
-            col("a.ng") <= col("b.ng") * 2 && col("b.ng") <= col("a.ng") * 2)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val grams = gramTable(d)
+      val cand = jaccardCandidates(d)
       // exact verify on the full gram arrays, candidates only
       val ga = grams.select(col("doc_id").as("doc_a"),
         col("grams").as("grams_a"), col("ng").as("ng_a"))
@@ -84,6 +95,27 @@ object Dedup {
         .selectExpr("doc_a", "doc_b",
           "CAST(inter AS BIGINT) * 1000000 div (CAST(ng_a AS BIGINT) + ng_b - inter) AS jaccard_ppm")
         .filter(col("jaccard_ppm") >= 500000L)
+  }
+
+  /** SimHash chunk-collision candidate pairs with Hamming distance
+    * (complete for distance ≤ 3 by pigeonhole over 4 chunks) — the
+    * q46 body, exposed for the scale probe. */
+  def simhashPairs(d: DataFrame): DataFrame = {
+    val fp = d.select(col("doc_id"),
+      SimHash.simhash64(Text.tokens(col("text"))).as("fp"))
+    val chunkCols = (0 until 4).map(c =>
+      shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)))
+    val chunks = fp.select(col("doc_id"), col("fp"),
+      posexplode(array(chunkCols: _*)))
+      .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        SimHash.hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
   }
 
   val queries: Map[String, Q] = Map(
@@ -100,22 +132,7 @@ object Dedup {
     //    verified by Hamming distance (complete for distance ≤ 3 by
     //    pigeonhole over 4 chunks) --
     "q46_simhash_pairs" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          SimHash.simhash64(Text.tokens(col("text"))).as("fp"))
-      val chunkCols = (0 until 4).map(c =>
-        shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)))
-      val chunks = d.select(col("doc_id"), col("fp"),
-        posexplode(array(chunkCols: _*)))
-        .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
-      chunks.as("a")
-        .join(chunks.as("b"),
-          col("a.chunk_id") === col("b.chunk_id") &&
-            col("a.chunk") === col("b.chunk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          SimHash.hamming64(col("a.fp"), col("b.fp")).as("hamming"))
-        .distinct()
+      simhashPairs(Tables.load(s, dir, "documents"))
         .filter(col("hamming") <= 3)
     },
 

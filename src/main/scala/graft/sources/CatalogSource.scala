@@ -34,9 +34,11 @@ object Hdf5CatalogSource extends CatalogSource {
   def load(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
     throw new UnsupportedOperationException(
       "HDF5 ingest is not available in this build: convert to Parquet " +
-        "(one-time, e.g. h5py→pyarrow offline) or register a DataSourceV2 " +
-        "implementation here. The engine's query surface is format-agnostic " +
-        "beyond this seam.")
+        "once with `python3 tools/hdf5_to_parquet.py <in.hdf5> <out.parquet> " +
+        "[--group /catalog]` (each 1-D dataset under the group becomes a " +
+        "column; attributes land in parquet metadata), then load the result " +
+        "with the parquet source — or register a DataSourceV2 implementation " +
+        "here. The engine's query surface is format-agnostic beyond this seam.")
 }
 
 object CatalogSources {

@@ -157,6 +157,37 @@ class ControlPlaneSpec extends SparkSpec {
     }
   }
 
+  test("hdf5 route: converter tool is executable and fails loud; engine reads its output contract") {
+    import scala.sys.process._
+    // the tool must run and (in this HDF5-lib-free sandbox) exit with
+    // the actionable install message rather than an import crash
+    val err = new StringBuilder
+    val code = Process(Seq("python3", "tools/hdf5_to_parquet.py",
+      "in.hdf5", "out.parquet")).!(ProcessLogger(_ => (), e => err.append(e)))
+    assert(code !== 0)
+    assert(err.toString.contains("h5py"), s"unhelpful error: $err")
+    // --help works (argument surface is real)
+    assert(Process(Seq("python3", "tools/hdf5_to_parquet.py", "--help")).! === 0)
+
+    // engine side of the contract: a parquet file shaped like the
+    // tool's output (1-D datasets -> columns) loads through the
+    // catalog-source seam with column projection
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_h5").resolve("cat.parquet").toString
+    (0L until 100L).map(i => (i, 31.0 + i * 0.07, -11.0 + i * 0.07, "a"))
+      .toDF("object_id", "ra", "dec", "tag")
+      .write.parquet(dir)
+    val loaded = graft.sources.CatalogSources("parquet")
+      .load(spark, dir, columns = Seq("object_id", "ra", "dec"))
+    assert(loaded.columns.toSeq === Seq("object_id", "ra", "dec"))
+    assert(loaded.count() === 100)
+    // and the hdf5 stub names the tool
+    val e = intercept[UnsupportedOperationException] {
+      graft.sources.CatalogSources("hdf5").load(spark, "x.hdf5")
+    }
+    assert(e.getMessage.contains("hdf5_to_parquet.py"))
+  }
+
   test("validSplit: null-safe predicate split, nothing lost") {
     import spark.implicits._
     val df = Seq[(Long, java.lang.Double)](
