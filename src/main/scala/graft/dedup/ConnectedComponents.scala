@@ -32,9 +32,14 @@ object ConnectedComponents {
     * @throws IllegalStateException if unconverged after maxRounds. */
   def clusterLabels(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
     val spark = pairs.sparkSession
+    // materialize the (possibly expensive) upstream pair computation
+    // ONCE: the symmetric union below references `pairs` twice, and
+    // without the cut both branches recompute the whole upstream plan
+    // (for q69 that is the entire prefix-filtered Jaccard join)
+    val p = pairs.localCheckpoint(true)
     // symmetric edge list
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
     // localCheckpoint truncates the logical plan each round —

@@ -22,19 +22,14 @@ object Text {
   def bpeTokens(c: Column): Column =
     regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
 
-  /** Distinct word n-grams as an array column (shingles). Texts with
-    * fewer than `n` tokens yield an empty array: `sequence(1, k)` with
-    * k <= 0 is the DESCENDING array [1, 0], whose 0 start index makes
-    * `slice` throw — so the short case must be guarded out entirely
-    * (DuckDB's generate_series(1, 0) is empty, which this matches). */
-  def wordNGrams(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    when(size(t) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(t) - lit(n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-grams as an array column (shingles), via the
+    * codegen'd [[NGrams]] kernel — the HOF formulation's interpreted
+    * per-element lambdas were the q44 bottleneck (see NGrams.scala).
+    * Texts with fewer than `n` tokens yield an empty array (matching
+    * the oracle's empty generate_series(1, 0); the unguarded HOF
+    * version crashed on them — round-1 advice). */
+  def wordNGrams(c: Column, n: Int): Column =
+    NGrams.wordNGrams(tokens(c), n)
 
   /** Character n-grams (for language-ID-style profiles); same short-
     * input guard as [[wordNGrams]]. */

@@ -91,17 +91,21 @@ object Workloads {
         explode(array_distinct(array(
           floor(col("n_chars") / bandW).cast("long"),
           floor((col("n_chars") + bandW) / bandW).cast("long")))))
+      // each qualifying pair matches on exactly ONE band — the band of
+      // the longer doc, floor(max(la,lb)/B), is provably in both docs'
+      // band sets — so no distinct is needed; and the threshold form
+      // of levenshtein (banded DP, -1 when above) bounds the verify
+      // cost per pair
       banded.as("a").join(banded.as("b"),
           col("a.source") === col("b.source") &&
             col("a.band") === col("b.band") &&
             col("a.doc_id") < col("b.doc_id") &&
-            abs(col("a.n_chars") - col("b.n_chars")) <= bandW)
+            abs(col("a.n_chars") - col("b.n_chars")) <= bandW &&
+            col("a.band") ===
+              floor(greatest(col("a.n_chars"), col("b.n_chars")) / bandW).cast("long"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.head").as("head_a"), col("b.head").as("head_b"))
-        .distinct() // a pair can share both bands
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("head_a"), col("head_b")).as("edit_dist"))
-        .filter(col("edit_dist") <= 10)
+          levenshtein(col("a.head"), col("b.head"), 10).as("edit_dist"))
+        .filter(col("edit_dist") >= 0 && col("edit_dist") <= 10)
     },
 
     // -- regression/correlation aggregates per group --
