@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.domain.{SkyBounds, SphereSampler}
-import graft.plans.ConeJoin
+import graft.plans.{ConeJoin, RectJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,25 @@ object CosmapDomain {
     },
 
     "q68_cone_centroid" -> coneCentroid,
+
+    // -- Rectangle sample join (EXCEEDS the reference, which errors
+    //    on non-Circle shapes — verdict stretch item #9): dec-band
+    //    equi-join rewrite gate-checked against the raw declarative
+    //    predicate in DuckDB. Half-extents 19.97/9.97 sit off the
+    //    0.1° lattice (same ulp-safety reasoning as q31). --
+    "q75_rect_join_agg" -> { (s, dir) =>
+      val samples = Tables.load(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("sample_id"),
+        (col("r_regionkey").cast("double") * 60.0 + 30.0).as("ra"),
+        (col("r_regionkey").cast("double") * 25.0 - 50.0).as("dec"),
+        lit(39.94).as("width_deg"),
+        lit(19.94).as("height_deg"))
+      RectJoin.bandJoin(derivedCatalog(s, dir), samples, bandDeg = 5.0)
+        .groupBy(col("sample_id"))
+        .agg(count(lit(1)).as("n_objects"),
+          sum((col("dec") - col("s_dec")).cast("decimal(18,6)"))
+            .cast("double").as("sum_ddec"))
+    },
   )
 
   /** q68: per-sample angular centroid of cone contents via the typed
@@ -101,6 +120,27 @@ object CosmapDomain {
   }
 
   val oracles: Map[String, String] = Map(
+    "q75_rect_join_agg" ->
+      """WITH cat AS (
+        |  SELECT o_orderkey AS object_id,
+        |         (o_orderkey % 3600) / 10.0 AS ra,
+        |         (o_custkey % 1200) / 10.0 - 60.0 AS dec
+        |  FROM orders),
+        |smp AS (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS sample_id,
+        |         r_regionkey * 60.0 + 30.0 AS ra,
+        |         r_regionkey * 25.0 - 50.0 AS dec,
+        |         39.94 AS width_deg, 19.94 AS height_deg
+        |  FROM region)
+        |SELECT s.sample_id,
+        |  count(*) AS n_objects,
+        |  CAST(sum(CAST(c.dec - s.dec AS DECIMAL(18,6))) AS DOUBLE) AS sum_ddec
+        |FROM cat c, smp s
+        |WHERE abs(c.dec - s.dec) <= s.height_deg / 2
+        |  AND least(abs(c.ra - s.ra), 360.0 - abs(c.ra - s.ra))
+        |        * cos(radians(s.dec)) <= s.width_deg / 2
+        |GROUP BY s.sample_id""".stripMargin,
+
     "q31_cone_join_agg" ->
       """WITH cat AS (
         |  SELECT o_orderkey AS object_id,

@@ -102,13 +102,31 @@ class AnalysisRunnerSpec extends SparkSpec {
     assert(bandPlan.sameElements(broadcastPlan))
   }
 
-  test("non-Circle sample shape is a hard error (task.py:76-77)") {
+  test("non-Circle/Rectangle sample shape is a hard error (task.py:76-77)") {
     val badDefaults = analysisDefaults.replace("\"Circle\"", "\"Square\"")
     val e = intercept[DagCompiler.PipelineError] {
       AnalysisRunner.run(spark, runConfig, badDefaults, transformations,
         registry, catalog)
     }
     assert(e.getMessage.contains("Square"))
+  }
+
+  test("Rectangle sample shape runs the same analysis end-to-end (beyond the reference)") {
+    val rectDefaults = analysisDefaults.replace("\"Circle\"", "\"Rectangle\"")
+    val rectConfig = runConfig.replace(
+      """"radius": {"value": 2, "units": "arcmin"}""",
+      """"radius": {"value": [4, 2], "units": "arcmin"}""")
+    val out = AnalysisRunner.run(spark, rectConfig, rectDefaults,
+      transformations, registry, catalog).orderBy("sample_id").collect()
+    assert(out.length === 1000)
+    // per-sample aggregation ran on rectangle contents: some samples
+    // see objects, every sample emits a row
+    assert(out.map(_.getLong(3)).sum > 0)
+    // band plan ≡ broadcast plan for rectangles too
+    val band = AnalysisRunner.run(spark, rectConfig, rectDefaults,
+      transformations, registry, catalog, useBandJoin = true)
+      .orderBy("sample_id").collect()
+    assert(band.sameElements(out))
   }
 
   test("run config overrides analysis defaults right-biased") {

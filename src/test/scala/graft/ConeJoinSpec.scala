@@ -77,4 +77,56 @@ class ConeJoinSpec extends SparkSpec {
     assert(out1.sameElements(out2))
     assert(out1.length === 1000)
   }
+
+  // ---- Rectangle samples (beyond the reference) --------------------
+
+  private lazy val rectSamples: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, 1.0, 0.0, 6.0, 3.0),      // RA wraparound at 0/360
+      (1L, 359.5, 10.0, 4.0, 2.0),   // wraparound other side
+      (2L, 180.0, -80.0, 10.0, 5.0), // near south pole
+      (3L, 90.0, 45.0, 2.0, 1.0),
+      (4L, 270.0, 80.0, 8.0, 4.0))   // near north pole
+      .toDF("sample_id", "ra", "dec", "width_deg", "height_deg")
+  }
+
+  test("rect band-join rewrite ≡ broadcast join ≡ per-row brute force") {
+    import graft.plans.RectJoin
+    val reference = key(RectJoin.broadcastJoin(catalog, rectSamples))
+    assert(reference.nonEmpty)
+    for (band <- Seq(0.5, 1.0, 2.0, 7.0)) {
+      val banded = key(RectJoin.bandJoin(catalog, rectSamples, band))
+      assert(banded === reference, s"bandDeg=$band")
+    }
+    // brute-force check of the membership definition
+    val cat = catalog.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val smp = rectSamples.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    def raDelta(a: Double, b: Double): Double = {
+      val d = math.abs(a - b) % 360.0
+      math.min(d, 360.0 - d)
+    }
+    val want = (for {
+      (oid, cra, cdec) <- cat
+      (sid, sra, sdec, w, h) <- smp
+      if math.abs(cdec - sdec) <= h / 2 &&
+        raDelta(cra, sra) * math.cos(math.toRadians(sdec)) <= w / 2
+    } yield (sid, oid)).toSet
+    assert(reference === want)
+  }
+
+  test("rect sampler: every rectangle lies inside the region bounds") {
+    val bounds = SkyBounds(31, 38, -11, -4)
+    val w = 0.4; val h = 0.2
+    val smp = SphereSampler.uniformRects(spark, 500, bounds, w, h, seed = 5)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(smp.length === 500)
+    smp.foreach { case (ra, dec) =>
+      assert(dec - h / 2 >= bounds.decMin && dec + h / 2 <= bounds.decMax, (ra, dec))
+      // RA extent in coordinate degrees at the sample's dec
+      val raExt = (w / 2) / math.cos(math.toRadians(dec))
+      assert(ra - raExt >= bounds.raMin && ra + raExt <= bounds.raMax, (ra, dec))
+    }
+  }
 }

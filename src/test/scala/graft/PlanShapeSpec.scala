@@ -43,6 +43,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q44: shingles via the codegen'd kernel; candidate join is an equi-join") {
+    val p = executedPlan("q44_ngram_jaccard")
+    // the custom WordNGrams expression, not interpreted HOF lambdas
+    assert(p.toLowerCase.contains("wordngrams"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // no interpreted transform(sequence(...)) shingle construction
+    assert(!p.contains("transform(sequence"), p)
+  }
+
+  test("q65: banded join stays an equi-join with no distinct re-shuffle") {
+    val p = executedPlan("q65_edit_distance")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the pair-dedup distinct was replaced by the canonical-band join
+    // predicate: no aggregate keyed by doc_a/doc_b may reappear
+    assert(!"HashAggregate \\(keys=\\[doc_a".r.findAllIn(p).hasNext, p)
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")
