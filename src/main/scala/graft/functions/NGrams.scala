@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object NGramKernel {
   private val SPACE = UTF8String.fromString(" ")
 
-  def wordNGrams(arr: ArrayData, n: Int): GenericArrayData = {
+  def wordNGrams(arr: ArrayData, n: Int, distinct: Boolean): GenericArrayData = {
     val nTok = arr.numElements()
     if (nTok < n) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[UTF8String](nTok)
@@ -25,17 +25,30 @@ object NGramKernel {
         if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
       i += 1
     }
-    // first-occurrence order, like array_distinct
-    val seen = new java.util.LinkedHashSet[UTF8String]()
     val window = new Array[UTF8String](n)
-    var g = 0
-    while (g <= nTok - n) {
-      var j = 0
-      while (j < n) { window(j) = toks(g + j); j += 1 }
-      seen.add(UTF8String.concatWs(SPACE, window: _*))
-      g += 1
+    if (distinct) {
+      // first-occurrence order, like array_distinct
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var g = 0
+      while (g <= nTok - n) {
+        var j = 0
+        while (j < n) { window(j) = toks(g + j); j += 1 }
+        seen.add(UTF8String.concatWs(SPACE, window: _*))
+        g += 1
+      }
+      new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+    } else {
+      // every occurrence, in order (for repetition statistics)
+      val out = new Array[Any](nTok - n + 1)
+      var g = 0
+      while (g <= nTok - n) {
+        var j = 0
+        while (j < n) { window(j) = toks(g + j); j += 1 }
+        out(g) = UTF8String.concatWs(SPACE, window: _*)
+        g += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
   }
 }
 
@@ -50,7 +63,8 @@ object NGramKernel {
   * (fewer tokens than n) yield an empty array, matching the oracle's
   * empty generate_series(1, 0).
   */
-case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   require(n > 0, "n-gram size must be positive")
 
@@ -63,17 +77,23 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    NGramKernel.wordNGrams(input.asInstanceOf[ArrayData], n)
+    NGramKernel.wordNGrams(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.NGramKernel.wordNGrams($a, $n);")
+      s"${ev.value} = graft.functions.NGramKernel.wordNGrams($a, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
     copy(child = newChild)
 }
 
 object NGrams {
+  /** Distinct n-grams (shingle set). */
   def wordNGrams(tokens: Column, n: Int): Column =
     graftbridge.toColumn(WordNGrams(graftbridge.toExpression(tokens), n))
+
+  /** Every n-gram occurrence in order (repetition statistics). */
+  def wordNGramsAll(tokens: Column, n: Int): Column =
+    graftbridge.toColumn(WordNGrams(graftbridge.toExpression(tokens), n,
+      distinct = false))
 }

@@ -82,6 +82,72 @@ object TextAnalysis {
         .groupBy(Text.fingerprint(col("text")).as("fingerprint"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("rep_doc_id"))
     },
+
+    // -- Gopher-style repetition metrics: fraction of all bigram /
+    //    trigram occurrences taken by the single most frequent one
+    //    (high → boilerplate/repetitive doc). Non-distinct n-grams via
+    //    the codegen'd kernel, counting via keyed aggregation — one
+    //    explode + two keyed shuffles, scale-safe. ppm integers per
+    //    the cross-engine exactness rules. --
+    "q76_repetition" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      def topShare(n: Int, alias: String): DataFrame = d
+        .select(col("doc_id"),
+          explode(graft.functions.NGrams.wordNGramsAll(
+            Text.tokens(col("text")), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")) * lit(1000000L)).as("top_n"), sum(col("c")).as("tot"))
+        .selectExpr("doc_id", s"top_n div tot AS $alias")
+      val toks = Text.tokens(col("text"))
+      d.select(col("doc_id"),
+          (size(toks) - size(array_distinct(toks))).cast("long").as("n_dup_tokens"),
+          size(toks).cast("long").as("n_tokens"))
+        .selectExpr("doc_id",
+          "n_dup_tokens * 1000000 div greatest(n_tokens, 1) AS dup_token_ppm")
+        .join(topShare(2, "top_bigram_ppm"), Seq("doc_id"), "left")
+        .join(topShare(3, "top_trigram_ppm"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_token_ppm"),
+          coalesce(col("top_bigram_ppm"), lit(0L)).as("top_bigram_ppm"),
+          coalesce(col("top_trigram_ppm"), lit(0L)).as("top_trigram_ppm"))
+    },
+
+    // -- PII scrubbing: redact emails / 6+-digit runs / IPv4-ish
+    //    addresses, report counts + the scrubbed fingerprint. Pure
+    //    regex column algebra (codegen; same patterns RE2-compatible
+    //    for the oracle). The corpus contains no PII, so counts are 0
+    //    and the fingerprint equals the identity transform — the
+    //    positive cases are pinned by TextAnalysisSpec on inline data. --
+    "q77_pii_scrub" -> { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val longNum = "\\d{6,}"
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(ip), lit(0))).cast("long").as("n_ip"),
+        size(regexp_extract_all(col("text"), lit(longNum), lit(0))).cast("long").as("n_longnum"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), ip, "<IP>"), longNum, "<NUM>")).as("scrubbed_md5"))
+    },
+
+    // -- benchmark decontamination: flag corpus docs sharing any
+    //    distinct 5-gram with the benchmark subset (doc_id % 97 == 0
+    //    stands in for an eval set). Inverted-index equi-join on the
+    //    gram — the scale shape used by real decontamination runs;
+    //    never all-pairs. --
+    "q78_decontaminate" -> { (s, dir) =>
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Text.wordNGrams(col("text"), 5)).as("g"))
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("g"), col("doc_id").as("bench_id"))
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared_grams"),
+          min(col("bench_id")).as("first_bench_id"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,5 +214,67 @@ object TextAnalysis {
         |  count(*) AS n_copies, min(doc_id) AS rep_doc_id
         |FROM documents
         |GROUP BY 1""".stripMargin,
+
+    "q76_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        |        FROM tok)),
+        |bga AS (
+        |  SELECT doc_id, max(c) * 1000000 // sum(c) AS top_bigram_ppm
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |tg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        |        FROM tok)),
+        |tga AS (
+        |  SELECT doc_id, max(c) * 1000000 // sum(c) AS top_trigram_ppm
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT tok.doc_id,
+        |  CAST((len(t) - len(list_distinct(t))) AS BIGINT) * 1000000
+        |    // greatest(len(t), 1) AS dup_token_ppm,
+        |  CAST(coalesce(bga.top_bigram_ppm, 0) AS BIGINT) AS top_bigram_ppm,
+        |  CAST(coalesce(tga.top_trigram_ppm, 0) AS BIGINT) AS top_trigram_ppm
+        |FROM tok
+        |LEFT JOIN bga ON tok.doc_id = bga.doc_id
+        |LEFT JOIN tga ON tok.doc_id = tga.doc_id""".stripMargin,
+
+    "q77_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, '\d{6,}')) AS BIGINT) AS n_longnum,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{6,}', '<NUM>', 'g')) AS scrubbed_md5
+        |FROM documents""".stripMargin,
+
+    "q78_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+        |  FROM tok),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+        |  FROM g0),
+        |bench AS (SELECT g, doc_id AS bench_id FROM grams WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id,
+        |  count(DISTINCT c.g) AS n_shared_grams,
+        |  min(bench.bench_id) AS first_bench_id
+        |FROM grams c JOIN bench ON c.g = bench.g
+        |WHERE c.doc_id % 97 <> 0
+        |GROUP BY c.doc_id""".stripMargin,
   )
 }

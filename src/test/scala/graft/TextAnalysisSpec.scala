@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.{NGrams, Text}
+import org.apache.spark.sql.functions._
+
+/** Positive-case coverage for the corpus-quality operators whose
+  * driver-gate queries run on a PII-free corpus (q77) plus kernel
+  * unit tests for the non-distinct n-gram path (q76). */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("non-distinct n-gram kernel emits every occurrence in order") {
+    import spark.implicits._
+    val r = Seq("a b a b a", "x", "").toDF("text")
+      .select(NGrams.wordNGramsAll(Text.tokens(col("text")), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) === Seq("a b", "b a", "a b", "b a"))
+    assert(r(1) === Seq())
+    assert(r(2) === Seq())
+    // distinct variant of the same input
+    val d = Seq("a b a b a").toDF("text")
+      .select(NGrams.wordNGrams(Text.tokens(col("text")), 2).as("g"))
+      .head().getSeq[String](0)
+    assert(d === Seq("a b", "b a"))
+  }
+
+  test("pii scrub redacts emails, ips, and long digit runs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact bob@example.com or alice@sub.domain.org today"),
+      (2L, "server at 192.168.0.1 port open, card 1234567890 leaked"),
+      (3L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("pii_docs")
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val longNum = "\\d{6,}"
+    val out = df.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_email"),
+      size(regexp_extract_all(col("text"), lit(ip), lit(0))).as("n_ip"),
+      size(regexp_extract_all(col("text"), lit(longNum), lit(0))).as("n_longnum"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), ip, "<IP>"), longNum, "<NUM>").as("scrubbed"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) === ((2, 0, 0, "contact <EMAIL> or <EMAIL> today")))
+    assert(out(2L) === ((0, 1, 1, "server at <IP> port open, card <NUM> leaked")))
+    assert(out(3L) === ((0, 0, 0, "nothing sensitive here at all")))
+  }
+
+  test("repetition metrics rank a repetitive doc above a diverse one") {
+    val out = graft.operators.TextAnalysis.queries("q76_repetition")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    // corpus-wide sanity: ppm values in range
+    assert(out.values.forall(v => v >= 0L && v <= 1000000L))
+    // synthetic check: "spam spam spam spam" has top-bigram share 1.0
+    import spark.implicits._
+    val spam = Seq((1L, "spam spam spam spam"), (2L, "all words here differ"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(NGrams.wordNGramsAll(Text.tokens(col("text")), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).count()
+      .groupBy(col("doc_id"))
+      .agg((max(col("count")) * lit(1000000L)).as("top"), sum(col("count")).as("tot"))
+      .selectExpr("doc_id", "top div tot AS ppm")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spam(1L) === 1000000L)
+    assert(spam(2L) < 1000000L)
+  }
+
+  test("decontamination flags exactly the docs sharing a 5-gram with the benchmark") {
+    val out = graft.operators.TextAnalysis.queries("q78_decontaminate")(spark, sf0001)
+      .collect()
+    // every flagged doc is outside the benchmark subset and shares >= 1 gram
+    out.foreach { r =>
+      assert(r.getLong(0) % 97 !== 0L)
+      assert(r.getLong(1) >= 1L)
+      assert(r.getLong(2) % 97 === 0L)
+    }
+  }
+}
