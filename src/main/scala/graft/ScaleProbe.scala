@@ -83,6 +83,8 @@ object ScaleProbe {
           numHashes = 64, bands = 16, shingleN = 3)).count())
       val (c46, t46) = timed(
         graft.operators.Dedup.simhashPairs(docs).count())
+      val (c46w, t46w) = timed(
+        graft.operators.Dedup.simhashPairsWide(docs).count())
       // q49 shape: candidates probed for one query vector
       val bucketed = emb.select(col("vec_id"), col("embedding"),
         Vectors.lshBucket(col("embedding"), planes).as("bucket"))
@@ -96,10 +98,12 @@ object ScaleProbe {
       docs.unpersist(); emb.unpersist()
       val line = s"""{"scale":$k,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
         s""""q44_prefix_cand":$c44,"q45_lsh_cand":$c45,""" +
-        s""""q46_simhash_cand":$c46,"q49_ann_cand":$c49,""" +
-        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q49":$t49%.2f}}"""
+        s""""q46_simhash_cand":$c46,"q79_simhash_wide_cand":$c46w,""" +
+        s""""q49_ann_cand":$c49,""" +
+        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f}}"""
       println(line)
-      (k, Map("q44" -> c44, "q45" -> c45, "q46" -> c46, "q49" -> c49))
+      (k, Map("q44" -> c44, "q45" -> c45, "q46" -> c46,
+        "q79" -> c46w, "q49" -> c49))
     }
 
     // growth exponent α over the widest span: candidates ∝ n^α

@@ -118,8 +118,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Wide-fingerprint (128-bit, 4×32-bit chunks) SimHash candidate
+    * pairs — the 100 TB scale path: same pigeonhole completeness for
+    * Hamming ≤ 3, but the chunk-key space grows from 2¹⁶ to 2³² so
+    * the birthday-collision candidate floor (ScaleProbe α=1.24 on the
+    * 64-bit variant) disappears. */
+  def simhashPairsWide(d: DataFrame): DataFrame = {
+    val fp = d.select(col("doc_id"),
+      SimHash.simhashWide(Text.tokens(col("text")), 128).as("fp"))
+    val chunkCols = (0 until 4).map { c =>
+      shiftrightunsigned(element_at(col("fp"), c / 2 + 1), (c % 2) * 32)
+        .bitwiseAND(lit(0xFFFFFFFFL))
+    }
+    val chunks = fp.select(col("doc_id"), col("fp"),
+      posexplode(array(chunkCols: _*)))
+      .withColumnRenamed("pos", "chunk_id").withColumnRenamed("col", "chunk")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        SimHash.hammingWide(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     "q44_ngram_jaccard" -> ngramJaccard,
+
+    // -- wide-simhash near-dup pairs (rows-only: xxhash not in
+    //    DuckDB; DedupSpec pins completeness vs 128-bit brute force) --
+    "q79_simhash_wide" -> { (s, dir) =>
+      simhashPairsWide(Tables.load(s, dir, "documents"))
+        .filter(col("hamming") <= 3)
+    },
 
     // -- MinHash LSH near-dup pairs (rows-only for the driver; spec
     //    pins equality with the exact Jaccard query's output) --

@@ -82,6 +82,27 @@ class DedupSpec extends SparkSpec {
     assert(grams.count() === 0L)
   }
 
+  test("wide simhash chunk-join candidates are complete for hamming <= 3") {
+    // brute-force all-pairs hamming on 128-bit fingerprints
+    val fps = docs
+      .select(col("doc_id"), SimHash.simhashWide(Text.tokens(col("text")), 128).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    def hamming(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val want = (for {
+      (ida, fa) <- fps; (idb, fb) <- fps
+      if ida < idb && hamming(fa, fb) <= 3
+    } yield (ida, idb)).toSet
+    val got = Dedup.queries("q79_simhash_wide")(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // word 0 of the wide fingerprint equals the 64-bit fingerprint
+    val fp64 = docs
+      .select(col("doc_id"), SimHash.simhash64(Text.tokens(col("text"))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    fps.foreach { case (id, wide) => assert(wide.head === fp64(id)) }
+  }
+
   test("connected components: long chain converges in log rounds (pointer doubling)") {
     import spark.implicits._
     // a path graph of diameter 60 — far beyond the old one-hop-per-
