@@ -83,10 +83,13 @@ object MinHashLSH {
                    textCol: String = "text", numHashes: Int = 64,
                    bands: Int = 16, shingleN: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    // widen single-file inputs before the compute-heavy sketch stage
-    // (no-op partitioning cost at real scale, where sources are wide)
-    val wide = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism)
+    // widen single-file inputs before the compute-heavy sketch stage;
+    // gated on the actual partition count so an already-wide source
+    // pays no unconditional shuffle
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (docs.rdd.getNumPartitions >= target) docs
+      else docs.repartition(target)
     val buckets = bandBuckets(wide, idCol, textCol, numHashes, bands, shingleN)
     verify(wide, candidatePairs(buckets), idCol, textCol, shingleN, threshold)
   }
