@@ -17,8 +17,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q01_agg", "q02_filter_project", "q04_join_multi_broadcast",
-      "q13_sort_limit_topk", "q31_cone_join_agg", "q45_minhash_lsh",
-      "q47_cosine_topk")
+      "q13_sort_limit_topk", "q31_cone_join_agg", "q44_ngram_jaccard",
+      "q45_minhash_lsh", "q47_cosine_topk", "q65_edit_distance",
+      "q75_rect_join_agg")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

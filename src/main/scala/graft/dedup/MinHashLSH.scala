@@ -51,30 +51,25 @@ object MinHashLSH {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-  /** Exact word-n-gram Jaccard for given pairs only. Pairs whose gram
-    * sets are disjoint would drop out of the inner join — but LSH
-    * candidates always share ≥1 band, and verification keeps only
-    * J ≥ threshold > 0, so no left-join resurrection is needed. */
+  /** Exact word-n-gram Jaccard for given pairs only: join the
+    * candidate pairs against the per-doc gram ARRAYS and intersect
+    * per row — two keyed joins sized by the (small) candidate set,
+    * no gram-level explode/shuffle (same verify shape as the
+    * prefix-filtered exact join in graft.operators.Dedup). */
   def verify(docs: DataFrame, pairs: DataFrame, idCol: String,
              textCol: String, shingleN: Int, threshold: Double): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),
-      explode(Text.wordNGrams(col(textCol), shingleN)).as("g"))
-    val sizes = docs.select(col(idCol).as("doc_id"),
-      size(Text.wordNGrams(col(textCol), shingleN)).as("ng"))
-    val inter = grams.as("ga")
-      .join(pairs, col("ga.doc_id") === col("doc_a"))
-      .join(grams.as("gb"),
-        col("gb.doc_id") === col("doc_b") && col("ga.g") === col("gb.g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sa = sizes.select(col("doc_id").as("id_a"), col("ng").as("ng_a"))
-    val sb = sizes.select(col("doc_id").as("id_b"), col("ng").as("ng_b"))
-    inter
-      .join(sa, col("doc_a") === col("id_a"))
-      .join(sb, col("doc_b") === col("id_b"))
+        Text.wordNGrams(col(textCol), shingleN).as("grams"))
+      .withColumn("ng", size(col("grams")))
+    val ga = grams.select(col("doc_id").as("doc_a"),
+      col("grams").as("grams_a"), col("ng").as("ng_a"))
+    val gb = grams.select(col("doc_id").as("doc_b"),
+      col("grams").as("grams_b"), col("ng").as("ng_b"))
+    pairs.join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
       // exact ppm integer jaccard (cross-engine-stable; see Dedup)
       .selectExpr("doc_a", "doc_b",
-        "inter * 1000000 div (CAST(ng_a AS BIGINT) + ng_b - inter) AS jaccard_ppm")
+        "CAST(inter AS BIGINT) * 1000000 div (CAST(ng_a AS BIGINT) + ng_b - inter) AS jaccard_ppm")
       .filter(col("jaccard_ppm") >= math.round(threshold * 1e6))
   }
 
