@@ -109,6 +109,50 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("prefix-filter completeness: J >= 0.5 pairs always collide in their rarest-half prefixes") {
+    // JVM mirror of the q44 candidate generation (Dedup.jaccardCandidates):
+    // per-doc prefix = the floor(n/2)+1 rarest grams under the global
+    // (df, gram) total order; the AllPairs/PPJoin theorem says every
+    // pair with J >= 0.5 must share a prefix gram. Random small
+    // universes probe boundary sizes the corpus never hits.
+    val genDocs = for {
+      nDocs <- Gen.choose(2, 10)
+      docs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(Gen.choose(0, 25)).map(_.toSet))
+    } yield docs
+    check(Prop.forAll(genDocs) { docs =>
+      val df = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(d: Set[Int]): Set[Int] =
+        d.toSeq.sortBy(g => (df(g), g)).take(d.size / 2 + 1).toSet
+      val pairs = for {
+        i <- docs.indices; j <- docs.indices if i < j
+        a = docs(i); b = docs(j)
+        jac = (a & b).size.toDouble / (a | b).size
+        if jac >= 0.5
+      } yield (a, b)
+      pairs.forall { case (a, b) =>
+        (prefix(a) & prefix(b)).nonEmpty &&
+          a.size <= 2 * b.size && b.size <= 2 * a.size // size filter keeps them too
+      }
+    })
+  }
+
+  test("lossless 2-band blocking: |len diff| <= B pairs share the canonical band") {
+    // JVM mirror of q65's banding: bands(l) = {floor(l/B), floor((l+B)/B)};
+    // any pair within tolerance B must share floor(max(la,lb)/B) — the
+    // predicate the join uses instead of a distinct
+    val genCase = for {
+      b <- Gen.choose(1, 500)
+      la <- Gen.choose(0, 100000)
+      d <- Gen.choose(-500, 500) suchThat (d => math.abs(d) <= b)
+    } yield (b, la, math.max(0, la + d))
+    check(Prop.forAll(genCase) { case (b, la, lb) =>
+      def bands(l: Int): Set[Long] = Set(l.toLong / b, (l.toLong + b) / b)
+      val canonical = math.max(la, lb).toLong / b
+      (math.abs(la - lb) > b) || // (clamp at 0 can widen the diff past B)
+        (bands(la).contains(canonical) && bands(lb).contains(canonical))
+    })
+  }
+
   test("raPad soundness: pad >= true RA extent for random dec/radius") {
     val genCase = for {
       dec <- Gen.choose(-85.0, 85.0)
