@@ -1,0 +1,98 @@
+package graft.plans
+
+import graft.functions.ConeContains
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule: rewrite an inner theta-join whose condition is the
+  * declarative [[ConeContains]] predicate into the dec-band EQUI-join
+  * plan (the same rewrite `ConeJoin.bandJoin` applies by hand):
+  *
+  * {{{
+  *   Join(cat, smp, Inner, cone_contains(ra, dec, sRa, sDec, r))
+  * ⇒ Project(join.output,
+  *     Filter(cone_contains(...) AND dec BETWEEN sDec ± r,   // exact residual
+  *       Join(Project(cat, band = floor(dec/B)),
+  *            Generate(explode(sequence(floor((sDec−r)/B),
+  *                                      floor((sDec+r)/B))), smp),
+  *            Inner, cat.band = smp.band)))
+  * }}}
+  *
+  * Without the rule Spark's only strategy for the theta condition is a
+  * nested-loop join; with it, candidate generation becomes a hash/sort
+  * equi-join on the band key, with the original predicate kept as the
+  * exact residual — results identical by construction, the plan is the
+  * 100 TB shape. Band width: `spark.graft.coneJoin.bandDeg` (default
+  * 1.0). Installed by [[graft.GraftExtensions]]
+  * (`spark.sql.extensions=graft.GraftExtensions`).
+  *
+  * Loop safety: the rewritten join's condition is a plain band
+  * equality, and the rule skips joins that already carry an equality
+  * conjunct — so re-matching after predicate pushdown folds the
+  * residual back into the join is a no-op.
+  */
+class ConeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def bandDeg: Double =
+    spark.conf.get("spark.graft.coneJoin.bandDeg", "1.0").toDouble
+
+  private def hasEquiConjunct(cond: Expression): Boolean =
+    cond.exists { case _: EqualTo => true; case _ => false }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !hasEquiConjunct(cond) =>
+      cond.collectFirst { case c: ConeContains => c } match {
+        case Some(cc) => rewrite(j, left, right, cond, cc, hint).getOrElse(j)
+        case None => j
+      }
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression, cc: ConeContains,
+                      hint: JoinHint): Option[LogicalPlan] = {
+    // all five operands must be plain doubles, with (ra, dec) bound to
+    // one side and (sRa, sDec, radius) to the other
+    if (!cc.children.forall(_.dataType == DoubleType)) return None
+    val objRefs = cc.ra.references ++ cc.dec.references
+    val smpRefs = cc.sRa.references ++ cc.sDec.references ++ cc.radiusDeg.references
+    val (catalog, samples, catalogIsLeft) =
+      if (objRefs.subsetOf(left.outputSet) && smpRefs.subsetOf(right.outputSet))
+        (left, right, true)
+      else if (objRefs.subsetOf(right.outputSet) && smpRefs.subsetOf(left.outputSet))
+        (right, left, false)
+      else return None
+
+    val bWidth = Literal(bandDeg, DoubleType)
+    // samples: explode to every covered band
+    val bandS = AttributeReference("graft_band_s", LongType, nullable = false)()
+    val lo = Floor(Divide(Subtract(cc.sDec, cc.radiusDeg), bWidth))
+    val hi = Floor(Divide(Add(cc.sDec, cc.radiusDeg), bWidth))
+    // timeZoneId must be concrete: a TimeZoneAwareExpression with None
+    // is unresolved, and optimizer rules may not un-resolve the plan
+    val seq = Sequence(lo, hi, None,
+      Some(spark.sessionState.conf.sessionLocalTimeZone))
+    val genSamples = Generate(Explode(seq),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(bandS), child = samples)
+    // catalog: its own band
+    val bandCAlias = Alias(Floor(Divide(cc.dec, bWidth)), "graft_band_c")()
+    val projCatalog = Project(catalog.output :+ bandCAlias, catalog)
+    val (newLeft, newRight) =
+      if (catalogIsLeft) (projCatalog, genSamples) else (genSamples, projCatalog)
+    val bandEq = EqualTo(bandCAlias.toAttribute, bandS)
+    // cheap dec-box conjuncts first, the exact predicate (and any other
+    // original conjuncts) as residual
+    val decBox = And(
+      GreaterThanOrEqual(cc.dec, Subtract(cc.sDec, cc.radiusDeg)),
+      LessThanOrEqual(cc.dec, Add(cc.sDec, cc.radiusDeg)))
+    val rewritten = Project(j.output,
+      Filter(And(decBox, cond),
+        Join(newLeft, newRight, Inner, Some(bandEq), hint)))
+    Some(rewritten)
+  }
+}
