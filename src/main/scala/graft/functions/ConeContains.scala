@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate}
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.types.DoubleType
@@ -36,7 +37,7 @@ object ConeContainsKernel {
 case class ConeContains(ra: Expression, dec: Expression,
                         sRa: Expression, sDec: Expression,
                         radiusDeg: Expression)
-    extends Expression with Predicate with CodegenFallback {
+    extends Expression with Predicate {
 
   override def children: Seq[Expression] = Seq(ra, dec, sRa, sDec, radiusDeg)
   override def nullable: Boolean = children.exists(_.nullable)
@@ -53,6 +54,26 @@ case class ConeContains(ra: Expression, dec: Expression,
       val Seq(r, d, sr, sd, rad) = vs.map(_.asInstanceOf[Double])
       ConeContainsKernel.sepDeg(r, d, sr, sd) <= rad
     }
+  }
+
+  /** Generated stage evaluates the children inline and calls the
+    * shared static kernel — identical results to eval by
+    * construction (same pattern as the sketch kernels). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val nullTerms = evals.map(_.isNull.toString).filterNot(_ == "false")
+    val anyNull = if (nullTerms.isEmpty) "false" else nullTerms.mkString(" || ")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.ConeContainsKernel.sepDeg(
+            ${evals(0).value}, ${evals(1).value},
+            ${evals(2).value}, ${evals(3).value}) <= ${evals(4).value};
+        }""")
   }
 
   override protected def withNewChildrenInternal(
