@@ -131,6 +131,46 @@ object TextAnalysis {
           email, "<EMAIL>"), ip, "<IP>"), longNum, "<NUM>")).as("scrubbed_md5"))
     },
 
+    // -- the flagship corpus-cleaning pipeline: one declarative plan
+    //    composing the quality signals into the kept training set —
+    //    the C4/Gopher-style filter chain (length + lexical diversity
+    //    + repetition + exact-dup canonicalization + benchmark
+    //    decontamination) every training-data pipeline runs. All
+    //    signals are integer ppm, so the keep predicate is engine-
+    //    exact by construction. --
+    "q80_clean_corpus" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val base = d.selectExpr("doc_id", "lang", "source", "n_chars",
+        "size(split(text, '\\\\s+')) AS n_tokens",
+        "CAST(size(array_distinct(split(text, '\\\\s+'))) AS BIGINT) * 1000000 div greatest(size(split(text, '\\\\s+')), 1) AS ttr_ppm")
+      val topbg = d
+        .select(col("doc_id"),
+          explode(graft.functions.NGrams.wordNGramsAll(
+            Text.tokens(col("text")), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")) * lit(1000000L)).as("tn"), sum(col("c")).as("tot"))
+        .selectExpr("doc_id", "tn div tot AS top_bigram_ppm")
+      val grams5 = d.select(col("doc_id"),
+        explode(Text.wordNGrams(col("text"), 5)).as("g"))
+      val contaminated = grams5.filter(col("doc_id") % 97 =!= 0)
+        .join(grams5.filter(col("doc_id") % 97 === 0).select(col("g")), "g")
+        .select(col("doc_id")).distinct()
+      val canonical = d
+        .groupBy(Text.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      base
+        .join(topbg, Seq("doc_id"), "left")
+        .join(canonical, Seq("doc_id"))           // exact-dup canonical only
+        .join(contaminated, Seq("doc_id"), "left_anti") // decontaminated
+        .filter(col("doc_id") % 97 =!= 0)         // eval docs leave the corpus
+        .filter(col("n_tokens") >= 12 &&
+          col("ttr_ppm") >= 350000L &&
+          coalesce(col("top_bigram_ppm"), lit(0L)) <= 80000L)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    },
+
     // -- benchmark decontamination: flag corpus docs sharing any
     //    distinct 5-gram with the benchmark subset (doc_id % 97 == 0
     //    stands in for an eval set). Inverted-index equi-join on the
@@ -257,6 +297,48 @@ object TextAnalysis {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\d{6,}', '<NUM>', 'g')) AS scrubbed_md5
         |FROM documents""".stripMargin,
+
+    "q80_clean_corpus" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    string_split_regex(text, '\s+') AS t,
+        |    md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, lang, source, n_chars, len(t) AS n_tokens,
+        |    CAST(len(list_distinct(t)) AS BIGINT) * 1000000
+        |      // greatest(len(t), 1) AS ttr_ppm
+        |  FROM tok),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        |        FROM tok)),
+        |bga AS (
+        |  SELECT doc_id, CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_bigram_ppm
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |g5 AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+        |        FROM tok)),
+        |contaminated AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM g5 c JOIN (SELECT g FROM g5 WHERE doc_id % 97 = 0) b ON c.g = b.g
+        |  WHERE c.doc_id % 97 <> 0),
+        |canonical AS (
+        |  SELECT min(doc_id) AS doc_id FROM tok GROUP BY fp)
+        |SELECT base.doc_id, lang, source, n_chars
+        |FROM base
+        |JOIN canonical ON base.doc_id = canonical.doc_id
+        |LEFT JOIN bga ON base.doc_id = bga.doc_id
+        |WHERE base.doc_id % 97 <> 0
+        |  AND base.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |  AND n_tokens >= 12
+        |  AND ttr_ppm >= 350000
+        |  AND coalesce(top_bigram_ppm, 0) <= 80000""".stripMargin,
 
     "q78_decontaminate" ->
       """WITH tok AS (
