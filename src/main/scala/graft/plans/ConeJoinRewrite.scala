@@ -40,13 +40,39 @@ class ConeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def bandDeg: Double =
     spark.conf.get("spark.graft.coneJoin.bandDeg", "1.0").toDouble
 
-  private def hasEquiConjunct(cond: Expression): Boolean =
-    cond.exists { case _: EqualTo => true; case _ => false }
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** An equality conjunct whose sides reference BOTH join children —
+    * i.e. a usable hash-join key. Its presence means the join is
+    * already equi-joinable (and in particular means this join is our
+    * own band rewrite — the loop-safety guard); a single-side
+    * equality like `x % 2 = 0` must NOT block the rewrite. */
+  private def hasCrossSideEquality(cond: Expression, left: LogicalPlan,
+                                   right: LogicalPlan): Boolean =
+    conjuncts(cond).exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) && a.references.nonEmpty &&
+          b.references.subsetOf(right.outputSet) && b.references.nonEmpty) ||
+          (a.references.subsetOf(right.outputSet) && a.references.nonEmpty &&
+            b.references.subsetOf(left.outputSet) && b.references.nonEmpty)
+      case _ => false
+    }
+
+  /** The band restriction is only sound when cone_contains must hold
+    * for every surviving row — i.e. it is a TOP-LEVEL CONJUNCT. A
+    * cone_contains nested under OR/NOT must not trigger the rewrite
+    * (restricting candidates to band matches would drop rows the
+    * other disjunct admits). */
+  private def conjunctiveCone(cond: Expression): Option[ConeContains] =
+    conjuncts(cond).collectFirst { case c: ConeContains => c }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if !hasEquiConjunct(cond) =>
-      cond.collectFirst { case c: ConeContains => c } match {
+        if !hasCrossSideEquality(cond, left, right) =>
+      conjunctiveCone(cond) match {
         case Some(cc) => rewrite(j, left, right, cond, cc, hint).getOrElse(j)
         case None => j
       }

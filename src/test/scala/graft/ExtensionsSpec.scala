@@ -55,6 +55,25 @@ class ExtensionsSpec extends SparkSpec {
       .sameResult(equi.queryExecution.analyzed))
   }
 
+  test("rule does NOT fire on a cone predicate under OR (band restriction would drop rows)") {
+    val rule = new graft.plans.ConeJoinRewrite(spark)
+    val cone = ConeContainsFn.coneContains(
+      col("ra"), col("dec"), col("s_ra"), col("s_dec"), col("radius_deg"))
+    val disjunctive = catalog(spark).join(samples(spark),
+      cone || col("object_id") % 1000 === col("sample_id"))
+    val analyzed = disjunctive.queryExecution.analyzed
+    assert(rule.apply(analyzed).sameResult(analyzed))
+    // but cone AND extra-conjunct still rewrites (the residual keeps
+    // the extra predicate)
+    val conjunctive = catalog(spark).join(samples(spark),
+      cone && col("object_id") % 2 === 0)
+    val rewritten = graftbridge.ofRows(spark,
+      rule.apply(conjunctive.queryExecution.analyzed))
+    assert(!rewritten.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(key(rewritten) === key(conjunctive))
+  }
+
   test("GraftExtensions installs the rewrite session-wide") {
     val prev = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
