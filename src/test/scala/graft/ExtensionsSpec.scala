@@ -55,6 +55,18 @@ class ExtensionsSpec extends SparkSpec {
       .sameResult(equi.queryExecution.analyzed))
   }
 
+  test("rule handles the sample table on the LEFT side") {
+    val rule = new graft.plans.ConeJoinRewrite(spark)
+    val q = samples(spark).join(catalog(spark), ConeContainsFn.coneContains(
+      col("ra"), col("dec"), col("s_ra"), col("s_dec"), col("radius_deg")))
+    val rewritten = graftbridge.ofRows(spark,
+      rule.apply(q.queryExecution.analyzed))
+    assert(!rewritten.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(key(rewritten) === key(q))
+    assert(rewritten.columns.toSeq === q.columns.toSeq)
+  }
+
   test("rule does NOT fire on a cone predicate under OR (band restriction would drop rows)") {
     val rule = new graft.plans.ConeJoinRewrite(spark)
     val cone = ConeContainsFn.coneContains(
