@@ -258,7 +258,8 @@ object Toml {
         val digits = s.substring(dstart, pos).replace("_", "")
         if (digits.isEmpty) fail("empty radix number")
         val sign = if (s.charAt(start) == '-') -1L else 1L
-        return sign * java.lang.Long.parseLong(digits, radix)
+        return try sign * java.lang.Long.parseLong(digits, radix)
+        catch { case _: NumberFormatException => fail(s"bad number '$digits'") }
       }
       var isFloat = false
       var done = false

@@ -153,6 +153,23 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TOML parser totality: arbitrary input either parses or fails loudly (never hangs, never leaks)") {
+    val genInput = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("k = 1", "[t]", "x=\"a\"", "[[i]]", "#c", "=",
+        "k = [1,", "k = {", "k = 0xZZ", "k = 'open", "a.b = true", "\t",
+        "k = \"\\q\"", "k = 1e", "[a.]")).map(_.mkString("\n")))
+    check(Prop.forAll(genInput) { input =>
+      try { graft.config.Toml.parse(input); true }
+      catch {
+        // the only acceptable failure mode is the parser's own typed
+        // error (an IllegalArgumentException with position info)
+        case _: graft.config.Toml.TomlParseException => true
+        case _: Throwable => false
+      }
+    }, n = 500)
+  }
+
   test("raPad soundness: pad >= true RA extent for random dec/radius") {
     val genCase = for {
       dec <- Gen.choose(-85.0, 85.0)
