@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.ConeContains
+import graft.functions.{ConeContains, RectContains}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
@@ -61,31 +61,47 @@ class ConeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** The band restriction is only sound when cone_contains must hold
-    * for every surviving row — i.e. it is a TOP-LEVEL CONJUNCT. A
-    * cone_contains nested under OR/NOT must not trigger the rewrite
+  /** The normalized shape of a rewritable spatial predicate: the
+    * object/sample dec expressions, the sample's declination REACH
+    * (cone radius, or rect height/2), and the two sides' reference
+    * sets. */
+  private case class Spatial(dec: Expression, sDec: Expression,
+                             reach: Expression,
+                             objRefs: AttributeSet, smpRefs: AttributeSet)
+
+  /** The band restriction is only sound when the spatial predicate
+    * must hold for every surviving row — i.e. it is a TOP-LEVEL
+    * CONJUNCT. One nested under OR/NOT must not trigger the rewrite
     * (restricting candidates to band matches would drop rows the
     * other disjunct admits). */
-  private def conjunctiveCone(cond: Expression): Option[ConeContains] =
-    conjuncts(cond).collectFirst { case c: ConeContains => c }
+  private def conjunctiveSpatial(cond: Expression): Option[Spatial] =
+    conjuncts(cond).collectFirst {
+      case c: ConeContains if c.children.forall(_.dataType == DoubleType) =>
+        Spatial(c.dec, c.sDec, c.radiusDeg,
+          c.ra.references ++ c.dec.references,
+          c.sRa.references ++ c.sDec.references ++ c.radiusDeg.references)
+      case r: RectContains if r.children.forall(_.dataType == DoubleType) =>
+        Spatial(r.dec, r.sDec, Divide(r.heightDeg, Literal(2.0, DoubleType)),
+          r.ra.references ++ r.dec.references,
+          r.sRa.references ++ r.sDec.references ++
+            r.widthDeg.references ++ r.heightDeg.references)
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if !hasCrossSideEquality(cond, left, right) =>
-      conjunctiveCone(cond) match {
-        case Some(cc) => rewrite(j, left, right, cond, cc, hint).getOrElse(j)
+      conjunctiveSpatial(cond) match {
+        case Some(sp) => rewrite(j, left, right, cond, sp, hint).getOrElse(j)
         case None => j
       }
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-                      cond: Expression, cc: ConeContains,
+                      cond: Expression, cc: Spatial,
                       hint: JoinHint): Option[LogicalPlan] = {
-    // all five operands must be plain doubles, with (ra, dec) bound to
-    // one side and (sRa, sDec, radius) to the other
-    if (!cc.children.forall(_.dataType == DoubleType)) return None
-    val objRefs = cc.ra.references ++ cc.dec.references
-    val smpRefs = cc.sRa.references ++ cc.sDec.references ++ cc.radiusDeg.references
+    // (ra, dec) must bind to one side and the sample fields to the other
+    val objRefs = cc.objRefs
+    val smpRefs = cc.smpRefs
     val (catalog, samples, catalogIsLeft) =
       if (objRefs.subsetOf(left.outputSet) && smpRefs.subsetOf(right.outputSet))
         (left, right, true)
@@ -96,8 +112,8 @@ class ConeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val bWidth = Literal(bandDeg, DoubleType)
     // samples: explode to every covered band
     val bandS = AttributeReference("graft_band_s", LongType, nullable = false)()
-    val lo = Floor(Divide(Subtract(cc.sDec, cc.radiusDeg), bWidth))
-    val hi = Floor(Divide(Add(cc.sDec, cc.radiusDeg), bWidth))
+    val lo = Floor(Divide(Subtract(cc.sDec, cc.reach), bWidth))
+    val hi = Floor(Divide(Add(cc.sDec, cc.reach), bWidth))
     // timeZoneId must be concrete: a TimeZoneAwareExpression with None
     // is unresolved, and optimizer rules may not un-resolve the plan
     val seq = Sequence(lo, hi, None,
@@ -114,8 +130,8 @@ class ConeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // cheap dec-box conjuncts first, the exact predicate (and any other
     // original conjuncts) as residual
     val decBox = And(
-      GreaterThanOrEqual(cc.dec, Subtract(cc.sDec, cc.radiusDeg)),
-      LessThanOrEqual(cc.dec, Add(cc.sDec, cc.radiusDeg)))
+      GreaterThanOrEqual(cc.dec, Subtract(cc.sDec, cc.reach)),
+      LessThanOrEqual(cc.dec, Add(cc.sDec, cc.reach)))
     val rewritten = Project(j.output,
       Filter(And(decBox, cond),
         Join(newLeft, newRight, Inner, Some(bandEq), hint)))

@@ -55,6 +55,25 @@ class ExtensionsSpec extends SparkSpec {
       .sameResult(equi.queryExecution.analyzed))
   }
 
+  test("rule rewrites a rect_contains theta join to a band equi-join with identical results") {
+    import spark.implicits._
+    val rectSamples = Seq(
+      (0L, 1.0, 0.0, 6.0, 3.0), (1L, 359.5, 10.0, 4.0, 2.0),
+      (2L, 180.0, -80.0, 10.0, 5.0), (3L, 90.0, 45.0, 2.0, 1.0))
+      .toDF("sample_id", "s_ra", "s_dec", "width_deg", "height_deg")
+    val q = catalog(spark).join(rectSamples, ConeContainsFn.rectContains(
+      col("ra"), col("dec"), col("s_ra"), col("s_dec"),
+      col("width_deg"), col("height_deg")))
+    val baseline = key(q)
+    assert(baseline.nonEmpty)
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val rewritten = graftbridge.ofRows(spark,
+      new graft.plans.ConeJoinRewrite(spark).apply(q.queryExecution.analyzed))
+    assert(!rewritten.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    assert(key(rewritten) === baseline)
+  }
+
   test("rule handles the sample table on the LEFT side") {
     val rule = new graft.plans.ConeJoinRewrite(spark)
     val q = samples(spark).join(catalog(spark), ConeContainsFn.coneContains(
