@@ -150,6 +150,21 @@ class AnalysisRunnerSpec extends SparkSpec {
     assert(back.columns.toSeq === Seq("id", "v"))
   }
 
+  test("Sinks.write honors SaveMode for csv (overwrite no longer silently appends)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcsvmode").toFile
+    dir.delete()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.write(df, dir.getAbsolutePath, "csv") // append (default)
+    Sinks.write(df, dir.getAbsolutePath, "csv") // append again -> 4 rows
+    assert(spark.read.option("header", "true")
+      .csv(dir.getAbsolutePath).count() === 4)
+    Sinks.write(df, dir.getAbsolutePath, "csv",
+      org.apache.spark.sql.SaveMode.Overwrite) // replaces, not accumulates
+    assert(spark.read.option("header", "true")
+      .csv(dir.getAbsolutePath).count() === 2)
+  }
+
   test("multiSink routes column subsets to separate destinations") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graftsink").toFile
