@@ -47,6 +47,24 @@ object Similarity {
         .filter(col("cos_sim") >= 0.4)
     },
 
+    // -- semantic-dedup clustering: connected components over the
+    //    cosine near-dup graph (the embedding analog of q69) — every
+    //    vector labeled with its component's min vec_id. Composes the
+    //    oracle-checked q48 pair generation with the pointer-doubling
+    //    CC operator; oracle = recursive-CTE closure. --
+    "q82_embedding_clusters" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      val pairs = a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+          round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .select("doc_a", "doc_b")
+      graft.dedup.ConnectedComponents.clusterLabels(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    },
+
     // -- ANN via sign-LSH buckets + Hamming-1 multi-probe (rows-only;
     //    SimilaritySpec pins recall vs the brute-force baseline) --
     "q49_ann_lsh" -> { (s, dir) =>
@@ -82,6 +100,29 @@ object Similarity {
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id
         |LIMIT 10""".stripMargin,
+
+    "q82_embedding_clusters" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(a.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT vec_a, vec_b FROM p WHERE cos_sim >= 0.4),
+        |edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION SELECT vec_b, vec_a FROM pairs),
+        |walk AS (
+        |  SELECT src AS vec_id, src AS reach FROM edges
+        |  UNION
+        |  SELECT w.vec_id, e.dst
+        |  FROM walk w JOIN edges e ON w.reach = e.src)
+        |SELECT vec_id, min(reach) AS cluster_id
+        |FROM walk GROUP BY vec_id""".stripMargin,
 
     "q48_embedding_neardup" ->
       """WITH p AS (
