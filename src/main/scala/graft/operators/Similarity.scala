@@ -51,7 +51,11 @@ object Similarity {
     //    cosine near-dup graph (the embedding analog of q69) — every
     //    vector labeled with its component's min vec_id. Composes the
     //    oracle-checked q48 pair generation with the pointer-doubling
-    //    CC operator; oracle = recursive-CTE closure. --
+    //    CC operator; oracle = recursive-CTE closure. Like q48, the
+    //    all-pairs edge generation is the ORACLE BASELINE shape; at
+    //    100 TB the same clusterLabels call composes over the
+    //    LSH-bucketed candidates (q49 path) instead — the CC operator
+    //    is agnostic to how the pair list was produced. --
     "q82_embedding_clusters" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
