@@ -85,7 +85,10 @@ object Dedup {
 
   private val ngramJaccard: Q = { (s, dir) =>
       val d = widen(Tables.load(s, dir, "documents"))
-      val grams = gramTable(d)
+      // the gram table is referenced five times across candidates +
+      // verify; a lazy persist shares one computation within the
+      // action (MEMORY_AND_DISK — spills rather than OOMs at scale)
+      val grams = gramTable(d).persist()
       val cand = jaccardCandidates(d)
       // exact verify on the full gram arrays, candidates only
       val ga = grams.select(col("doc_id").as("doc_a"),
