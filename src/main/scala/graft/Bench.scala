@@ -34,14 +34,23 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries that persist intermediates (q44 family) are scoped to
+      // their own action: drop the cache so no cached relation
+      // outlives its query and later queries aren't cross-subsidized
+      spark.sharedState.cacheManager.clearCache()
+      sec
     }
 
     // warmup: JIT + codegen + parquet footer caches
     execute("q01_agg")
     execute("q04_join_multi_broadcast")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional arg: comma-separated query-name filter (local iteration)
+    val names = args.headOption match {
+      case Some(f) => f.split(',').toSeq.filter(SparkEntry.queries.contains)
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     // best-of-2: the environment is shared/noisy; min wall time is
     // the standard robust estimator of a query's actual cost
     val results = names.map { n =>
