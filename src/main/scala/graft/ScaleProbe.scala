@@ -45,6 +45,30 @@ object ScaleProbe {
         col("label"), col("embedding"))
     }.reduce(_ unionByName _)
 
+  /** Similarity-preserving null model for embeddings — the analog of
+    * the bijective token renaming: replica r applies a SIGNED
+    * PERMUTATION (cyclic shift by 7r + deterministic sign flips),
+    * which is orthogonal, so every within-replica cosine — and hence
+    * the planted near-dup structure — is EXACTLY preserved, while
+    * cross-replica cosines are decorrelated (exact copies would
+    * manufacture cos=1 pairs across replicas and merge components). */
+  def rotatedEmbeddings(emb: DataFrame, k: Int, dim: Int = 64): DataFrame =
+    (0 until k).map { r =>
+      val base = emb.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        col("label"), col("embedding"))
+      if (r == 0) base
+      else {
+        val shift = (r * 7) % dim
+        val rng = new scala.util.Random(1000 + r)
+        val signs = Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+        val elems = (0 until dim).map { i =>
+          (element_at(col("embedding"), ((i + shift) % dim) + 1)
+            * lit(signs(i))).cast("float")
+        }
+        base.withColumn("embedding", array(elems: _*))
+      }
+    }.reduce(_ unionByName _)
+
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -95,15 +119,36 @@ object ScaleProbe {
         bucketed.filter(col("vec_id") =!= 0)
           .join(broadcast(q), col("bucket") === col("probe")).count())
 
+      // q83 composed path, signed-permutation null model.
+      // (a) the gate configuration (16x8, t=0.4): candidates are a
+      //     ~constant corpus fraction — the honest ρ≈0.67 price of the
+      //     corpus's weak threshold, expected α≈2 with a small constant;
+      // (b) the production configuration (t=0.9 regime): band width
+      //     grows with log2(n) — the standard LSH scaling — keeping
+      //     per-vector candidates ~constant, expected α≈1.
+      val embR = rotatedEmbeddings(emb0, k).cache()
+      embR.count()
+      val (c83, t83) = timed(graft.operators.Similarity.lshCandidates(
+        embR, graft.operators.Similarity.Planes83,
+        graft.operators.Similarity.Bands83,
+        graft.operators.Similarity.Bits83).count())
+      val bitsA = math.ceil(math.log(nVecs.toDouble) / math.log(2)).toInt + 4
+      val planesA = Vectors.quantizedPlanes(8 * bitsA, 64, seed = 90L)
+      val (c83a, t83a) = timed(graft.operators.Similarity.lshCandidates(
+        embR, planesA, bands = 8, bits = bitsA).count())
+      embR.unpersist()
+
       docs.unpersist(); emb.unpersist()
       val line = s"""{"scale":$k,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
         s""""q44_prefix_cand":$c44,"q45_lsh_cand":$c45,""" +
         s""""q46_simhash_cand":$c46,"q79_simhash_wide_cand":$c46w,""" +
         s""""q49_ann_cand":$c49,""" +
-        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f}}"""
+        s""""q83_fixed_cand":$c83,"q83_adaptive_cand":$c83a,"q83_adaptive_bits":$bitsA,""" +
+        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f,"q83":$t83%.2f,"q83a":$t83a%.2f}}"""
       println(line)
       (k, Map("q44" -> c44, "q45" -> c45, "q46" -> c46,
-        "q79" -> c46w, "q49" -> c49))
+        "q79" -> c46w, "q49" -> c49, "q83_fixed" -> c83,
+        "q83_adaptive" -> c83a))
     }
 
     // growth exponent α over the widest span: candidates ∝ n^α

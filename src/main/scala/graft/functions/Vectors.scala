@@ -52,4 +52,15 @@ object Vectors {
     * higher recall at the same bucket granularity). */
   def probeBuckets(bucket: Column, nPlanes: Int): Column =
     array(bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1 << i))): _*)
+
+  /** Deterministic hyperplanes with entries quantized to the 0.001
+    * grid (k/1000 for integer k). Quantization does not change the
+    * LSH family (signs of dots with any centrally-symmetric random
+    * planes work), and it lets the DuckDB oracle replay the EXACT
+    * same planes from 3-decimal literals: both engines parse k/1000
+    * to the identical nearest double. */
+  def quantizedPlanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(math.rint(rng.nextGaussian() * 1000) / 1000))
+  }
 }

@@ -16,6 +16,11 @@ final case class MediaFeatures(id: Long, media_type: String,
 final case class MediaFrame(id: Long, frame_idx: Int,
                             frame: Array[Byte])
 
+final case class ImageFeatures(id: Long, width: Int, height: Int,
+                               n_pixels: Int,
+                               mean_r: Double, mean_g: Double, mean_b: Double,
+                               lum_hist: Array[Double])
+
 /** Multimodal-column plumbing: decode / feature-extract / resize /
   * frame-sample over `binary` payload columns.
   *
@@ -25,14 +30,19 @@ final case class MediaFrame(id: Long, frame_idx: Int,
   * partition (see `decoderInit` below), and Spark streams partitions
   * without materializing them.
   *
-  * ======================= STUB BOUNDARY =======================
-  * This container has no image/audio codecs, so `decodeStub` is a
-  * deterministic fake: a normalized byte histogram stands in for
-  * pixel features, and payload length stands in for decoded
-  * dimensions. Swapping in a real codec changes ONLY the marked
-  * function bodies — schema, partitioning, batch shape, and the
-  * pipeline wiring are real and tested (MultimodalSpec).
-  * =============================================================
+  * Two codec paths coexist:
+  *  - REAL image path (`decodeImage` / `extractImageFeatures` /
+  *    `resizeImage`): PNG/JPEG/GIF/BMP via `javax.imageio`, which
+  *    ships with the JDK — actual pixel decode, exact per-channel
+  *    means and a luminance histogram, and a real nearest-neighbor
+  *    resize re-encoded to PNG. MultimodalSpec decodes real PNGs it
+  *    draws itself and checks pixel-exact results.
+  *  - STUB byte path (`decodeStub`, q50): a deterministic byte
+  *    histogram kept ALONGSIDE the real codec because the driver's
+  *    DuckDB oracle can replay it (`hex(encode(text))`) — it is the
+  *    oracle-checkable projection of the pipeline, not a placeholder
+  *    for missing capability. Audio/video codecs remain out of scope
+  *    (none in the JDK); their plumbing shape is `frameSample`.
   */
 object Multimodal {
 
@@ -80,6 +90,79 @@ object Multimodal {
       iter.map { m =>
         MediaFeatures(m.id, m.media_type, m.payload.length,
           decodeStub(m.payload, scratch))
+      }
+    }
+  }
+
+  /** REAL image decode via the JDK's javax.imageio (PNG/JPEG/GIF/BMP).
+    * Returns None for payloads no registered reader understands —
+    * the distributed operators treat those as pass-through rows, so a
+    * mixed media corpus never throws mid-job. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** Real pixel features: exact width/height, per-channel means, and
+    * a `bins`-bucket luminance histogram (integer Rec.601 weights —
+    * deterministic across JVMs). Per-partition init disables
+    * ImageIO's temp-file cache once, the batch-shape seam where a
+    * heavier model would load. */
+  def extractImageFeatures(media: Dataset[Media], bins: Int = 16): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)   // once per partition
+      iter.flatMap { m =>
+        decodeImage(m.payload).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val hist = new Array[Double](bins)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+              sr += r; sg += g; sb += b
+              val lum = (r * 299 + g * 587 + b * 114) / 1000
+              hist(lum * bins / 256) += 1.0
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          ImageFeatures(m.id, w, h, w * h, sr / n, sg / n, sb / n, hist.map(_ / n))
+        }
+      }
+    }
+  }
+
+  /** Real image resize: nearest-neighbor scale to (width, height),
+    * re-encoded as PNG (deterministic: PNG is lossless and the
+    * interpolation is pinned). Non-image payloads pass through
+    * unchanged. */
+  def resizeImage(media: Dataset[Media], width: Int, height: Int): Dataset[Media] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)
+      iter.map { m =>
+        decodeImage(m.payload) match {
+          case Some(img) =>
+            val out = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = out.createGraphics()
+            g2.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g2.drawImage(img, 0, 0, width, height, null)
+            g2.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            m.copy(payload = bos.toByteArray,
+              meta = m.meta + ("resized" -> s"${width}x$height"))
+          case None => m
+        }
       }
     }
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{VectorExprs, Vectors}
+import graft.functions.{SignBands, VectorExprs, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,52 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   private val Planes = Vectors.randomPlanes(nPlanes = 4, dim = 64, seed = 7L)
+
+  /** q83 parameters: 16 bands x 8 sign bits (128 quantized planes).
+    * At this corpus's deliberately weak threshold (planted pairs sit
+    * at cosine 0.40-0.5, where the sign-LSH family has ρ≈0.67) the
+    * candidate set is a large fraction of all pairs — that is the
+    * information-theoretic price of t=0.4, not a design defect; at
+    * realistic semantic-dedup thresholds (t≥0.9, ρ≈0.22) the SAME
+    * operator is sublinear with recall 1, which SemanticClusterSpec
+    * demonstrates on a planted high-similarity corpus and ScaleProbe
+    * measures under corpus replication. */
+  private[graft] val Bits83 = 8
+  private[graft] val Bands83 = 16
+  private[graft] val Planes83: Seq[Seq[Double]] =
+    Vectors.quantizedPlanes(Bands83 * Bits83, dim = 64, seed = 83L)
+
+  /** Sign-LSH candidate pairs (vec_a < vec_b): band-key equi-join
+    * with Hamming-1 multi-probe on the probe side. Exposed for the
+    * scale probe and the spec. */
+  def lshCandidates(e: DataFrame, planes: Seq[Seq[Double]],
+      bands: Int, bits: Int): DataFrame = {
+    val banded = e.select(col("vec_id"),
+      posexplode(SignBands.signBands(col("embedding"), planes, bands, bits)))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
+    val probes = banded.select(col("vec_id"), col("band_id"),
+      explode(Vectors.probeBuckets(col("band_key"), bits)).as("probe"))
+    probes.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.probe") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** Composed semantic-dedup edge list: LSH candidates verified by
+    * exact cosine ≥ threshold (round-6, the house cross-engine rule).
+    * Verification joins touch only candidates — never all pairs. */
+  def lshEdges(e: DataFrame, planes: Seq[Seq[Double]], bands: Int,
+      bits: Int, threshold: Double): DataFrame = {
+    val cand = lshCandidates(e, planes, bands, bits)
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .filter(round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6)
+        >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
 
   val queries: Map[String, Q] = Map(
     // -- brute-force cosine top-10 for query vector vec_id = 0 --
@@ -69,6 +115,22 @@ object Similarity {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     },
 
+    // -- LSH-fed semantic clustering: the 100 TB composition q82
+    //    only asserted. Candidates from a deterministic sign-LSH
+    //    band-key equi-join (never all pairs), exact-cosine verify on
+    //    candidates only, then the same pointer-doubling
+    //    ConnectedComponents. The oracle replays the identical
+    //    deterministic planes in SQL, so the gate checks the composed
+    //    path end-to-end (vs q82, whose oracle checks the all-pairs
+    //    baseline). --
+    "q83_embedding_clusters_lsh" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val edges = lshEdges(e, Planes83, Bands83, Bits83, threshold = 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      graft.dedup.ConnectedComponents.clusterLabels(edges)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    },
+
     // -- ANN via sign-LSH buckets + Hamming-1 multi-probe (rows-only;
     //    SimilaritySpec pins recall vs the brute-force baseline) --
     "q49_ann_lsh" -> { (s, dir) =>
@@ -89,7 +151,71 @@ object Similarity {
     },
   )
 
+  /** q83's DuckDB oracle is CODE-GENERATED from the same quantized
+    * plane constants the Spark expression uses (the oracle replays
+    * the full composed algorithm: band keys → Hamming-1 probe
+    * equi-join → exact-cosine verify → recursive-CTE closure). Sign
+    * bits are cross-engine stable because every |dot| in the corpus
+    * is ≥ ~1e-6 (asserted by SemanticClusterSpec) while any summation
+    * -order float noise is ~1e-13. */
+  private def oracle83: String = {
+    def dotSql(plane: Seq[Double]): String = {
+      val lst = plane.map(v => f"$v%.3f").mkString("[", ", ", "]")
+      "list_sum(list_transform(list_zip(embedding, " + lst +
+        "), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    }
+    val keyCols = (0 until Bands83).map { l =>
+      val bits = (0 until Bits83).map { j =>
+        s"(CASE WHEN ${dotSql(Planes83(l * Bits83 + j))} >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS k$l"
+    }.mkString(",\n    ")
+    val bandStructs = (0 until Bands83)
+      .map(l => s"struct_pack(i := $l, k := k$l)").mkString(", ")
+    val probeList = ("band_key" +: (0 until Bits83)
+      .map(j => s"xor(band_key, ${1 << j})")).mkString(", ")
+    val cosSql =
+      """list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(ea.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(eb.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH RECURSIVE keys AS (
+       |  SELECT vec_id,
+       |    $keyCols
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, u.i AS band_id, u.k AS band_key
+       |  FROM keys, UNNEST([$bandStructs]) AS t(u)),
+       |probes AS (
+       |  SELECT vec_id, band_id,
+       |    unnest([$probeList]) AS probe
+       |  FROM bands),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM probes a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.probe = b.band_key
+       |    AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT vec_a, vec_b FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+       |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
+       |  WHERE round($cosSql, 6) >= 0.4),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION SELECT vec_b, vec_a FROM pairs),
+       |walk AS (
+       |  SELECT src AS vec_id, src AS reach FROM edges
+       |  UNION
+       |  SELECT w.vec_id, e.dst
+       |  FROM walk w JOIN edges e ON w.reach = e.src)
+       |SELECT vec_id, min(reach) AS cluster_id
+       |FROM walk GROUP BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q83_embedding_clusters_lsh" -> oracle83,
     "q47_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

@@ -36,9 +36,12 @@ object Hdf5CatalogSource extends CatalogSource {
       "HDF5 ingest is not available in this build: convert to Parquet " +
         "once with `python3 tools/hdf5_to_parquet.py <in.hdf5> <out.parquet> " +
         "[--group /catalog]` (each 1-D dataset under the group becomes a " +
-        "column; attributes land in parquet metadata), then load the result " +
-        "with the parquet source — or register a DataSourceV2 implementation " +
-        "here. The engine's query surface is format-agnostic beyond this seam.")
+        "column; attributes land in parquet metadata) — a DIRECTORY of " +
+        ".hdf5 shards converts the same way (`... <dir_in>/ <dir_out>/`, " +
+        "mirroring the reference's identify_opencosmo_files glob) into one " +
+        "multi-part parquet dataset — then load the result with the parquet " +
+        "source, or register a DataSourceV2 implementation here. The " +
+        "engine's query surface is format-agnostic beyond this seam.")
 }
 
 object CatalogSources {

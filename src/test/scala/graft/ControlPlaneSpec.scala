@@ -188,6 +188,50 @@ class ControlPlaneSpec extends SparkSpec {
     assert(e.getMessage.contains("hdf5_to_parquet.py"))
   }
 
+  test("hdf5 route: directory mode glob fails loud; multi-part output is one dataset") {
+    import scala.sys.process._
+    // directory-mode file identification runs BEFORE any h5py import
+    // (mirrors identify_opencosmo_files, opencosmo.py:57-65): a dir
+    // with no *.hdf5 must exit with the identification error, proving
+    // the glob path executes in this sandbox
+    val empty = Files.createTempDirectory("graft_h5_empty").toString
+    val err = new StringBuilder
+    val code = Process(Seq("python3", "tools/hdf5_to_parquet.py",
+      empty, empty + "_out")).!(ProcessLogger(_ => (), e => err.append(e)))
+    assert(code !== 0)
+    assert(err.toString.contains("unable to identify hdf5 files"),
+      s"unexpected error: $err")
+
+    // engine side: the converter's directory-mode output contract is
+    // one parquet dataset made of part-NNNNN-<stem>.parquet files —
+    // Spark must read the directory as ONE catalog, partition per file
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft_h5_parts")
+    Seq((0L, 30.5, -10.5), (1L, 30.6, -10.4)).toDF("object_id", "ra", "dec")
+      .coalesce(1).write.parquet(outDir.resolve("s0").toString)
+    Seq((2L, 31.5, -9.5), (3L, 31.6, -9.4)).toDF("object_id", "ra", "dec")
+      .coalesce(1).write.parquet(outDir.resolve("s1").toString)
+    // rename into the converter's flat part-file layout
+    val flat = Files.createTempDirectory("graft_h5_flat")
+    Seq("s0", "s1").zipWithIndex.foreach { case (s, i) =>
+      val part = Files.list(outDir.resolve(s)).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.toString.endsWith(".parquet")) {
+          Files.move(p, flat.resolve(f"part-$i%05d-shard_$i.parquet"))
+          moved = true
+        }
+      }
+      assert(moved, s"no parquet part written under $s")
+    }
+    val ds = graft.sources.CatalogSources("parquet")
+      .load(spark, flat.toString, columns = Seq("object_id", "ra"))
+    assert(ds.columns.toSeq === Seq("object_id", "ra"))
+    assert(ds.select("object_id").collect().map(_.getLong(0)).sorted
+      === Array(0L, 1L, 2L, 3L))
+  }
+
   test("validSplit: null-safe predicate split, nothing lost") {
     import spark.implicits._
     val df = Seq[(Long, java.lang.Double)](

@@ -52,6 +52,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("transform(sequence"), p)
   }
 
+  test("q83: composed LSH clustering never plans a cartesian; sketch is the codegen kernel") {
+    // audit the edge-generation plan (the full q83 runs an iterative
+    // CC loop whose per-round plans are separate executions)
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val p = operators.Similarity.lshEdges(e, operators.Similarity.Planes83,
+        operators.Similarity.Bands83, operators.Similarity.Bits83, 0.4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // candidates come from a (band_id, band_key) equi-join
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the sign-band sketch is the single fused codegen expression,
+    // and verification is the codegen'd cosine kernel
+    assert(p.toLowerCase.contains("signbands"), p)
+    assert(p.toLowerCase.contains("cosinesimilarity"), p)
+  }
+
   test("q65: banded join stays an equi-join with no distinct re-shuffle") {
     val p = executedPlan("q65_edit_distance")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

@@ -1,0 +1,177 @@
+package graft
+
+import graft.dedup.ConnectedComponents
+import graft.functions.{SignBands, VectorExprs, Vectors}
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed semantic-dedup scale path (q83): sign-LSH band-key
+  * candidates → exact-cosine verify → ConnectedComponents.
+  *
+  * Three claims are pinned here:
+  *  1. EXACTNESS OF THE COMPOSITION: verified edges are a subset of
+  *     the all-pairs (q48) edges, and cluster labels over any edge
+  *     set equal a driver-side union-find of the same edges.
+  *  2. CROSS-ENGINE DETERMINISM: every |dot(vec, plane)| in the
+  *     corpus is ≥ 1e-7, orders of magnitude above summation-order
+  *     float noise (~1e-13), so DuckDB's replayed sign bits cannot
+  *     diverge from Spark's.
+  *  3. THE 100 TB STORY: at the gate corpus's deliberately weak
+  *     threshold (planted pairs at cosine 0.40-0.5; sign-LSH ρ≈0.67)
+  *     candidates are unavoidably a large corpus fraction — measured
+  *     and documented, not hidden. At a realistic semantic-dedup
+  *     threshold (0.9, ρ≈0.22, the SemDeDup regime) the SAME operator
+  *     with 16-bit bands reaches recall 1 with a ~100× candidate
+  *     reduction, which is the configuration a 100 TB run would use.
+  */
+class SemanticClusterSpec extends SparkSpec {
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def exactPairs(dir: String): Set[(Long, Long)] =
+    Similarity.queries("q48_embedding_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def lshEdgeSet(dir: String): Set[(Long, Long)] =
+    Similarity.lshEdges(Tables.load(spark, dir, "embeddings"),
+        Similarity.Planes83, Similarity.Bands83, Similarity.Bits83, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q83 edges are a verified subset of the exact all-pairs graph, recall documented") {
+    val exact = exactPairs(sf0001)
+    val lsh = lshEdgeSet(sf0001)
+    assert(lsh.subsetOf(exact),
+      s"false positives survived verification: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    // measured 0.848 (56/66) on sf0.001 for (16 bands x 8 bits,
+    // Hamming-1 probe) at t=0.4 — the ρ≈0.67 regime. The planes are
+    // deterministic so this is a FIXED number; the floor just below
+    // it catches any kernel regression
+    assert(recall >= 0.84, s"recall $recall below documented floor")
+    info(f"t=0.4 recall on sf0.001: $recall%.4f (${lsh.size}/${exact.size})")
+  }
+
+  test("q83 labels equal driver-side union-find over the same edge list") {
+    val edges = lshEdgeSet(sf0001).toSeq.sorted
+    val want = unionFind(edges)
+    val got = Similarity.queries("q83_embedding_clusters_lsh")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("sign-bit determinism margin: min |dot| far above float noise") {
+    val flat = Similarity.Planes83.flatten.toArray
+    val dim = 64
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val vecs = Tables.load(spark, dir, "embeddings")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      var minAbs = Double.MaxValue
+      vecs.foreach { v =>
+        var p = 0
+        while (p < Similarity.Bands83 * Similarity.Bits83) {
+          var dot = 0.0
+          var i = 0
+          val m = math.min(v.length, dim)
+          while (i < m) { dot += v(i) * flat(p * dim + i); i += 1 }
+          minAbs = math.min(minAbs, math.abs(dot))
+          p += 1
+        }
+      }
+      assert(minAbs > 1e-7, s"$dir margin $minAbs too small for cross-engine sign stability")
+    }
+  }
+
+  /** Planted high-similarity corpus: 120 base directions; the first
+    * 40 get a near-duplicate (cosine ≈ 0.995). At t=0.9 with 8 bands
+    * x 16 bits the composition must recover EVERY planted pair while
+    * candidates stay ~1% of all pairs — the sublinear regime a real
+    * semantic-dedup run (SemDeDup-style, t≥0.9) operates in. */
+  test("high-threshold regime: recall 1 with ~100x candidate reduction") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val dim = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = Seq.fill(120)(unit())
+    val rows = bases.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat).toSeq)
+    } ++ bases.take(40).zipWithIndex.map { case (v, i) =>
+      val noise = Array.fill(dim)(rng.nextGaussian() * 0.03)
+      val d = v.zip(noise).map { case (a, b) => a + b }
+      val n = math.sqrt(d.map(x => x * x).sum)
+      ((1000 + i).toLong, d.map(x => (x / n).toFloat).toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val n = rows.size
+
+    // ground truth at t=0.9 (driver-side all-pairs over 160 vectors)
+    val dense = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      (ia, va) <- dense; (ib, vb) <- dense
+      if ia < ib && math.rint(cos(va, vb) * 1e6) / 1e6 >= 0.9
+    } yield (ia, ib)).toSet
+    assert(truth.size >= 40, s"expected >=40 planted pairs, got ${truth.size}")
+
+    val planes = Vectors.quantizedPlanes(8 * 16, dim, seed = 90L)
+    val cands = Similarity.lshCandidates(e, planes, bands = 8, bits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edges = Similarity.lshEdges(e, planes, bands = 8, bits = 16, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === truth, s"missed: ${truth -- edges}; extra: ${edges -- truth}")
+    val candFrac = cands.size.toDouble / (n.toLong * (n - 1) / 2)
+    assert(candFrac < 0.05, s"candidate fraction $candFrac not sublinear-regime")
+    info(f"t=0.9: recall 1.0, candidates ${cands.size} of ${n * (n - 1) / 2} (frac $candFrac%.4f)")
+
+    // and the composed clustering equals driver-side union-find
+    val labels = ConnectedComponents.clusterLabels(
+      Similarity.lshEdges(e, planes, 8, 16, 0.9)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === unionFind(truth.toSeq))
+  }
+
+  test("signBands expression: eval and codegen agree, keys in range") {
+    import spark.implicits._
+    val planes = Vectors.quantizedPlanes(16, 4, seed = 5L)
+    val df = Seq(
+      (1L, Seq(0.5f, -0.25f, 1.5f, 0.125f)),
+      (2L, Seq(-1.0f, 2.0f, -0.5f, 0.75f))).toDF("id", "v")
+    val keys = df.select(SignBands.signBands(col("v"), planes, 4, 4).as("k"))
+      .collect().map(_.getSeq[Int](0))
+    keys.foreach { ks =>
+      assert(ks.length === 4)
+      assert(ks.forall(k => k >= 0 && k < 16))
+    }
+    // driver-side replay of the same arithmetic
+    val flat = planes.flatten.toArray
+    val v0 = Array(0.5, -0.25, 1.5, 0.125)
+    val want = (0 until 4).map { l =>
+      (0 until 4).map { j =>
+        var dot = 0.0
+        for (i <- 0 until 4) dot += v0(i) * flat((l * 4 + j) * 4 + i)
+        if (dot >= 0) 1 << j else 0
+      }.sum
+    }
+    assert(keys(0) === want)
+  }
+}

@@ -12,7 +12,17 @@ engine's ParquetCatalogSource reads natively.
 Usage:
     python3 tools/hdf5_to_parquet.py INPUT.hdf5 OUTPUT.parquet \
         [--group /path/in/file] [--columns a,b,c] [--row-group-size N]
+    python3 tools/hdf5_to_parquet.py INPUT_DIR/ OUTPUT_DIR/ [...]
     python3 tools/hdf5_to_parquet.py --selftest   # requires h5py
+
+Directory mode mirrors the reference's many-file case
+(``identify_opencosmo_files``, src/cosmap/dataset/opencosmo.py:57-65:
+a single ``.hdf5`` file, or a directory globbed for ``*.hdf5``): every
+matched file becomes one ``part-NNNNN-<stem>.parquet`` under
+OUTPUT_DIR, schemas are checked for consistency across files, and the
+resulting directory is ONE parquet dataset Spark reads natively
+(``spark.read.parquet(OUTPUT_DIR)`` — partition-per-file parallelism
+comes for free).
 
 Mapping contract (what the engine-side test pins):
   - every 1-D dataset directly under the chosen group becomes a column
@@ -109,6 +119,44 @@ def convert(input_path, output_path, group="/", columns=None,
     return n_rows, names
 
 
+def identify_hdf5_files(path):
+    """Mirror of the reference's identify_opencosmo_files
+    (src/cosmap/dataset/opencosmo.py:57-65): a single .hdf5 file, or a
+    directory globbed for *.hdf5 (sorted for a stable part order)."""
+    import pathlib
+
+    p = pathlib.Path(path)
+    if p.exists() and p.is_file() and p.suffix == ".hdf5":
+        return [p]
+    if p.exists() and p.is_dir():
+        files = sorted(p.glob("*.hdf5"))
+        if files:
+            return files
+    sys.exit(f"error: unable to identify hdf5 files at path {path}")
+
+
+def convert_many(input_dir, output_dir, group="/", columns=None,
+                 row_group_size=1 << 20):
+    """Directory mode: each *.hdf5 under input_dir -> one parquet part
+    file under output_dir; schema consistency enforced across files."""
+    import os
+
+    files = identify_hdf5_files(input_dir)
+    os.makedirs(output_dir, exist_ok=True)
+    total, ref_cols = 0, None
+    for i, f in enumerate(files):
+        out = os.path.join(output_dir, f"part-{i:05d}-{f.stem}.parquet")
+        n, names = convert(str(f), out, group, columns, row_group_size)
+        if ref_cols is None:
+            ref_cols = names
+        elif set(names) != set(ref_cols):
+            sys.exit(
+                f"error: schema mismatch in {f.name}: {sorted(names)} "
+                f"vs {sorted(ref_cols)} in {files[0].name}")
+        total += n
+    return total, ref_cols, len(files)
+
+
 def selftest():
     """Create a tiny fixture, convert it, verify the round-trip."""
     h5py = _require_h5py()
@@ -135,6 +183,31 @@ def selftest():
         assert b"hdf5.attr.survey" in (t.schema.metadata or {})
         print("selftest OK: 1000 rows, columns", sorted(cols))
 
+        # directory mode: 3 shard files -> one parquet dataset dir
+        import os
+
+        shard_dir = f"{d}/shards"
+        out_dir = f"{d}/dataset"
+        os.makedirs(shard_dir)
+        for s in range(3):
+            with h5py.File(f"{shard_dir}/shard_{s}.hdf5", "w") as f:
+                g = f.create_group("catalog")
+                base = s * 100
+                g.create_dataset(
+                    "object_id", data=np.arange(base, base + 100, dtype="i8"))
+                g.create_dataset(
+                    "ra", data=np.linspace(30.0 + s, 31.0 + s, 100))
+                g.create_dataset(
+                    "dec", data=np.linspace(-11.0, -10.0, 100))
+        total, cols2, nfiles = convert_many(shard_dir, out_dir,
+                                            group="/catalog")
+        td = pq.read_table(out_dir)
+        assert nfiles == 3 and total == 300 and td.num_rows == 300
+        assert set(td.column_names) == {"object_id", "ra", "dec"}
+        ids = sorted(td.column("object_id").to_pylist())
+        assert ids == list(range(300))
+        print("selftest OK: directory mode, 3 shards -> 300-row dataset")
+
 
 def main():
     ap = argparse.ArgumentParser(
@@ -154,9 +227,17 @@ def main():
     if not args.input or not args.output:
         ap.error("input and output are required (or --selftest)")
     cols = args.columns.split(",") if args.columns else None
-    n, names = convert(args.input, args.output, args.group, cols,
-                       args.row_group_size)
-    print(f"wrote {n} rows x {len(names)} columns to {args.output}")
+    import os
+
+    if os.path.isdir(args.input):
+        n, names, k = convert_many(args.input, args.output, args.group,
+                                   cols, args.row_group_size)
+        print(f"wrote {n} rows x {len(names)} columns "
+              f"({k} part files) to {args.output}")
+    else:
+        n, names = convert(args.input, args.output, args.group, cols,
+                           args.row_group_size)
+        print(f"wrote {n} rows x {len(names)} columns to {args.output}")
 
 
 if __name__ == "__main__":
