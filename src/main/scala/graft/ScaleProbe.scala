@@ -69,6 +69,26 @@ object ScaleProbe {
       }
     }.reduce(_ unionByName _)
 
+  /** Null model for character-level (edit-distance) operators:
+    * replica r maps heads through a seeded permutation of
+    * [a-zA-Z0-9]. Bijective ⇒ within-replica edit distances exactly
+    * preserved; distinct permutations ⇒ cross-replica 13-char
+    * segments effectively never equal. */
+  def permutedHeads(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      val base = docs.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        col("source"), substring(col("text"), 1, 40).as("head"))
+      if (r == 0) base
+      else {
+        val alphabet = "abcdefghijklmnopqrstuvwxyz" +
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + "0123456789"
+        val rng = new scala.util.Random(2000 + r)
+        val perm = rng.shuffle(alphabet.toList).mkString
+        base.withColumn("head", translate(col("head"), alphabet, perm))
+      }
+    }.reduce(_ unionByName _)
+
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -119,6 +139,20 @@ object ScaleProbe {
         bucketed.filter(col("vec_id") =!= 0)
           .join(broadcast(q), col("bucket") === col("probe")).count())
 
+      // q84 PassJoin segment-signature candidates. Null model: a
+      // per-replica BIJECTIVE CHARACTER PERMUTATION — edit distance
+      // is invariant under injective char renaming, so within-replica
+      // pair structure is exactly preserved while cross-replica
+      // segments cannot collide. (The token-salt model used for the
+      // gram probes is wrong here: suffix injection floods heads with
+      // shared salt characters and manufactures segment collisions —
+      // measured α=2.12 artifact before this model.)
+      val heads = permutedHeads(docs0, k).cache()
+      heads.count()
+      val (c84, t84) = timed(
+        graft.operators.Workloads.passJoinCandidates(heads).count())
+      heads.unpersist()
+
       // q83 composed path, signed-permutation null model.
       // (a) the gate configuration (16x8, t=0.4): candidates are a
       //     ~constant corpus fraction — the honest ρ≈0.67 price of the
@@ -144,11 +178,12 @@ object ScaleProbe {
         s""""q46_simhash_cand":$c46,"q79_simhash_wide_cand":$c46w,""" +
         s""""q49_ann_cand":$c49,""" +
         s""""q83_fixed_cand":$c83,"q83_adaptive_cand":$c83a,"q83_adaptive_bits":$bitsA,""" +
-        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f,"q83":$t83%.2f,"q83a":$t83a%.2f}}"""
+        s""""q84_passjoin_cand":$c84,""" +
+        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f,"q83":$t83%.2f,"q83a":$t83a%.2f,"q84":$t84%.2f}}"""
       println(line)
       (k, Map("q44" -> c44, "q45" -> c45, "q46" -> c46,
         "q79" -> c46w, "q49" -> c49, "q83_fixed" -> c83,
-        "q83_adaptive" -> c83a))
+        "q83_adaptive" -> c83a, "q84" -> c84))
     }
 
     // growth exponent α over the widest span: candidates ∝ n^α

@@ -68,6 +68,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("cosinesimilarity"), p)
   }
 
+  test("q84: PassJoin candidate join is an equi-join on segment signatures") {
+    val p = executedPlan("q84_passjoin_edit2")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // verification is threshold levenshtein (banded DP), on candidates only
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("q65: banded join stays an equi-join with no distinct re-shuffle") {
     val p = executedPlan("q65_edit_distance")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
