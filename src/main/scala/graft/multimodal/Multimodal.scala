@@ -21,6 +21,10 @@ final case class ImageFeatures(id: Long, width: Int, height: Int,
                                mean_r: Double, mean_g: Double, mean_b: Double,
                                lum_hist: Array[Double])
 
+final case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
+                               n_frames: Long, duration_ms: Double,
+                               rms: Double, zero_crossings: Long)
+
 /** Multimodal-column plumbing: decode / feature-extract / resize /
   * frame-sample over `binary` payload columns.
   *
@@ -41,8 +45,12 @@ final case class ImageFeatures(id: Long, width: Int, height: Int,
   *    histogram kept ALONGSIDE the real codec because the driver's
   *    DuckDB oracle can replay it (`hex(encode(text))`) — it is the
   *    oracle-checkable projection of the pipeline, not a placeholder
-  *    for missing capability. Audio/video codecs remain out of scope
-  *    (none in the JDK); their plumbing shape is `frameSample`.
+  *    for missing capability.
+  *  - REAL audio path (`decodeAudio` / `extractAudioFeatures`):
+  *    WAV/AIFF/AU 16-bit PCM via `javax.sound.sampled` (also
+  *    JDK-native) — sample rate, duration, RMS, zero crossings.
+  *    Video codecs remain out of scope (none in the JDK); their
+  *    plumbing shape is `frameSample`.
   */
 object Multimodal {
 
@@ -162,6 +170,70 @@ object Multimodal {
             m.copy(payload = bos.toByteArray,
               meta = m.meta + ("resized" -> s"${width}x$height"))
           case None => m
+        }
+      }
+    }
+  }
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU
+    * containers, PCM payloads). None for undecodable payloads. */
+  def decodeAudio(payload: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
+    try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+    catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Real audio features for 16-bit PCM: sample rate, channel count,
+    * frame count, duration, RMS amplitude (normalized to [-1, 1]) and
+    * zero-crossing count over channel 0 — the standard cheap audio
+    * quality/energy profile. Non-audio and non-16-bit-PCM payloads
+    * skip (None), so a mixed corpus never throws. */
+  def extractAudioFeatures(media: Dataset[Media]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        decodeAudio(m.payload).flatMap { in =>
+          val fmt = in.getFormat
+          val ok = fmt.getSampleSizeInBits == 16 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (!ok) { in.close(); None }
+          else {
+            val bytes = in.readAllBytes(); in.close()
+            val ch = fmt.getChannels
+            val frameBytes = 2 * ch
+            val nFrames = bytes.length / frameBytes
+            val big = fmt.isBigEndian
+            def sample(frame: Int, channel: Int): Int = {
+              val o = frame * frameBytes + channel * 2
+              if (big) (bytes(o) << 8) | (bytes(o + 1) & 0xFF)
+              else (bytes(o + 1) << 8) | (bytes(o) & 0xFF)
+            }
+            var sumSq = 0.0
+            var zc = 0L
+            var prevSign = 0
+            var f = 0
+            while (f < nFrames) {
+              var c = 0
+              while (c < ch) {
+                val v = sample(f, c) / 32768.0
+                sumSq += v * v
+                c += 1
+              }
+              val s0 = sample(f, 0)
+              val sign = if (s0 > 0) 1 else if (s0 < 0) -1 else 0
+              if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+              if (sign != 0) prevSign = sign
+              f += 1
+            }
+            val rms =
+              if (nFrames == 0) 0.0
+              else math.sqrt(sumSq / (nFrames.toLong * ch))
+            Some(AudioFeatures(m.id, fmt.getSampleRate.toInt, ch,
+              nFrames.toLong, nFrames * 1000.0 / fmt.getSampleRate, rms, zc))
+          }
         }
       }
     }

@@ -188,9 +188,49 @@ object TextAnalysis {
         .agg(countDistinct(col("g")).as("n_shared_grams"),
           min(col("bench_id")).as("first_bench_id"))
     },
+
+    // -- CCNet-style unigram-LM quality score: per-doc mean token
+    //    surprisal -ln p(tok) under the corpus unigram MLE. High
+    //    surprisal ⇒ rare/garbled vocabulary; low ⇒ boilerplate. The
+    //    per-token surprisal is quantized to integer micro-nats
+    //    BEFORE summation (double sums are accumulation-order-
+    //    dependent — integer sums are exact on any engine and any
+    //    partitioning; the mean is an integer div for the same
+    //    reason). Plan: one token groupBy (map-side combined), one
+    //    broadcast scalar, one inverted-index join, one doc groupBy —
+    //    every stage keyed, nothing all-pairs. --
+    "q85_unigram_surprisal" -> { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      toks.join(uni, "tok")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(log(col("n").cast("double") / col("c")) * 1000000)
+            .cast("long").as("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("ssum"))
+        .selectExpr("doc_id", "n_tokens",
+          "ssum div n_tokens AS mean_surprisal_unats")
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |per AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) AS s
+        |  FROM toks JOIN uni USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(s) AS BIGINT) // count(*) AS mean_surprisal_unats
+        |FROM per GROUP BY doc_id""".stripMargin,
+
     "q40_text_stats" ->
       """SELECT doc_id,
         |  len(string_split_regex(text, '\s+')) AS n_tokens,

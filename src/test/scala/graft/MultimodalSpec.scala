@@ -112,6 +112,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Write a real WAV in memory: mono 16-bit PCM sine wave. */
+  private def wav(sampleRate: Int, freqHz: Double, amplitude: Double,
+      nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val data = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v = (amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate)
+        * 32767).toInt.toShort
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real audio codec: decodes drawn WAV exactly (rate, frames, rms, zero crossings)") {
+    val tone = wav(sampleRate = 8000, freqHz = 440, amplitude = 0.25, nFrames = 1600)
+    val silence = wav(8000, 440, 0.0, 800)
+    val mixed = mediaOf(1L -> tone, 2L -> silence, 3L -> "not audio".getBytes("UTF-8"))
+    val feats = Multimodal.extractAudioFeatures(mixed).collect().sortBy(_.id)
+    assert(feats.map(_.id).toSeq === Seq(1L, 2L))
+    val t = feats(0)
+    assert(t.sample_rate === 8000 && t.channels === 1 && t.n_frames === 1600L)
+    assert(t.duration_ms === 200.0)
+    // sine RMS = amplitude/sqrt(2); quantization keeps it within 1%
+    assert(math.abs(t.rms - 0.25 / math.sqrt(2.0)) < 0.0025, t.rms)
+    // 440 Hz over 0.2 s: 88 full periods -> 2 sign flips each
+    assert(math.abs(t.zero_crossings - 176L) <= 1, t.zero_crossings)
+    val s = feats(1)
+    assert(s.rms === 0.0 && s.zero_crossings === 0L && s.n_frames === 800L)
+  }
+
   test("features flow back into DataFrame surface for downstream joins") {
     val feats = Multimodal.extractFeatures(media).toDF()
     val joined = feats.join(

@@ -78,4 +78,29 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getLong(2) % 97 === 0L)
     }
   }
+
+  test("unigram surprisal: hand-computed replay on a mini corpus; rare beats common") {
+    import spark.implicits._
+    // corpus: "a a b" + "a c" → counts a=3, b=1, c=1, N=5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tmp_docs_q85")
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    val got = toks.join(uni, "tok").crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("n").cast("double") / col("c")) * 1000000)
+          .cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("ssum"))
+      .selectExpr("doc_id", "n_tokens", "ssum div n_tokens AS m")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def u(p: Double) = math.rint(math.log(1.0 / p) * 1e6).toLong
+    // doc 1: tokens a,a,b → (2·u(3/5) + u(1/5)) div 3
+    assert(got(1L) === ((3L, (2 * u(3.0 / 5) + u(1.0 / 5)) / 3)))
+    // doc 2: tokens a,c → (u(3/5) + u(1/5)) div 2, higher mean than doc 1
+    assert(got(2L) === ((2L, (u(3.0 / 5) + u(1.0 / 5)) / 2)))
+    assert(got(2L)._2 > got(1L)._2)
+  }
 }
