@@ -49,8 +49,11 @@ final case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
   *  - REAL audio path (`decodeAudio` / `extractAudioFeatures`):
   *    WAV/AIFF/AU 16-bit PCM via `javax.sound.sampled` (also
   *    JDK-native) — sample rate, duration, RMS, zero crossings.
-  *    Video codecs remain out of scope (none in the JDK); their
-  *    plumbing shape is `frameSample`.
+  *  - REAL video path (`aviVideoFrames` / `frameSampleVideo`):
+  *    MJPEG-in-AVI — pure-JVM RIFF container walk, frames decoded by
+  *    the imageio JPEG path. (Inter-frame codecs like H.264 have no
+  *    JDK decoder; for those the byte-chunk `frameSample` remains the
+  *    plumbing shape.)
   */
 object Multimodal {
 
@@ -235,6 +238,57 @@ object Multimodal {
               nFrames.toLong, nFrames * 1000.0 / fmt.getSampleRate, rms, zc))
           }
         }
+      }
+    }
+  }
+
+  /** REAL video container path: MJPEG-in-AVI. AVI is a RIFF file —
+    * fourcc + little-endian size chunks, video frames in the 'movi'
+    * LIST as 'NNdc'/'NNdb' chunks whose payloads are plain JPEGs for
+    * the MJPEG codec — so a pure-JVM RIFF walk plus the imageio JPEG
+    * decoder gives real frame extraction with zero new dependencies.
+    * Undecodable payloads yield Nil (mixed corpora never throw). */
+  def aviVideoFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    def u32(o: Int): Long =
+      (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+        ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+    def fourcc(o: Int): String =
+      new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def isVideoChunk(cc: String): Boolean =
+      cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+        (cc.substring(2) == "dc" || cc.substring(2) == "db")
+    // walk a run of sibling chunks in [from, until)
+    def walk(from: Int, until: Int): Unit = {
+      var o = from
+      while (o + 8 <= until) {
+        val cc = fourcc(o)
+        val size = u32(o + 4).toInt
+        val dataStart = o + 8
+        val dataEnd = math.min(dataStart + size, until)
+        if (dataEnd < dataStart) return  // corrupt size: stop cleanly
+        if (cc == "LIST" && size >= 4) {
+          walk(dataStart + 4, dataEnd) // skip the 4-byte list type
+        } else if (isVideoChunk(cc) && size > 0) {
+          frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+        }
+        o = dataStart + size + (size & 1) // chunks pad to even
+      }
+    }
+    if (payload.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
+      walk(12, math.min(payload.length, 8 + u32(4).toInt + 8))
+    frames.toSeq
+  }
+
+  /** Real video frame-sampling: parse the AVI container, keep every
+    * `everyN`-th frame as its raw JPEG payload (decodable downstream
+    * by [[extractImageFeatures]]). Non-AVI payloads emit no rows. */
+  def frameSampleVideo(media: Dataset[Media], everyN: Int): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      aviVideoFrames(m.payload).zipWithIndex.collect {
+        case (jpeg, idx) if idx % everyN == 0 => MediaFrame(m.id, idx, jpeg)
       }
     }
   }

@@ -148,6 +148,63 @@ class MultimodalSpec extends SparkSpec {
     assert(s.rms === 0.0 && s.zero_crossings === 0L && s.n_frames === 800L)
   }
 
+  /** Encode a JPEG in memory. */
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal-but-well-formed MJPEG AVI: RIFF('AVI ' LIST('hdrl' avih)
+    * LIST('movi' 00dc...)) with little-endian sizes + even padding. */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    val avih = chunk("avih", new Array[Byte](56))
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ avih)
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  test("real video path: MJPEG AVI frames parse, sample, and decode to pixels") {
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF, 0x000000)
+    val avi = mjpegAvi(colors.map(c => jpeg(8, 8, c)))
+    // container walk finds every frame in order
+    val frames = Multimodal.aviVideoFrames(avi)
+    assert(frames.length === 5)
+    // distributed sampling keeps every 2nd frame with its index
+    val sampled = Multimodal.frameSampleVideo(mediaOf(3L -> avi), everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    // frames are real JPEGs: decode one and check the dominant color
+    // (JPEG is lossy — solid red decodes near (255, 0, 0))
+    val feats = Multimodal.extractImageFeatures(
+      mediaOf(sampled.map(f => f.frame_idx.toLong -> f.frame): _*))
+      .collect().sortBy(_.id)
+    assert(feats.length === 3)
+    val red = feats(0)
+    assert(red.width === 8 && red.height === 8)
+    assert(red.mean_r > 220 && red.mean_g < 40 && red.mean_b < 40,
+      s"(${red.mean_r}, ${red.mean_g}, ${red.mean_b})")
+    // non-AVI payloads produce no frames
+    assert(Multimodal.aviVideoFrames("not a riff".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.frameSampleVideo(
+      mediaOf(9L -> "junk".getBytes("UTF-8")), 1).collect().isEmpty)
+  }
+
   test("features flow back into DataFrame surface for downstream joins") {
     val feats = Multimodal.extractFeatures(media).toDF()
     val joined = feats.join(
