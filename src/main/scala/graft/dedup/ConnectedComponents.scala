@@ -47,9 +47,15 @@ object ConnectedComponents {
     // round (exponential analysis blowup; OOMs the driver around
     // round 6). At cluster scale swap for reliable checkpoint() with
     // a checkpoint dir; the algorithm is unchanged.
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // initial labels fused with the first propagation: against the
+    // identity labeling, a round's neighbor-min join is just
+    // min(dst) per src — one aggregate, no join — so the loop below
+    // starts one round ahead and near-dup graphs (tiny components)
+    // typically converge in one confirming iteration instead of two
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+      .select(col("src").as("doc_id"), col("cluster_id"))
       .localCheckpoint(true)
     var converged = false
     var round = 0
