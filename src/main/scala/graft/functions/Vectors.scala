@@ -53,6 +53,49 @@ object Vectors {
   def probeBuckets(bucket: Column, nPlanes: Int): Column =
     array(bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(lit(1 << i))): _*)
 
+  /** Deterministic driver-side k-means (Lloyd's, cosine assignment,
+    * init = first k samples, fixed iteration count) for IVF coarse
+    * quantization. Runs on a bounded SAMPLE on the driver — the
+    * standard IVF practice (FAISS trains centroids on a sample, then
+    * assigns the corpus distributed) and the engine's Setup-block
+    * pattern: compute small constants once, broadcast into the
+    * distributed plan. Pure sequential arithmetic in a fixed order —
+    * bit-deterministic on any machine. */
+  def kmeansCentroids(samples: Seq[Array[Double]], k: Int,
+      iters: Int): Seq[Seq[Double]] = {
+    require(samples.nonEmpty, "kmeans needs a non-empty sample")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val xs = samples.map(normalize).toArray
+    val kk = math.min(k, xs.length)
+    var cents = Array.tabulate(kk)(i => xs(i).clone())
+    for (_ <- 0 until iters) {
+      val cn = cents.map(normalize)
+      val sums = Array.fill(kk)(new Array[Double](xs(0).length))
+      val counts = new Array[Int](kk)
+      xs.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * cn(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    cents.map(normalize(_).toSeq).toSeq
+  }
+
   /** Deterministic hyperplanes with entries quantized to the 0.001
     * grid (k/1000 for integer k). Quantization does not change the
     * LSH family (signs of dots with any centrally-symmetric random

@@ -131,6 +131,43 @@ object Similarity {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
     },
 
+    // -- ANN via IVF coarse quantization (the OTHER scale path the
+    //    brief names alongside LSH): deterministic k-means centroids
+    //    trained driver-side on a bounded 256-vector sample (the
+    //    FAISS/Setup-block pattern — NOT an unbounded collect; see
+    //    Vectors.kmeansCentroids), corpus assigned to its nearest
+    //    centroid distributed, query probes its nprobe=4 nearest
+    //    cells, exact cosine re-ranks candidates only. rows-only;
+    //    SimilaritySpec pins recall=0.9 vs brute force at ~25%
+    //    candidates scanned. --
+    "q86_ann_ivf" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val sample = e.orderBy(col("vec_id")).limit(256)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+      val cents = Vectors.kmeansCentroids(sample, k = 16, iters = 10)
+      def cell(v: org.apache.spark.sql.Column) = {
+        val sims = array(cents.map(c =>
+          VectorExprs.cosineFast(v, typedlit(c))): _*)
+        (array_position(sims, array_max(sims)) - 1).cast("int")
+      }
+      val assigned = e.select(col("vec_id"), col("label"),
+        col("embedding"), cell(col("embedding")).as("cell"))
+      val qRow = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+        .map(_.toDouble).toArray
+      val qn = { val n = math.sqrt(qRow.map(x => x * x).sum); qRow.map(_ / n) }
+      val probes = cents.zipWithIndex
+        .map { case (c, i) => (i, c.zip(qn).map { case (a, b) => a * b }.sum) }
+        .sortBy(-_._2).take(4).map(_._1)
+      assigned.filter(col("vec_id") =!= 0 && col("cell").isin(probes: _*))
+        .select(col("vec_id"), col("label"),
+          round(VectorExprs.cosineFast(col("embedding"), typedlit(qRow.toSeq)), 6)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // -- ANN via sign-LSH buckets + Hamming-1 multi-probe (rows-only;
     //    SimilaritySpec pins recall vs the brute-force baseline) --
     "q49_ann_lsh" -> { (s, dir) =>

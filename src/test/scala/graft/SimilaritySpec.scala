@@ -37,6 +37,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"multi-probe LSH recall too low: $recall")
   }
 
+  test("IVF ANN: scores exact for returned ids; recall 0.9 vs brute force") {
+    val brute = Similarity.queries("q47_cosine_topk")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ivf = Similarity.queries("q86_ann_ivf")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    ivf.foreach { case (id, s) =>
+      brute.get(id).foreach(bs => assert(bs === s, s"score mismatch for $id"))
+    }
+    val recall = ivf.keySet.intersect(brute.keySet).size / 10.0
+    // measured 0.9 with K=16/nprobe=4 at every scale (deterministic
+    // centroids: sequential Lloyd's, first-K init); floor just below
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
+  }
+
+  test("kmeansCentroids: deterministic, normalized, covers the sample") {
+    val rng = new scala.util.Random(11)
+    val sample = Seq.fill(64)(Array.fill(8)(rng.nextGaussian()))
+    val a = graft.functions.Vectors.kmeansCentroids(sample, k = 4, iters = 5)
+    val b = graft.functions.Vectors.kmeansCentroids(sample.map(_.clone()), k = 4, iters = 5)
+    assert(a === b)
+    assert(a.length === 4)
+    a.foreach { c =>
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("probeBuckets covers hamming-1 neighborhood") {
     import spark.implicits._
     val buckets = Seq(0b1010).toDF("b")
