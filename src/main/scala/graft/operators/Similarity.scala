@@ -30,9 +30,9 @@ object Similarity {
     * operator is sublinear with recall 1, which SemanticClusterSpec
     * demonstrates on a planted high-similarity corpus and ScaleProbe
     * measures under corpus replication. */
-  private[graft] val Bits83 = 8
-  private[graft] val Bands83 = 16
-  private[graft] val Planes83: Seq[Seq[Double]] =
+  val Bits83 = 8
+  val Bands83 = 16
+  val Planes83: Seq[Seq[Double]] =
     Vectors.quantizedPlanes(Bands83 * Bits83, dim = 64, seed = 83L)
 
   /** Sign-LSH candidate pairs (vec_a < vec_b): band-key equi-join
