@@ -138,6 +138,45 @@ class StreamStaticJoinSpec extends SparkSpec {
 /** Streaming deduplication: dropDuplicates keyed on event_id with a
   * watermark bounding the dedup state. */
 class StreamingDedupSpec extends SparkSpec {
+
+  test("sketch-based streaming near-dup: simhash-keyed dropDuplicates == batch sketch dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // documents arriving as micro-batches; near-dups (same simhash
+    // fingerprint) must be emitted once across batch boundaries —
+    // the streaming form of the q46 sketch keyed by the SAME codegen
+    // expression, so stream and batch agree by construction
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graftsndup")
+    val watch = tmp.resolve("in"); java.nio.file.Files.createDirectories(watch)
+    docs.limit(200).coalesce(1).write.parquet(watch.resolve("b0").toString)
+    val fp = graft.functions.SimHash.simhash64(
+      graft.functions.Text.tokens(col("text")))
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString + "/*")
+      .withColumn("fp", fp)
+      .dropDuplicates("fp")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("t_ndup").start()
+    q.processAllAvailable()
+    // second batch: the same 200 docs again plus 100 new ones —
+    // every re-arrival shares a fingerprint and must be suppressed
+    docs.limit(300).coalesce(1).write.mode("append")
+      .parquet(watch.resolve("b1").toString)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_ndup").select("fp")
+      .collect().map(_.getLong(0)).sorted
+    val batch = docs.limit(300).select(fp.as("fp")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(streamed.length === streamed.distinct.length, "stream emitted a fp twice")
+    assert(streamed.toSet === batch.toSet,
+      "streaming sketch dedup diverged from batch sketch dedup")
+  }
+
   test("duplicate events across micro-batches are emitted once") {
     val tmp = java.nio.file.Files.createTempDirectory("graftsdedup")
     val watch = tmp.resolve("in"); java.nio.file.Files.createDirectories(watch)
