@@ -31,8 +31,30 @@ object ParquetCatalogSource extends CatalogSource {
 
 object Hdf5CatalogSource extends CatalogSource {
   val format = "hdf5"
+
+  /** Where `tools/hdf5_to_parquet.py <path> <here>` conventionally
+    * lands: `catalog.hdf5` → `catalog.parquet` beside it (file or
+    * multi-part directory), or `shards/` → `shards.parquet`. */
+  private[sources] def convertedSibling(path: String): Option[java.nio.file.Path] = {
+    val raw = path.stripSuffix("/")
+    val base = if (raw.endsWith(".hdf5")) raw.dropRight(5) else raw
+    Seq(base + ".parquet", raw + ".parquet")
+      .map(java.nio.file.Paths.get(_)).distinct
+      .find(java.nio.file.Files.exists(_))
+  }
+
+  /** A reference user pointing at `.hdf5` data gets a WORKING load if
+    * the one-time conversion has been run with the conventional
+    * output location — the seam resolves the converted sibling
+    * transparently (and logs that it did). Only when no conversion
+    * exists does it raise the actionable error. */
   def load(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
-    throw new UnsupportedOperationException(
+    convertedSibling(path) match {
+      case Some(pq) =>
+        Console.err.println(
+          s"[graft.sources] hdf5 source: resolving converted dataset $pq for $path")
+        ParquetCatalogSource.load(spark, pq.toString, columns)
+      case None => throw new UnsupportedOperationException(
       "HDF5 ingest is not available in this build: convert to Parquet " +
         "once with `python3 tools/hdf5_to_parquet.py <in.hdf5> <out.parquet> " +
         "[--group /catalog]` (each 1-D dataset under the group becomes a " +
@@ -40,8 +62,11 @@ object Hdf5CatalogSource extends CatalogSource {
         ".hdf5 shards converts the same way (`... <dir_in>/ <dir_out>/`, " +
         "mirroring the reference's identify_opencosmo_files glob) into one " +
         "multi-part parquet dataset — then load the result with the parquet " +
-        "source, or register a DataSourceV2 implementation here. The " +
-        "engine's query surface is format-agnostic beyond this seam.")
+        "source (this seam auto-resolves a converted sibling named " +
+        "<path-minus-.hdf5>.parquet), or register a DataSourceV2 " +
+        "implementation here. The engine's query surface is " +
+        "format-agnostic beyond this seam.")
+    }
 }
 
 object CatalogSources {

@@ -188,6 +188,25 @@ class ControlPlaneSpec extends SparkSpec {
     assert(e.getMessage.contains("hdf5_to_parquet.py"))
   }
 
+  test("hdf5 route: converted sibling auto-resolves so .hdf5 paths load") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_h5_sib")
+    // the converter's conventional output for cat.hdf5 is cat.parquet
+    val pq = dir.resolve("cat.parquet").toString
+    Seq((7L, 31.1, -10.9), (8L, 31.2, -10.8)).toDF("object_id", "ra", "dec")
+      .write.parquet(pq)
+    val loaded = graft.sources.CatalogSources("hdf5")
+      .load(spark, dir.resolve("cat.hdf5").toString, columns = Seq("object_id"))
+    assert(loaded.columns.toSeq === Seq("object_id"))
+    assert(loaded.count() === 2)
+    // no sibling -> still the actionable error
+    val e2 = intercept[UnsupportedOperationException] {
+      graft.sources.CatalogSources("hdf5")
+        .load(spark, dir.resolve("missing.hdf5").toString)
+    }
+    assert(e2.getMessage.contains("hdf5_to_parquet.py"))
+  }
+
   test("hdf5 route: directory mode glob fails loud; multi-part output is one dataset") {
     import scala.sys.process._
     // directory-mode file identification runs BEFORE any h5py import
