@@ -19,18 +19,25 @@ object Workloads {
     * edit distance ≤ k over a `head` column (Li et al., ICDE'11 —
     * "PASS-JOIN: a partition-based method for similarity joins").
     *
-    * Each string is split into k+1 near-even segments. Pigeonhole: if
-    * ed(a, b) ≤ k, at most k segments can be touched by edits, so b
-    * contains at least one of a's segments VERBATIM, starting within
-    * ±k of its position in a (±(k + maxLenDiff) when lengths differ —
-    * we enumerate δ ∈ [-2k, 2k] as a safe superset, lossless because
-    * every candidate is verified with threshold levenshtein). The
-    * candidate join is an equi-join on (seg_id, segment-string) — an
-    * inverted segment index, never an all-pairs comparison: unlike
-    * q65's head-30 length-band blocking (sound for its k=10/band=100
-    * regime but still comparing every same-band pair), the k+1-
-    * segment signature prunes structurally at small k, the round-2
-    * verdict's generalization gap. */
+    * Each string is split into k+1 near-even segments BY ITS OWN
+    * LENGTH. Pigeonhole: if ed(a, b) ≤ k, at most k segments of a are
+    * touched by edits, so b contains at least one of a's segments
+    * VERBATIM, starting within ±k of its position in a. Both that
+    * position AND the segment's width are functions of |a|, which the
+    * probing side does not know — only that |a| ∈ [|b|−k, |b|+k] — so
+    * b enumerates windows for EVERY hypothetical partner length d ∈
+    * [−k, k]: width and base position derived from |b|+d, start
+    * shifted by ±k. (Deriving widths from |b| alone silently loses
+    * pairs whose unedited segment is the one whose width differs —
+    * found by the randomized-edits spec, invisible on a fixed-length
+    * corpus.) The candidate join is an equi-join on (seg_id,
+    * segment-string) — an inverted segment index, never an all-pairs
+    * comparison: unlike q65's head-30 length-band blocking (sound for
+    * its k=10/band=100 regime but still comparing every same-band
+    * pair), the k+1-segment signature prunes structurally at small k,
+    * the round-2 verdict's generalization gap. Every candidate is
+    * verified with threshold levenshtein, so the enumeration being a
+    * superset never costs exactness. */
   private val PassK = 2
   def passJoinCandidates(d: DataFrame): DataFrame = {
     val nSeg = PassK + 1
@@ -46,20 +53,37 @@ object Workloads {
       posexplode(array((0 until nSeg).map(i =>
         col("head").substr(segPos(i), segWidth(i))): _*)))
       .withColumnRenamed("pos", "seg_id").withColumnRenamed("col", "seg")
-    // substring side: windows of the partner segment's width at
-    // shifted positions (δ covers position drift from edits ≤ k plus
-    // length difference ≤ k between partners)
-    val deltas = (-2 * PassK to 2 * PassK).toSeq
+    // substring side: for each hypothetical partner length |b|+d
+    // (|d| ≤ k), windows with the width and base position THAT length
+    // implies for segment i. Position ranges use the boundary
+    // analysis: an UNTOUCHED segment 0 starts at 1 in both strings
+    // and can only be pushed RIGHT by insertions before it (start ∈
+    // [1, 1+k]); an untouched LAST segment's image ends at the
+    // partner's end up to k trailing insertions (end ∈ [|b|−k, |b|]);
+    // only middle segments need the full ±k drift. This both tightens
+    // the candidate set and keeps the expression count small.
+    val windows: Seq[Column] = (0 until nSeg).flatMap { i =>
+      (-PassK to PassK).flatMap { dd =>
+        val lenA = len + dd
+        val segLenA = floor(lenA / nSeg).cast("int")
+        val w: Column =
+          if (i == nSeg - 1) (lenA - segLenA * (nSeg - 1)).cast("int")
+          else segLenA
+        val starts: Seq[Column] =
+          if (i == 0) (0 to PassK).map(s => lit(1) + s)
+          else if (i == nSeg - 1) (0 to PassK).map(t => len - w + 1 - t)
+          else (-PassK to PassK).map(sh => segLenA * i + 1 + sh)
+        starts.map { p =>
+          when(w >= 1 && p >= 1 && (p + w - lit(1)) <= len,
+            struct(lit(i).as("i"), col("head").substr(p, w).as("s")))
+        }
+      }
+    }
     val sub = d.select(col("doc_id"), col("source"), col("head"),
-      posexplode(array((0 until nSeg).flatMap(i => deltas.map { dlt =>
-        val p = segPos(i) + dlt
-        val w = segWidth(i)
-        when(p >= 1 && (p + w - lit(1)) <= len, col("head").substr(p, w))
-      }): _*)))
-      .filter(col("col").isNotNull)
-      .withColumn("seg_id", floor(col("pos") / deltas.size).cast("int"))
+      explode(array(windows: _*)).as("win"))
+      .filter(col("win").isNotNull)
       .select(col("doc_id"), col("source"), col("head"),
-        col("seg_id"), col("col").as("seg"))
+        col("win.i").as("seg_id"), col("win.s").as("seg"))
     sig.as("a").join(sub.as("b"),
         col("a.seg_id") === col("b.seg_id") && col("a.seg") === col("b.seg") &&
           col("a.source") === col("b.source") &&

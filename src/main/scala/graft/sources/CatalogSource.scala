@@ -69,9 +69,29 @@ object Hdf5CatalogSource extends CatalogSource {
     }
 }
 
+/** Text/columnar formats Spark reads natively, registered behind the
+  * same seam so the ingest surface matches the sink registry
+  * (Sinks.write: csv/parquet/json/orc). CSV/JSON load with
+  * header/schema inference — fine for catalog ingest; production
+  * callers pass an explicit schema via the parquet conversion path. */
+final class SparkFormatCatalogSource(val format: String) extends CatalogSource {
+  def load(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
+    val reader = spark.read
+    val df = format match {
+      case "csv" => reader.option("header", "true").option("inferSchema", "true").csv(path)
+      case "json" => reader.json(path)
+      case "orc" => reader.orc(path)
+      case other => throw new IllegalArgumentException(s"unsupported format $other")
+    }
+    if (columns.isEmpty) df else df.select(columns.map(org.apache.spark.sql.functions.col): _*)
+  }
+}
+
 object CatalogSources {
   private val registry: Map[String, CatalogSource] =
-    Seq(ParquetCatalogSource, Hdf5CatalogSource).map(s => s.format -> s).toMap
+    (Seq(ParquetCatalogSource, Hdf5CatalogSource) ++
+      Seq("csv", "json", "orc").map(new SparkFormatCatalogSource(_)))
+      .map(s => s.format -> s).toMap
 
   def apply(format: String): CatalogSource =
     registry.getOrElse(format, throw new IllegalArgumentException(

@@ -251,6 +251,21 @@ class ControlPlaneSpec extends SparkSpec {
       === Array(0L, 1L, 2L, 3L))
   }
 
+  test("catalog sources: csv/json/orc round-trip through the seam with projection") {
+    import spark.implicits._
+    val df = Seq((1L, 30.5, "a"), (2L, 31.5, "b")).toDF("object_id", "ra", "tag")
+    val base = Files.createTempDirectory("graft_fmt")
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val p = base.resolve(fmt).toString
+      graft.output.Sinks.write(df, p, fmt)
+      val back = graft.sources.CatalogSources(fmt)
+        .load(spark, p, columns = Seq("object_id", "tag"))
+      assert(back.columns.toSeq === Seq("object_id", "tag"), fmt)
+      assert(back.select("tag").collect().map(_.getString(0)).sorted
+        === Array("a", "b"), fmt)
+    }
+  }
+
   test("validSplit: null-safe predicate split, nothing lost") {
     import spark.implicits._
     val df = Seq[(Long, java.lang.Double)](

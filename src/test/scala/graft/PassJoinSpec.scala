@@ -34,6 +34,40 @@ class PassJoinSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("randomized completeness: 150 random <=2-edit pairs, output equals naive exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(84)
+    val alpha = "abcdefghijklmnopqrstuvwxyz "
+    def randStr(n: Int) = Seq.fill(n)(alpha(rng.nextInt(alpha.length))).mkString
+    def edit(s: String): String = rng.nextInt(3) match {
+      case 0 if s.nonEmpty => // substitute
+        val i = rng.nextInt(s.length)
+        s.updated(i, alpha(rng.nextInt(alpha.length)))
+      case 1 if s.nonEmpty => s.patch(rng.nextInt(s.length), "", 1) // delete
+      case _ => s.patch(rng.nextInt(s.length + 1),
+        alpha(rng.nextInt(alpha.length)).toString, 0) // insert
+    }
+    val rows = (0 until 150).flatMap { i =>
+      val base = randStr(30 + rng.nextInt(21))
+      var v = base
+      for (_ <- 0 until rng.nextInt(3)) v = edit(v)
+      Seq((2L * i, base), (2L * i + 1, v))
+    }
+    val truth = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows
+      if ia < ib && lev(ha, hb) <= 2
+    } yield (ia, ib, lev(ha, hb))).toSet
+    assert(truth.size >= 100, s"weak fixture: only ${truth.size} true pairs")
+    val d = rows.toDF("doc_id", "head").withColumn("source", lit("s"))
+    val got = Workloads.passJoinCandidates(d)
+      .withColumn("edit_dist", levenshtein(col("head_a"), col("head_b"), 2))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= 2)
+      .select("doc_a", "doc_b", "edit_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === truth,
+      s"missed: ${(truth -- got).take(5)}; extra: ${(got -- truth).take(5)}")
+  }
+
   test("adversarial segment shifts: all ed<=2 variants found, ed=3 excluded") {
     import spark.implicits._
     val base = "the quick brown fox jumps over lazy dogs"
