@@ -10,11 +10,23 @@ import org.apache.spark.sql.SparkSession
   * Session config mirrors the 100 TB posture scaled to one node:
   * AQE on (runtime re-planning, skew joins, coalesced shuffle
   * partitions), shuffle partitions = cores (not the 200 default).
+  *
+  * Noise robustness (round-3 verdict #1b): two rounds of BENCH_rN
+  * were contaminated by external machine load that consecutive
+  * best-of-2 repeats cannot see through — a load spike covers both
+  * back-to-back runs of the same query. Repeats are therefore
+  * INTERLEAVED (pass 1 over the whole suite, then pass 2, ...), so a
+  * contaminated window hits different queries in each pass and the
+  * per-query MIN across passes recovers the clean number; the JSON
+  * carries every pass's raw times plus a /proc-style system load
+  * stamp at each pass boundary, so a poisoned window is self-evident
+  * in the record rather than a cross-round forensic exercise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -24,6 +36,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
 
     def execute(name: String): Double = {
       val t0 = System.nanoTime()
@@ -51,16 +67,29 @@ object Bench {
       case Some(f) => f.split(',').toSeq.filter(SparkEntry.queries.contains)
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
-    // best-of-2: the environment is shared/noisy; min wall time is
-    // the standard robust estimator of a query's actual cost
-    val results = names.map { n =>
-      val a = execute(n); val b = execute(n)
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+
+    def fmt(d: Double): String = "%.6f".format(d)
+
+    // interleaved passes: each is one sweep over the whole suite
+    val raw: Seq[(Double, Double, Seq[(String, Double)])] =
+      (1 to passes).map { _ =>
+        val l0 = loadAvg
+        val times = names.map(n => n -> execute(n))
+        (l0, loadAvg, times)
+      }
+    val best = names.map { n =>
+      val ts = raw.flatMap(_._3.collect { case (`n`, t) if t >= 0 => t })
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passJson = raw.map { case (l0, l1, times) =>
+      val ts = times.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"load_start":${fmt(l0)},"load_end":${fmt(l1)},"queries":$ts}"""
+    }.mkString("[", ",", "]")
+    val total = best.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passJson}""")
     spark.stop()
   }
 }

