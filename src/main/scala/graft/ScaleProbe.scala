@@ -166,10 +166,11 @@ object ScaleProbe {
         embR, graft.operators.Similarity.Planes83,
         graft.operators.Similarity.Bands83,
         graft.operators.Similarity.Bits83).count())
-      val bitsA = math.ceil(math.log(nVecs.toDouble) / math.log(2)).toInt + 4
-      val planesA = Vectors.quantizedPlanes(8 * bitsA, 64, seed = 90L)
-      val (c83a, t83a) = timed(graft.operators.Similarity.lshCandidates(
-        embR, planesA, bands = 8, bits = bitsA).count())
+      // the gated q87 machinery itself: masked PlanesA keys at the
+      // adaptive ⌈log₂ n⌉+4 width
+      val bitsA = graft.operators.Similarity.adaptiveBits(nVecs)
+      val (c83a, t83a) = timed(graft.operators.Similarity.adaptiveCandidates(
+        embR, bitsA).count())
       embR.unpersist()
 
       docs.unpersist(); emb.unpersist()
@@ -177,13 +178,13 @@ object ScaleProbe {
         s""""q44_prefix_cand":$c44,"q45_lsh_cand":$c45,""" +
         s""""q46_simhash_cand":$c46,"q79_simhash_wide_cand":$c46w,""" +
         s""""q49_ann_cand":$c49,""" +
-        s""""q83_fixed_cand":$c83,"q83_adaptive_cand":$c83a,"q83_adaptive_bits":$bitsA,""" +
+        s""""q83_fixed_cand":$c83,"q87_adaptive_cand":$c83a,"q87_adaptive_bits":$bitsA,""" +
         s""""q84_passjoin_cand":$c84,""" +
         f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f,"q83":$t83%.2f,"q83a":$t83a%.2f,"q84":$t84%.2f}}"""
       println(line)
       (k, Map("q44" -> c44, "q45" -> c45, "q46" -> c46,
         "q79" -> c46w, "q49" -> c49, "q83_fixed" -> c83,
-        "q83_adaptive" -> c83a, "q84" -> c84))
+        "q87_adaptive" -> c83a, "q84" -> c84))
     }
 
     // growth exponent α over the widest span: candidates ∝ n^α

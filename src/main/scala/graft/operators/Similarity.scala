@@ -35,6 +35,65 @@ object Similarity {
   val Planes83: Seq[Seq[Double]] =
     Vectors.quantizedPlanes(Bands83 * Bits83, dim = 64, seed = 83L)
 
+  /** q87 parameters: the ADAPTIVE configuration of the same composed
+    * SignBands→verify→CC operator, promoted to a gate query (round-3
+    * verdict #2). Band width grows as ⌈log₂ n⌉ + 4 bits — the
+    * standard LSH scaling that keeps per-band bucket occupancy (and
+    * so per-vector candidates) ~constant as the corpus grows — at the
+    * realistic semantic-dedup threshold t = 0.9 (SemDeDup regime,
+    * ρ≈0.22). 8 bands × up to 24 bits of quantized planes are STATIC
+    * constants; the runtime width just masks the low `bits` of each
+    * band key, so the DuckDB oracle can replay the identical
+    * computation by guarding plane j with `j < b` where b is derived
+    * from count(*) by an integer-exact power-of-two ladder (no
+    * cross-engine log2 float risk). */
+  val BandsA = 8
+  val MaxBitsA = 24
+  val PlanesA: Seq[Seq[Double]] =
+    Vectors.quantizedPlanes(BandsA * MaxBitsA, dim = 64, seed = 87L)
+
+  /** ⌈log₂ n⌉ + 4, clamped to [8, MaxBitsA] — in pure integer
+    * arithmetic so the oracle's CASE ladder reproduces it exactly. */
+  def adaptiveBits(n: Long): Int = {
+    val ceilLog2 =
+      if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(MaxBitsA, math.max(8, ceilLog2 + 4))
+  }
+
+  /** Adaptive-width sign-LSH candidates: the full MaxBitsA-bit keys
+    * masked to the low `bits` bits (≡ using only planes j < bits),
+    * Hamming-1 multi-probe over the active bits only. */
+  def adaptiveCandidates(e: DataFrame, bits: Int): DataFrame = {
+    val mask = (1 << bits) - 1
+    val banded = e.select(col("vec_id"),
+      posexplode(SignBands.signBands(col("embedding"), PlanesA, BandsA, MaxBitsA)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumn("band_key", col("col").bitwiseAND(lit(mask)))
+      .drop("col")
+    val probes = banded.select(col("vec_id"), col("band_id"),
+      explode(Vectors.probeBuckets(col("band_key"), bits)).as("probe"))
+    probes.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.probe") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** Composed adaptive edge list: adaptive candidates verified by
+    * exact cosine ≥ threshold, candidates only. The one count() is a
+    * scalar — the corpus size that fixes the band width. */
+  def adaptiveEdges(e: DataFrame, threshold: Double): DataFrame = {
+    val bits = adaptiveBits(e.count())
+    val cand = adaptiveCandidates(e, bits)
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .filter(round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6)
+        >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   /** Sign-LSH candidate pairs (vec_a < vec_b): band-key equi-join
     * with Hamming-1 multi-probe on the probe side. Exposed for the
     * scale probe and the spec. */
@@ -129,6 +188,25 @@ object Similarity {
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       graft.dedup.ConnectedComponents.clusterLabels(edges)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    },
+
+    // -- the ADAPTIVE composed semantic dedup (q83's scale-safe twin,
+    //    now oracle-gated): ⌈log₂ n⌉+4-bit bands at t = 0.9, exact
+    //    cosine verify on candidates only, pointer-doubling CC, and
+    //    every vector labeled (singletons keep their own id — so the
+    //    gate exercises the full assignment even when the corpus has
+    //    few/no pairs at 0.9). Oracle code-generated from the same
+    //    quantized plane constants with an integer-exact bit ladder. --
+    "q87_semantic_dedup_adaptive" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val edges = adaptiveEdges(e, threshold = 0.9)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val labels = graft.dedup.ConnectedComponents.clusterLabels(edges)
+        .withColumnRenamed("doc_id", "vec_id")
+      e.select(col("vec_id"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
     },
 
     // -- ANN via IVF coarse quantization (the OTHER scale path the
@@ -251,8 +329,81 @@ object Similarity {
        |FROM walk GROUP BY vec_id""".stripMargin
   }
 
+  /** q87's oracle replays the adaptive algorithm end-to-end: the band
+    * width b comes from count(*) via the same integer-exact
+    * power-of-two ladder as [[adaptiveBits]]; plane j contributes to
+    * its band key only when j < b (≡ the Spark side's key mask);
+    * probes flip only the b active bits; then exact-cosine verify at
+    * 0.9, recursive-CTE closure, and a LEFT JOIN assigning singleton
+    * vectors their own id. Sign-bit stability is the q83 argument
+    * (SemanticClusterSpec asserts the PlanesA margin tri-scale). */
+  private def oracle87: String = {
+    def dotSql(plane: Seq[Double]): String = {
+      val lst = plane.map(v => f"$v%.3f").mkString("[", ", ", "]")
+      "list_sum(list_transform(list_zip(embedding, " + lst +
+        "), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    }
+    // ceil(log2(c)) + 4 clamped to [8, 24], as integer comparisons
+    val ladder = (5 to 19).map(k => s"WHEN c <= ${1L << k} THEN ${k + 4}")
+      .mkString(" ")
+    val keyCols = (0 until BandsA).map { l =>
+      val bits = (0 until MaxBitsA).map { j =>
+        s"(CASE WHEN $j < b AND ${dotSql(PlanesA(l * MaxBitsA + j))} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($bits AS BIGINT) AS k$l"
+    }.mkString(",\n    ")
+    val bandStructs = (0 until BandsA)
+      .map(l => s"struct_pack(i := $l, k := k$l)").mkString(", ")
+    val cosSql =
+      """list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(ea.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(eb.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH RECURSIVE nb AS (
+       |  SELECT CASE WHEN c <= 16 THEN 8 $ladder ELSE 24 END AS b
+       |  FROM (SELECT count(*) AS c FROM embeddings)),
+       |keys AS (
+       |  SELECT vec_id,
+       |    $keyCols
+       |  FROM embeddings, nb),
+       |bands AS (
+       |  SELECT vec_id, u.i AS band_id, u.k AS band_key
+       |  FROM keys, UNNEST([$bandStructs]) AS t(u)),
+       |probes AS (
+       |  SELECT vec_id, band_id,
+       |    unnest([band_key] || list_transform(range(b),
+       |      j -> xor(band_key, CAST(1 << j AS BIGINT)))) AS probe
+       |  FROM bands, nb),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM probes a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.probe = b.band_key
+       |    AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT vec_a, vec_b FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+       |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
+       |  WHERE round($cosSql, 6) >= 0.9),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION SELECT vec_b, vec_a FROM pairs),
+       |walk AS (
+       |  SELECT src AS vec_id, src AS reach FROM edges
+       |  UNION
+       |  SELECT w.vec_id, e.dst
+       |  FROM walk w JOIN edges e ON w.reach = e.src),
+       |cl AS (
+       |  SELECT vec_id, min(reach) AS cluster_id
+       |  FROM walk GROUP BY vec_id)
+       |SELECT e.vec_id, coalesce(cl.cluster_id, e.vec_id) AS cluster_id
+       |FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q83_embedding_clusters_lsh" -> oracle83,
+    "q87_semantic_dedup_adaptive" -> oracle87,
     "q47_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

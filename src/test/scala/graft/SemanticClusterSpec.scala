@@ -72,26 +72,54 @@ class SemanticClusterSpec extends SparkSpec {
   }
 
   test("sign-bit determinism margin: min |dot| far above float noise") {
-    val flat = Similarity.Planes83.flatten.toArray
     val dim = 64
-    for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
-      val vecs = Tables.load(spark, dir, "embeddings")
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      var minAbs = Double.MaxValue
-      vecs.foreach { v =>
-        var p = 0
-        while (p < Similarity.Bands83 * Similarity.Bits83) {
-          var dot = 0.0
-          var i = 0
-          val m = math.min(v.length, dim)
-          while (i < m) { dot += v(i) * flat(p * dim + i); i += 1 }
-          minAbs = math.min(minAbs, math.abs(dot))
-          p += 1
+    // both gate plane sets: q83's fixed 16x8 and q87's adaptive 8x24
+    for ((flatPlanes, nPlanes, label) <- Seq(
+        (Similarity.Planes83.flatten.toArray,
+          Similarity.Bands83 * Similarity.Bits83, "Planes83"),
+        (Similarity.PlanesA.flatten.toArray,
+          Similarity.BandsA * Similarity.MaxBitsA, "PlanesA"))) {
+      for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+        val vecs = Tables.load(spark, dir, "embeddings")
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        var minAbs = Double.MaxValue
+        vecs.foreach { v =>
+          var p = 0
+          while (p < nPlanes) {
+            var dot = 0.0
+            var i = 0
+            val m = math.min(v.length, dim)
+            while (i < m) { dot += v(i) * flatPlanes(p * dim + i); i += 1 }
+            minAbs = math.min(minAbs, math.abs(dot))
+            p += 1
+          }
         }
+        assert(minAbs > 1e-7,
+          s"$label $dir margin $minAbs too small for cross-engine sign stability")
       }
-      assert(minAbs > 1e-7, s"$dir margin $minAbs too small for cross-engine sign stability")
     }
+  }
+
+  test("q87: adaptive labels equal union-find; singletons keep their own id") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val n = e.count()
+    val bits = Similarity.adaptiveBits(n)
+    // integer-exact ladder: smallest k with 2^k >= n, plus 4, clamped
+    assert(bits >= 8 && bits <= 24)
+    if (bits < 24) assert((1L << (bits - 4)) >= n)
+    if (bits > 8) assert((1L << (bits - 5)) < n)
+    val edges = Similarity.adaptiveEdges(e, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = unionFind(edges)
+    val got = Similarity.queries("q87_semantic_dedup_adaptive")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vector is labeled: clustered ones by their component min,
+    // the rest by themselves
+    assert(got.size === n)
+    want.foreach { case (id, c) => assert(got(id) === c) }
+    got.foreach { case (id, c) => if (!want.contains(id)) assert(c === id) }
+    info(s"n=$n bits=$bits edges=${edges.size} clustered=${want.size}")
   }
 
   /** Planted high-similarity corpus: 120 base directions; the first
