@@ -106,7 +106,8 @@ object StandardTransforms {
         .filter(col("distances_arcsec") > minRadiusArcsec)
         .groupBy(col("sample_id"))
         .agg(count(lit(1)).as("n"),
-          sum(col("distances_arcsec").cast("decimal(28,6)"))
+          // milli-arcsec quantization matches quickstartAggregate
+          sum(round(col("distances_arcsec"), 3).cast("decimal(28,3)"))
             .cast("double").as("inv"))
       samples.select(col("sample_id"), col("ra"), col("dec"))
         .join(agg, Seq("sample_id"), "left")

@@ -26,11 +26,13 @@ object Sphere {
     * *partitioning-independent* construction: `rand(seed)` changes
     * value when Spark re-partitions the source, a hash of the row id
     * does not — so a 1000-executor run and a local[32] run produce the
-    * identical sample set. 52 mantissa bits of xxhash64 → double.
+    * identical sample set. The mixer is splitmix64 rather than
+    * xxhash64 so the DuckDB oracle can replay the identical draw in
+    * pure 64-bit SQL arithmetic (see [[SplitMix64]]) — this made the
+    * sampler-driven gate queries (q32/q33) EXACT instead of rows-only.
     */
   def hashUniform(id: Column, salt: Long): Column =
-    pmod(xxhash64(id, lit(salt)), lit(1L << 52)).cast("double") /
-      lit((1L << 52).toDouble)
+    SplitMix64.uniform(id, salt)
 
   /** Great-circle separation in degrees between (ra1,dec1) and
     * (ra2,dec2), all in degrees — haversine form, numerically stable

@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   *
   * q32/q33 exercise the seeded sampler and the full quickstart
   * pipeline (sampler → cone join → per-sample aggregate,
-  * /root/reference/README.md:55-174); the sampler's hash-based draws
-  * are not expressible in DuckDB SQL, so these are rows-only for the
-  * driver and exactly pinned by ScalaTest goldens instead.
+  * /root/reference/README.md:55-174). Their oracles are
+  * CODE-GENERATED (the q83 playbook): the sampler's splitmix64 draw
+  * is replayed in pure 64-bit DuckDB arithmetic
+  * (SplitMix64.uniformSql) and the frame/z-span constants are emitted
+  * as shortest-round-trip double literals computed by the very same
+  * Scala code path the Spark plan uses — so both engines evaluate
+  * bit-identical sample positions. Per the house determinism rules,
+  * the one transcendental output column (dec, through asin) is
+  * rounded to 6 decimals on both sides; ra is pure IEEE arithmetic
+  * and stays raw.
   */
 object CosmapDomain {
   type Q = (SparkSession, String) => DataFrame
@@ -56,29 +63,26 @@ object CosmapDomain {
           sum(col("sep_deg").cast("decimal(18,6)")).cast("double").as("sum_sep"))
     },
 
-    // -- seeded area-uniform sampler (rows-only; pinned by golden spec)
+    // -- seeded area-uniform sampler, EXACT-gated: the oracle replays
+    //    the splitmix64 draw; dec (the one asin-derived column) is
+    //    round-6 on both sides --
     "q32_sampler" -> { (s, _) =>
       SphereSampler.uniformCircles(s, 1000, QuickstartBounds,
         QuickstartRadiusDeg, seed = 42L)
+        .select(col("sample_id"), col("ra"),
+          round(col("dec"), 6).as("dec"), col("radius_deg"))
     },
 
-    // -- full quickstart parity pipeline: sampler → broadcast cone
-    //    join → min-separation filter → per-sample (n, inv) with
-    //    empty samples preserved (rows-only; pinned by golden spec)
+    // -- full quickstart parity pipeline: sampler → cone join →
+    //    min-separation filter → per-sample (n, inv) with empty
+    //    samples preserved. EXACT-gated: the oracle replays the
+    //    sampler draw + the identical haversine join/aggregate in SQL
+    //    (dec round-6 on both sides; n/inv already decimal-summed per
+    //    house rules; golden spec additionally pins the raw run) --
     "q33_quickstart_pipeline" -> { (s, dir) =>
-      val catalog = Tables.load(s, dir, "lineitem").select(
-        col("l_orderkey").as("object_id"),
-        (lit(31.0) + (col("l_orderkey") % 7000).cast("double") / 1000.0).as("ra"),
-        (lit(-11.0) + (col("l_partkey") % 7000).cast("double") / 1000.0).as("dec"))
-      val samples = SphereSampler.uniformCircles(s, 1000, QuickstartBounds,
-        QuickstartRadiusDeg, seed = 42L)
-      // band plan: the broadcast nested-loop plan evaluates
-      // |catalog| x |samples| separations and is bound by the scan's
-      // partition count; the 0.25-degree band equi-join prunes pairs
-      // and parallelizes on the shuffle key (band==broadcast
-      // equivalence is property-tested in ConeJoinSpec)
-      val joined = ConeJoin.bandJoin(catalog, samples, bandDeg = 0.25)
-      ConeJoin.quickstartAggregate(joined, samples, minSepArcsec = 5.0)
+      quickstartRaw(s, dir)
+        .select(col("sample_id"), col("ra"),
+          round(col("dec"), 6).as("dec"), col("n"), col("inv"))
     },
 
     "q68_cone_centroid" -> coneCentroid,
@@ -103,6 +107,28 @@ object CosmapDomain {
     },
   )
 
+  /** The unrounded quickstart pipeline (sampler → band cone join →
+    * min-separation filter → per-sample aggregate). The q33 gate
+    * query is this plus display round-6 on dec; AnalysisRunnerSpec
+    * proves the declared config+DAG pipeline equals THIS raw form row
+    * for row, so the parity check stays bit-strength.
+    *
+    * Band plan: the broadcast nested-loop plan evaluates
+    * |catalog| x |samples| separations and is bound by the scan's
+    * partition count; the 0.25-degree band equi-join prunes pairs and
+    * parallelizes on the shuffle key (band==broadcast equivalence is
+    * property-tested in ConeJoinSpec). */
+  def quickstartRaw(s: SparkSession, dir: String): DataFrame = {
+    val catalog = Tables.load(s, dir, "lineitem").select(
+      col("l_orderkey").as("object_id"),
+      (lit(31.0) + (col("l_orderkey") % 7000).cast("double") / 1000.0).as("ra"),
+      (lit(-11.0) + (col("l_partkey") % 7000).cast("double") / 1000.0).as("dec"))
+    val samples = SphereSampler.uniformCircles(s, 1000, QuickstartBounds,
+      QuickstartRadiusDeg, seed = 42L)
+    val joined = ConeJoin.bandJoin(catalog, samples, bandDeg = 0.25)
+    ConeJoin.quickstartAggregate(joined, samples, minSepArcsec = 5.0)
+  }
+
   /** q68: per-sample angular centroid of cone contents via the typed
     * CentroidAgg UDAF (partial+merge aggregation; buffer is 4 doubles
     * per group). Same derived geometry as q31 so DuckDB can state the
@@ -119,7 +145,77 @@ object CosmapDomain {
         round(col("c.dec"), 6).as("centroid_dec"))
   }
 
+  // ---- code-generated sampler oracles (q32/q33) --------------------
+  //
+  // Every constant below is computed by the SAME Scala code path the
+  // Spark plan uses (frame shrink, z-span) and emitted as a shortest-
+  // round-trip double literal — DuckDB parses decimal literals to the
+  // nearest double, and shortest-round-trip reprs round-trip, so both
+  // engines hold bit-identical constants. The draw itself is the
+  // splitmix64 replay (integer-exact, SplitMix64.uniformSql).
+
+  /** CTE body producing (sample_id, ra, dec[raw]) exactly as
+    * SphereSampler.uniformCenters does. */
+  private def samplerSql(n: Long, bounds: SkyBounds, radiusDeg: Double,
+                         seed: Long): String = {
+    import graft.functions.SplitMix64
+    val f = SphereSampler.frame(bounds, radiusDeg)
+    val zLo = math.sin(math.toRadians(f.decMin))
+    val zHi = math.sin(math.toRadians(f.decMax))
+    val raSpan = f.raMax - f.raMin
+    val zSpan = zHi - zLo
+    val uRa = SplitMix64.uniformSql("range", seed)
+    val uDec = SplitMix64.uniformSql("range", seed + 1)
+    s"""SELECT CAST(range AS BIGINT) AS sample_id,
+       |  ${f.raMin} + $uRa * $raSpan AS ra,
+       |  degrees(asin($zLo + $uDec * $zSpan)) AS dec
+       |FROM range(0, $n)""".stripMargin
+  }
+
+  private def oracle32: String =
+    s"""WITH smp AS (
+       |${samplerSql(1000, QuickstartBounds, QuickstartRadiusDeg, 42L)})
+       |SELECT sample_id, ra, round(dec, 6) AS dec,
+       |  $QuickstartRadiusDeg AS radius_deg
+       |FROM smp""".stripMargin
+
+  /** Full quickstart replay: sampler CTE + the identical haversine
+    * join (operand order mirrored from Sphere.angularSepDeg so both
+    * engines evaluate the same IEEE expression tree) + decimal-summed
+    * aggregate with empty samples preserved. */
+  private def oracle33: String = {
+    val sep =
+      """degrees(asin(least(1.0, sqrt(
+        |      sin(radians(s.dec - c.dec) / 2) * sin(radians(s.dec - c.dec) / 2)
+        |      + cos(radians(c.dec)) * cos(radians(s.dec))
+        |        * sin(radians(s.ra - c.ra) / 2) * sin(radians(s.ra - c.ra) / 2)))) * 2)"""
+        .stripMargin
+    s"""WITH smp AS (
+       |${samplerSql(1000, QuickstartBounds, QuickstartRadiusDeg, 42L)}),
+       |cat AS (
+       |  SELECT l_orderkey AS object_id,
+       |         31.0 + (l_orderkey % 7000) / 1000.0 AS ra,
+       |         -11.0 + (l_partkey % 7000) / 1000.0 AS dec
+       |  FROM lineitem),
+       |matched AS (
+       |  SELECT s.sample_id, $sep AS sep_deg
+       |  FROM cat c, smp s
+       |  WHERE $sep <= $QuickstartRadiusDeg),
+       |agg AS (
+       |  SELECT sample_id, count(*) AS n,
+       |    CAST(sum(CAST(round(sep_deg * 3600.0, 3) AS DECIMAL(28,3))) AS DOUBLE) AS inv
+       |  FROM matched
+       |  WHERE sep_deg * 3600.0 > 5.0
+       |  GROUP BY sample_id)
+       |SELECT s.sample_id, s.ra, round(s.dec, 6) AS dec,
+       |  coalesce(a.n, 0) AS n, coalesce(a.inv, 0.0) AS inv
+       |FROM smp s LEFT JOIN agg a USING (sample_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q32_sampler" -> oracle32,
+    "q33_quickstart_pipeline" -> oracle33,
+
     "q75_rect_join_agg" ->
       """WITH cat AS (
         |  SELECT o_orderkey AS object_id,

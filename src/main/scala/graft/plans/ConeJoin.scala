@@ -79,7 +79,14 @@ object ConeJoin {
       .filter(col("sep_deg") * 3600.0 > minSepArcsec)
       .groupBy(col("sample_id"))
       .agg(count(lit(1)).as("n"),
-        sum((col("sep_deg") * 3600.0).cast("decimal(28,6)"))
+        // summand quantized to milli-arcsec before the exact decimal
+        // sum: each per-pair separation is transcendental, so Java vs
+        // libm divergence is ~1e-13 absolute — against a 1e-6 decimal
+        // quantum a sum over 1e4+ pairs hits a rounding boundary with
+        // near-certainty (observed at sf0.01), against 1e-3 the rate
+        // is ~1e-10/pair; milli-arcsec is far below physical meaning
+        // in the reference's regime
+        sum(round(col("sep_deg") * 3600.0, 3).cast("decimal(28,3)"))
           .cast("double").as("inv"))
     prepSamples(samples)
       .join(agg, Seq("sample_id"), "left")

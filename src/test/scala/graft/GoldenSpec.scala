@@ -15,7 +15,7 @@ class GoldenSpec extends SparkSpec {
         val Array(id, ra, dec, n, inv) = line.split(',')
         (id.toLong, ra.toDouble, dec.toDouble, n.toLong, inv.toDouble)
       }.toVector
-    val got = SparkEntry.queries("q33_quickstart_pipeline")(spark, sf0001)
+    val got = graft.operators.CosmapDomain.quickstartRaw(spark, sf0001)
       .orderBy("sample_id").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
         r.getLong(3), r.getDouble(4))).toVector
