@@ -210,20 +210,22 @@ object Similarity {
     },
 
     // -- ANN via IVF coarse quantization (the OTHER scale path the
-    //    brief names alongside LSH): deterministic k-means centroids
-    //    trained driver-side on a bounded 256-vector sample (the
-    //    FAISS/Setup-block pattern — NOT an unbounded collect; see
-    //    Vectors.kmeansCentroids), corpus assigned to its nearest
-    //    centroid distributed, query probes its nprobe=4 nearest
-    //    cells, exact cosine re-ranks candidates only. rows-only;
-    //    SimilaritySpec pins recall=0.9 vs brute force at ~25%
-    //    candidates scanned. --
+    //    brief names alongside LSH): the codebook is the CHECKED-IN
+    //    Centroids86 table — deterministic k-means trained once on a
+    //    bounded sf0.001 sample and quantized to the 0.001 grid, the
+    //    FAISS practice (train offline on a sample, index any corpus)
+    //    and the engine's Setup-block pattern. Corpus assigned to its
+    //    argmax-cosine centroid distributed; the query probes its
+    //    nprobe=4 nearest cells; exact cosine re-ranks candidates
+    //    only. EXACT-gated: the oracle replays assignment, probe
+    //    ranking and re-rank from the same 3-decimal literals
+    //    (SimilaritySpec asserts the argmax/probe margins that make
+    //    cross-engine float noise harmless, plus recall vs brute
+    //    force and codebook drift armor). The one collect() is the
+    //    single query vector. --
     "q86_ann_ivf" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val sample = e.orderBy(col("vec_id")).limit(256)
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
-      val cents = Vectors.kmeansCentroids(sample, k = 16, iters = 10)
+      val cents = Centroids86.table
       def cell(v: org.apache.spark.sql.Column) = {
         val sims = array(cents.map(c =>
           VectorExprs.cosineFast(v, typedlit(c))): _*)
@@ -231,13 +233,21 @@ object Similarity {
       }
       val assigned = e.select(col("vec_id"), col("label"),
         col("embedding"), cell(col("embedding")).as("cell"))
-      val qRow = assigned.filter(col("vec_id") === 0)
+      val qRow = e.filter(col("vec_id") === 0)
         .select(col("embedding")).collect()(0).getSeq[Float](0)
         .map(_.toDouble).toArray
-      val qn = { val n = math.sqrt(qRow.map(x => x * x).sum); qRow.map(_ / n) }
-      val probes = cents.zipWithIndex
-        .map { case (c, i) => (i, c.zip(qn).map { case (a, b) => a * b }.sum) }
-        .sortBy(-_._2).take(4).map(_._1)
+      // probe ranking mirrors the oracle's cosine shape exactly:
+      // dot/(|q|*|c|), left-to-right sums, index-order tie-break
+      def cosTo(c: Seq[Double]): Double = {
+        var d = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
+        while (i < qRow.length) {
+          d += qRow(i) * c(i); nq += qRow(i) * qRow(i); nc += c(i) * c(i)
+          i += 1
+        }
+        d / (math.sqrt(nq) * math.sqrt(nc))
+      }
+      val probes = cents.indices
+        .sortBy(i => (-cosTo(cents(i)), i)).take(4)
       assigned.filter(col("vec_id") =!= 0 && col("cell").isin(probes: _*))
         .select(col("vec_id"), col("label"),
           round(VectorExprs.cosineFast(col("embedding"), typedlit(qRow.toSeq)), 6)
@@ -401,9 +411,52 @@ object Similarity {
        |FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id""".stripMargin
   }
 
+  /** q86's oracle replays the whole IVF path from the same 3-decimal
+    * codebook literals (Centroids86): per-vector argmax-cosine
+    * assignment, the query's top-4 probe cells (same dot/(|a||b|)
+    * operation shape, index tie-break), and the round-6 exact
+    * re-rank. Cross-engine float noise (~1e-13) is harmless because
+    * SimilaritySpec asserts the argmax and probe-rank margins are
+    * orders of magnitude wider. */
+  private def oracle86: String = {
+    def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def sumsq(a: String) =
+      s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def cosE(a: String, b: String) =
+      s"(${dotE(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
+    val cents = Centroids86.table
+    val centStructs = cents.zipWithIndex
+      .map { case (c, i) => s"struct_pack(cid := $i, c := ${lst(c)})" }
+      .mkString(",\n    ")
+    val simList = cents.map(c => cosE("embedding", lst(c)))
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |cents AS (
+       |  SELECT u.cid AS cid, u.c AS c
+       |  FROM UNNEST([$centStructs]) AS t(u)),
+       |probes AS (
+       |  SELECT cid FROM cents, q
+       |  ORDER BY ${cosE("q_emb", "c")} DESC, cid
+       |  LIMIT 4),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding,
+       |    CAST(list_position(l, list_max(l)) - 1 AS INTEGER) AS cell
+       |  FROM (SELECT vec_id, label, embedding, $simList AS l
+       |        FROM embeddings))
+       |SELECT a.vec_id, a.label,
+       |  round(${cosE("a.embedding", "q_emb")}, 6) AS cos_sim
+       |FROM assigned a, q
+       |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cid FROM probes)
+       |ORDER BY cos_sim DESC, a.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q83_embedding_clusters_lsh" -> oracle83,
     "q87_semantic_dedup_adaptive" -> oracle87,
+    "q86_ann_ivf" -> oracle86,
     "q47_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

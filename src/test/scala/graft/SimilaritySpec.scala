@@ -51,6 +51,51 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall too low: $recall")
   }
 
+  test("Centroids86 codebook equals a fresh training run (drift armor)") {
+    // the checked-in table IS the training output: same recipe as
+    // tools/RegenCentroids — first 256 sf0.001 embeddings, k=16,
+    // 10 iterations, 0.001-grid quantization
+    val sample = Tables.load(spark, sf0001, "embeddings")
+      .orderBy(col("vec_id")).limit(256)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    val fresh = graft.functions.Vectors.kmeansCentroids(sample, k = 16, iters = 10)
+      .map(_.map(v => math.rint(v * 1000) / 1000))
+    assert(fresh === graft.operators.Centroids86.table)
+  }
+
+  test("q86 cross-engine safety margins: argmax assignment and probe ranking") {
+    // the EXACT gate relies on both engines picking identical cells;
+    // float noise between the two cosine evaluations is ~1e-13, so
+    // demand margins orders of magnitude wider at every scale
+    import graft.functions.VectorExprs
+    val cents = graft.operators.Centroids86.table
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables.load(spark, dir, "embeddings")
+      val sims = array(cents.map(c =>
+        VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
+      val sorted = array_sort(sims, (a, b) => when(a > b, -1).when(a < b, 1).otherwise(0))
+      val minGap = e.select(
+        (element_at(sorted, 1) - element_at(sorted, 2)).as("gap"))
+        .agg(min(col("gap"))).head().getDouble(0)
+      assert(minGap > 1e-9, s"argmax margin too thin at $dir: $minGap")
+      // probe ranking margin: 4th vs 5th nearest centroid to the query
+      val qRow = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0)
+        .map(_.toDouble).toArray
+      def cosTo(c: Seq[Double]): Double = {
+        var d = 0.0; var nq = 0.0; var nc = 0.0; var i = 0
+        while (i < qRow.length) {
+          d += qRow(i) * c(i); nq += qRow(i) * qRow(i); nc += c(i) * c(i); i += 1
+        }
+        d / (math.sqrt(nq) * math.sqrt(nc))
+      }
+      val ranked = cents.map(cosTo).sorted(Ordering[Double].reverse)
+      assert(ranked(3) - ranked(4) > 1e-9,
+        s"probe-rank margin too thin at $dir: ${ranked(3) - ranked(4)}")
+    }
+  }
+
   test("kmeansCentroids: deterministic, normalized, covers the sample") {
     val rng = new scala.util.Random(11)
     val sample = Seq.fill(64)(Array.fill(8)(rng.nextGaussian()))
