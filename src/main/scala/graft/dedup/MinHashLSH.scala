@@ -27,13 +27,17 @@ object MinHashLSH {
 
   /** (doc_id, band, bucket) — one row per band per doc. Signatures
     * come from the [[graft.functions.MinHashSignature]] expression
-    * (one tight loop per row — see its scaladoc for why not HOFs). */
+    * (one tight loop per row — see its scaladoc for why not HOFs).
+    * The bucket key is the splitmix64 foldMix chain over the band's
+    * signature slice seeded by the band index — the same family the
+    * signature uses, and (unlike xxhash64's internal array protocol)
+    * replayable by the DuckDB oracle. */
   def bandBuckets(docs: DataFrame, idCol: String, textCol: String,
                   numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val bandCols = (0 until bands).map(b =>
-      xxhash64(slice(col("sig"), b * r + 1, r), lit(b)))
+      graft.functions.SplitMix64.mixFold(slice(col("sig"), b * r + 1, r), b))
     docs.select(col(idCol).as("doc_id"),
       graft.functions.MinHashSig.minhashSignature(
         Text.tokens(col(textCol)), numHashes, shingleN).as("sig"))
@@ -79,11 +83,13 @@ object MinHashLSH {
                    bands: Int = 16, shingleN: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
     // widen single-file inputs before the compute-heavy sketch stage;
-    // gated on the actual partition count so an already-wide source
-    // pays no unconditional shuffle
+    // gated on the file count (the planner's own lower bound on scan
+    // parallelism) so an already-wide source pays no unconditional
+    // shuffle — and, unlike .rdd.getNumPartitions, reading it never
+    // materializes the RDD lineage (same fix as Dedup.widen)
     val target = docs.sparkSession.sparkContext.defaultParallelism
     val wide =
-      if (docs.rdd.getNumPartitions >= target) docs
+      if (docs.inputFiles.length >= target) docs
       else docs.repartition(target)
     val buckets = bandBuckets(wide, idCol, textCol, numHashes, bands, shingleN)
     verify(wide, candidatePairs(buckets), idCol, textCol, shingleN, threshold)

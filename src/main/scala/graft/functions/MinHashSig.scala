@@ -3,14 +3,23 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.types._
 
 /** The signature kernel as a static method so both the interpreted
-  * path and whole-stage-generated Java call the identical code. */
+  * path and whole-stage-generated Java call the identical code.
+  *
+  * Hash family (all SQL-replayable — this flipped q45 from rows-only
+  * to EXACT): token hash = [[SplitMix64Kernel.strHash]]; shingle hash
+  * = the foldMix chain sh ← mix(sh ⊕ tokHash) from 0; per-salt hash
+  * h_k = mix(sh + k·Golden). Minima are tracked in UNSIGNED order —
+  * the oracle's HUGEINT domain is [0, 2^64), so signed comparison
+  * would disagree on any hash with the top bit set; the empty-shingle
+  * sentinel is accordingly unsigned-max (-1L). */
 object MinHashSigKernel {
+  import SplitMix64Kernel.{mix, Golden}
   def compute(arr: ArrayData, numHashes: Int, shingleN: Int): GenericArrayData = {
     val nTok = arr.numElements()
     val tokHash = new Array[Long](nTok)
@@ -18,25 +27,24 @@ object MinHashSigKernel {
     while (i < nTok) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        tokHash(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, 42L)
+        tokHash(i) = SplitMix64Kernel.strHash(s)
       }
       i += 1
     }
-    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val sig = Array.fill(numHashes)(-1L) // unsigned max
     val nShingles = nTok - shingleN + 1
     var g = 0
     while (g < nShingles) {
-      var sh = 0x9E3779B97F4A7C15L
+      var sh = 0L
       var j = 0
       while (j < shingleN) {
-        sh = XXH64.hashLong(tokHash(g + j) ^ sh, 7L)
+        sh = mix(sh ^ tokHash(g + j))
         j += 1
       }
       var k = 0
       while (k < numHashes) {
-        val hk = XXH64.hashLong(sh, k.toLong)
-        if (hk < sig(k)) sig(k) = hk
+        val hk = mix(sh + k * Golden)
+        if (java.lang.Long.compareUnsigned(hk, sig(k)) < 0) sig(k) = hk
         k += 1
       }
       g += 1
@@ -55,8 +63,8 @@ object MinHashSigKernel {
   * at bench (each of the 64 salts re-built the whole shingle array
   * through the interpreter). Same sketch semantics: sig[k] =
   * min over shingles of hash_k(shingle); duplicates don't affect the
-  * min, so no shingle dedup is needed. Hash family: XXH64 re-seeded
-  * per salt — the same family as the engine's `xxhash64`.
+  * min, so no shingle dedup is needed. Hash family: splitmix64 chains
+  * (see the kernel's scaladoc) — SQL-replayable by the DuckDB oracle.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
     extends UnaryExpression {

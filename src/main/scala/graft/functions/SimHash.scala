@@ -2,12 +2,16 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Static vote-loop kernel shared by the interpreted and generated
-  * paths. */
+  * paths. Token hash = [[SplitMix64Kernel.strHash]] (poly-31 over
+  * code points through the splitmix64 finalizer) — chosen over
+  * xxhash64 so the DuckDB oracle can replay the identical fingerprint
+  * in pure integer SQL (this flipped q46/q79 from rows-only to
+  * EXACT). */
 object SimHashKernel {
   def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
@@ -16,8 +20,7 @@ object SimHashKernel {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, 42L)
+        val h = SplitMix64Kernel.strHash(s)
         var j = 0
         while (j < 64) {
           votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
@@ -37,9 +40,10 @@ object SimHashKernel {
 }
 
 object SimHashWideKernel {
-  /** `nWords`×64-bit SimHash: per token, one base xxhash plus one
-    * re-seeded lane hash per 64-bit word — same vote loop as the
-    * 64-bit kernel, wider fingerprint. */
+  /** `nWords`×64-bit SimHash: per token, one base strHash plus one
+    * salt-folded splitmix lane hash per 64-bit word — same vote loop
+    * as the 64-bit kernel, wider fingerprint, same SQL-replayable
+    * family (see [[SimHashKernel]]). */
   def compute(arr: ArrayData, nWords: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val bits = nWords * 64
     val votes = new Array[Int](bits)
@@ -48,11 +52,11 @@ object SimHashWideKernel {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, 42L)
+        val base = SplitMix64Kernel.strHash(s)
         var w = 0
         while (w < nWords) {
-          val h = if (w == 0) base else XXH64.hashLong(base, w.toLong)
+          val h = if (w == 0) base
+            else SplitMix64Kernel.mix(base + w * SplitMix64Kernel.Golden)
           var j = 0
           while (j < 64) {
             votes(w * 64 + j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
@@ -115,16 +119,16 @@ case class SimHashWide(child: Expression, nWords: Int)
 }
 
 /** 64-bit SimHash of a token array (Charikar similarity hashing):
-  * each token's xxhash64 votes ±1 per bit position; the fingerprint
-  * sets bit j iff the vote sum is positive. Near-duplicate documents
+  * each token's hash votes ±1 per bit position; the fingerprint sets
+  * bit j iff the vote sum is positive. Near-duplicate documents
   * (small token-multiset edits) land within a small Hamming distance.
   *
-  * This is the project's one custom Catalyst `Expression`: the
-  * 64-bucket vote loop is awkward and slow as a built-in composition
-  * (64 nested higher-order-function passes over the token array), but
-  * is a single tight JVM loop here. Token hashing reuses Spark's own
-  * XXH64 (same function backing `xxhash64`), so signatures are
-  * consistent with the MinHash pipeline's hashes.
+  * The 64-bucket vote loop is awkward and slow as a built-in
+  * composition (64 nested higher-order-function passes over the token
+  * array), but is a single tight JVM loop here. Token hashing is the
+  * splitmix64 string hash shared with the MinHash pipeline — the
+  * SQL-replayable family that lets the DuckDB oracle gate the
+  * fingerprints exactly.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

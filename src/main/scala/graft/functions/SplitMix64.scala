@@ -42,6 +42,71 @@ object SplitMix64Kernel {
     * (= salt * Golden, wrapping). */
   def uniform(id: Long, saltTerm: Long): Double =
     (mix(id + saltTerm) >>> 11).toDouble / 9007199254740992.0 // 2^53
+
+  /** String hash: poly-31 over UNICODE CODE POINTS (mod 2^64) through
+    * the splitmix64 finalizer. The code-point domain is the one both
+    * engines can state identically — DuckDB's `length`/`s[i:i]`/
+    * `unicode` are per-code-point (validated incl. supplementary
+    * planes) — and the manual UTF-8 decode below reads them straight
+    * off the string's bytes with zero allocation (the sketch kernels
+    * call this per token in their hot loop). */
+  def strHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.numBytes
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len && i + j < n) {
+        cp = (cp << 6) | (s.getByte(i + j) & 0x3F)
+        j += 1
+      }
+      h = h * 31L + cp
+      i += len
+    }
+    mix(h)
+  }
+
+  /** Left fold h = mix(h ^ v) over an array of 64-bit values from
+    * `init` — the band-key / shingle-chain combiner. Bit patterns are
+    * what's folded, so signed JVM longs and the oracle's [0,2^64)
+    * HUGEINTs agree exactly. */
+  def foldMix(init: Long, vs: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    var h = init
+    var i = 0
+    val n = vs.numElements()
+    while (i < n) {
+      h = mix(h ^ vs.getLong(i))
+      i += 1
+    }
+    h
+  }
+}
+
+/** [[SplitMix64Kernel.foldMix]] as a codegen'd expression: the banded-
+  * LSH bucket key over a signature slice (replaces `xxhash64(slice)`,
+  * whose internal array-hash protocol DuckDB cannot replay). */
+case class MixFoldExpr(child: Expression, init: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"mixFold needs array<bigint>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    SplitMix64Kernel.foldMix(init,
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SplitMix64Kernel.foldMix(${init}L, $a);")
+  override protected def withNewChildInternal(newChild: Expression): MixFoldExpr =
+    copy(child = newChild)
 }
 
 /** `uniform(id, salt)` as a codegen'd Catalyst expression: one static
@@ -104,14 +169,39 @@ object SplitMix64 {
   private def xorShiftSql(z: String, s: Int): String =
     s"xor(($z), ($z) >> $s)"
 
+  /** SQL for `mix(x)` — x must be a HUGEINT expression in [0, 2^64).
+    * The argument is textually repeated many times (each xorshift
+    * doubles, each split multiply quadruples), so call this ONLY on a
+    * short column reference; chain longer pipelines through CTE
+    * columns, one mix per layer. */
+  def mixSql(x: String): String = {
+    val x0 = s"(($x) % $M64)"
+    val z1 = mulModSql(xorShiftSql(x0, 30), 0xBF58476D1CE4E5B9L)
+    val z2 = mulModSql(xorShiftSql(z1, 27), 0x94D049BB133111EBL)
+    xorShiftSql(z2, 31)
+  }
+
+  /** SQL for the poly-31 code-point fold of [[SplitMix64Kernel
+    * .strHash]] (pre-mix): feed through [[mixSql]] via a CTE column. */
+  def polyHashSql(strExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      s"list_transform(range(1, length($strExpr)+1), " +
+      s"i -> CAST(unicode(($strExpr)[i:i]) AS HUGEINT))), " +
+      s"(acc, cp) -> (acc * 31 + cp) % $M64)"
+
+  /** The salt fold: (x + salt·Golden) mod 2^64, as SQL. */
+  def saltedSql(x: String, salt: Long): String =
+    s"((($x) + ${java.lang.Long.toUnsignedString(saltTerm(salt))}) % $M64)"
+
   /** SQL for `uniform(idExpr, salt)` — idExpr must be a non-negative
     * integral SQL expression. */
   def uniformSql(idExpr: String, salt: Long): String = {
-    val st = java.lang.Long.toUnsignedString(saltTerm(salt))
-    val x = s"((CAST($idExpr AS HUGEINT) + $st) % $M64)"
-    val z1 = mulModSql(xorShiftSql(x, 30), 0xBF58476D1CE4E5B9L)
-    val z2 = mulModSql(xorShiftSql(z1, 27), 0x94D049BB133111EBL)
-    val z3 = xorShiftSql(z2, 31)
+    val z3 = mixSql(s"CAST($idExpr AS HUGEINT) + " +
+      java.lang.Long.toUnsignedString(saltTerm(salt)))
     s"((($z3) >> 11) / 9007199254740992.0)"
   }
+
+  /** Column form of [[SplitMix64Kernel.foldMix]]. */
+  def mixFold(arr: Column, init: Long): Column =
+    graftbridge.toColumn(MixFoldExpr(graftbridge.toExpression(arr), init))
 }

@@ -184,15 +184,17 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q44_ngram_jaccard" -> ngramJaccard,
 
-    // -- wide-simhash near-dup pairs (rows-only: xxhash not in
-    //    DuckDB; DedupSpec pins completeness vs 128-bit brute force) --
+    // -- wide-simhash near-dup pairs (EXACT-gated by the splitmix64
+    //    replay; DedupSpec pins completeness vs 128-bit brute force) --
     "q79_simhash_wide" -> { (s, dir) =>
       simhashPairsWide(Tables.load(s, dir, "documents"))
         .filter(col("hamming") <= 3)
     },
 
-    // -- MinHash LSH near-dup pairs (rows-only for the driver; spec
-    //    pins equality with the exact Jaccard query's output) --
+    // -- MinHash LSH near-dup pairs (EXACT-gated: the oracle replays
+    //    shingle chains, 64 salted minima, foldMix band keys and the
+    //    exact verify; DedupSpec additionally pins equality with the
+    //    exact Jaccard query's output) --
     "q45_minhash_lsh" -> { (s, dir) =>
       MinHashLSH.nearDupPairs(Tables.load(s, dir, "documents"),
         numHashes = 64, bands = 16, shingleN = 3, threshold = 0.5)
@@ -200,7 +202,7 @@ object Dedup {
 
     // -- SimHash fingerprints + chunk-collision near-dup candidates,
     //    verified by Hamming distance (complete for distance ≤ 3 by
-    //    pigeonhole over 4 chunks) --
+    //    pigeonhole over 4 chunks); EXACT-gated like q79 --
     "q46_simhash_pairs" -> { (s, dir) =>
       simhashPairs(Tables.load(s, dir, "documents"))
         .filter(col("hamming") <= 3)
@@ -225,10 +227,148 @@ object Dedup {
     },
   )
 
-  // q44's DuckDB statement mirrors the gram-inverted-index shape; the
-  // sketch queries (q45/q46) hinge on xxhash64, which DuckDB lacks →
-  // rows-only for the driver, pinned exactly by DedupSpec instead.
+  // ---- code-generated sketch oracles (q45/q46/q79) -----------------
+  //
+  // The sketch kernels hash with the splitmix64 family precisely so
+  // these oracles exist: every stage below is pure 64-bit integer
+  // arithmetic DuckDB replays bit-for-bit (HUGEINT in [0, 2^64) ↔ JVM
+  // signed-long bit patterns; unsigned minima on both sides). SQL is
+  // layered through CTE columns because one inlined mix() repeats its
+  // argument ~100×.
+
+  import graft.functions.SplitMix64.{mixSql, polyHashSql}
+  private val M64 = "18446744073709551616"
+  private val GoldenU = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
+
+  /** CTE chain computing per-occurrence token hashes: (doc_id, i, h)
+    * with h = strHash(token i). Distinct tokens are hashed once. */
+  private def tokenHashCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |pos AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tok),
+       |wt AS (SELECT doc_id, i, t[i] AS w FROM pos),
+       |dt AS (SELECT DISTINCT w FROM wt),
+       |dp AS (SELECT w, ${polyHashSql("w")} AS p FROM dt),
+       |dh AS (SELECT w, ${mixSql("p")} AS h FROM dp),
+       |th AS (SELECT wt.doc_id, wt.i, dh.h FROM wt JOIN dh USING (w))""".stripMargin
+
+  /** 64 vote columns → fingerprint, as (doc_id, fp) CTEs given a
+    * lane-hash CTE `lanes(doc_id, h)`; names are suffixed so the wide
+    * variant can emit two lanes in one statement. */
+  private def fpCtes(src: String, suffix: String): String = {
+    val votes = (0 until 64)
+      .map(j => s"sum(CASE WHEN (h$suffix >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n    ")
+    val bits = (0 until 64)
+      .map(j => s"(CASE WHEN v$j > 0 THEN CAST('${BigInt(1) << j}' AS HUGEINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""votes$suffix AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM $src GROUP BY doc_id),
+       |fp$suffix AS (
+       |  SELECT doc_id, ($bits) AS fp$suffix FROM votes$suffix)""".stripMargin
+  }
+
+  /** q46: simhash64 fingerprints → 4×16-bit chunk-collision join →
+    * Hamming ≤ 3. */
+  private def oracle46: String =
+    s"""WITH $tokenHashCtes,
+       |lanes AS (SELECT doc_id, h AS h0 FROM th),
+       |${fpCtes("lanes", "0")},
+       |chunks AS (
+       |  SELECT doc_id, fp0, u AS chunk_id, (fp0 >> (u * 16)) % 65536 AS chunk
+       |  FROM fp0, unnest([0, 1, 2, 3]) t(u))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.fp0, b.fp0)) AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp0, b.fp0)) <= 3""".stripMargin
+
+  /** q79: the 128-bit wide variant — lane 1 is the salt-folded mix of
+    * the base hash; 4×32-bit chunks; summed word Hammings. */
+  private def oracle79: String =
+    s"""WITH $tokenHashCtes,
+       |lanes AS (SELECT doc_id, h AS h0,
+       |  ${mixSql(s"(h + $GoldenU) % $M64")} AS h1 FROM th),
+       |${fpCtes("lanes", "0")},
+       |${fpCtes("lanes", "1")},
+       |fp AS (
+       |  SELECT fp0.doc_id, fp0.fp0, fp1.fp1
+       |  FROM fp0 JOIN fp1 USING (doc_id)),
+       |chunks AS (
+       |  SELECT doc_id, fp0, fp1, u AS chunk_id,
+       |    (CASE WHEN u < 2 THEN fp0 ELSE fp1 END >> ((u % 2) * 32))
+       |      % 4294967296 AS chunk
+       |  FROM fp, unnest([0, 1, 2, 3]) t(u))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) <= 3""".stripMargin
+
+  /** q45: the full MinHash+LSH pipeline — shingle chains (3-step
+    * lead() ladder), 64 per-salt minima, 16 foldMix band keys, bucket
+    * equi-join, exact-Jaccard verify on candidates only (the q44 gram
+    * machinery). */
+  private def oracle45: String = {
+    val bandSlices = (1 to 4).map(r => s"sig[4 * b + $r] AS v$r").mkString(", ")
+    s"""WITH $tokenHashCtes,
+       |sh1 AS (
+       |  SELECT doc_id, i, ${mixSql("h")} AS s1,
+       |    lead(h, 1) OVER (PARTITION BY doc_id ORDER BY i) AS h2,
+       |    lead(h, 2) OVER (PARTITION BY doc_id ORDER BY i) AS h3
+       |  FROM th),
+       |sh2 AS (
+       |  SELECT doc_id, ${mixSql("xor(s1, h2)")} AS s2, h3
+       |  FROM sh1 WHERE h3 IS NOT NULL),
+       |sh3 AS (
+       |  SELECT DISTINCT doc_id, ${mixSql("xor(s2, h3)")} AS sh FROM sh2),
+       |salted AS (
+       |  SELECT doc_id, k,
+       |    ${mixSql(s"(sh + CAST(k AS HUGEINT) * $GoldenU) % $M64")} AS hk
+       |  FROM sh3, (SELECT unnest(range(64)) AS k) ks),
+       |mins AS (SELECT doc_id, k, min(hk) AS m FROM salted GROUP BY doc_id, k),
+       |sigs AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM mins GROUP BY doc_id),
+       |b0 AS (
+       |  SELECT doc_id, b, $bandSlices
+       |  FROM sigs, (SELECT unnest(range(16)) AS b) bs),
+       |k1 AS (SELECT doc_id, b, ${mixSql("xor(CAST(b AS HUGEINT), v1)")} AS h, v2, v3, v4 FROM b0),
+       |k2 AS (SELECT doc_id, b, ${mixSql("xor(h, v2)")} AS h, v3, v4 FROM k1),
+       |k3 AS (SELECT doc_id, b, ${mixSql("xor(h, v3)")} AS h, v4 FROM k2),
+       |k4 AS (SELECT doc_id, b AS band, ${mixSql("xor(h, v4)")} AS bucket FROM k3),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM k4 a JOIN k4 b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |g0 AS (
+       |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+       |  FROM tok),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       |  FROM g0),
+       |sz AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN grams ga ON ga.doc_id = c.doc_a
+       |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) AS jaccard_ppm
+       |FROM inter
+       |JOIN sz sa ON doc_a = sa.doc_id
+       |JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q45_minhash_lsh" -> oracle45,
+    "q46_simhash_pairs" -> oracle46,
+    "q79_simhash_wide" -> oracle79,
     "q44_ngram_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
