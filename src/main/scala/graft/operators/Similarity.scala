@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  private val Planes = Vectors.randomPlanes(nPlanes = 4, dim = 64, seed = 7L)
+  /** q49's bucketing planes — QUANTIZED to the 0.001 grid (like
+    * Planes83/PlanesA) so the DuckDB oracle replays the identical
+    * bucket bits from 3-decimal literals; SimilaritySpec asserts the
+    * sign margins that make cross-engine float noise harmless. */
+  private[graft] val Planes =
+    Vectors.quantizedPlanes(nPlanes = 4, dim = 64, seed = 7L)
 
   /** q83 parameters: 16 bands x 8 sign bits (128 quantized planes).
     * At this corpus's deliberately weak threshold (planted pairs sit
@@ -256,7 +261,9 @@ object Similarity {
         .limit(10)
     },
 
-    // -- ANN via sign-LSH buckets + Hamming-1 multi-probe (rows-only;
+    // -- ANN via sign-LSH buckets + Hamming-1 multi-probe
+    //    (EXACT-gated: the oracle replays the quantized planes'
+    //    bucket bits, the probe set and the round-6 re-rank;
     //    SimilaritySpec pins recall vs the brute-force baseline) --
     "q49_ann_lsh" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
@@ -453,10 +460,40 @@ object Similarity {
        |LIMIT 10""".stripMargin
   }
 
+  /** q49's oracle: bucket bits from the same quantized planes, the
+    * query's Hamming-1 probe set, exact-cosine re-rank — the oracle83
+    * bucket machinery composed with the q47 top-10 select. */
+  private def oracle49: String = {
+    def lst(p: Seq[Double]) = p.map(v => f"$v%.3f").mkString("[", ", ", "]")
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def sumsq(a: String) =
+      s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def cosE(a: String, b: String) =
+      s"(${dotE(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
+    val bucketBits = Planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotE("embedding", lst(p))} >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = ("qbucket" +: Planes.indices
+      .map(i => s"xor(qbucket, ${1 << i})")).mkString(", ")
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |keys AS (
+       |  SELECT vec_id, label, embedding, ($bucketBits) AS bucket
+       |  FROM embeddings),
+       |qb AS (SELECT bucket AS qbucket FROM keys WHERE vec_id = 0),
+       |probes AS (SELECT unnest([$probeList]) AS probe FROM qb)
+       |SELECT k.vec_id, k.label, round(${cosE("k.embedding", "q_emb")}, 6) AS cos_sim
+       |FROM keys k, q
+       |WHERE k.vec_id <> 0 AND k.bucket IN (SELECT probe FROM probes)
+       |ORDER BY cos_sim DESC, k.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q83_embedding_clusters_lsh" -> oracle83,
     "q87_semantic_dedup_adaptive" -> oracle87,
     "q86_ann_ivf" -> oracle86,
+    "q49_ann_lsh" -> oracle49,
     "q47_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

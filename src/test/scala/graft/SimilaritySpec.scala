@@ -96,6 +96,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q49 cross-engine safety margins: plane-sign dots bounded away from 0") {
+    // the oracle replays bucket bits as sign(dot); noise between the
+    // two ordered-fold evaluations is ~1e-13, so every |dot| must be
+    // orders of magnitude wider at every scale (the q83 argument)
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables.load(spark, dir, "embeddings")
+      val dots = Similarity.Planes.map(p =>
+        abs(Vectors.dot(col("embedding"), typedlit(p))))
+      val minDot = e.select(least(dots: _*).as("d"))
+        .agg(min(col("d"))).head().getDouble(0)
+      assert(minDot > 1e-6, s"plane-sign margin too thin at $dir: $minDot")
+    }
+  }
+
   test("kmeansCentroids: deterministic, normalized, covers the sample") {
     val rng = new scala.util.Random(11)
     val sample = Seq.fill(64)(Array.fill(8)(rng.nextGaussian()))
