@@ -15,83 +15,11 @@ object Workloads {
 
   private def dec4(c: Column): Column = c.cast("decimal(18,4)")
 
-  /** PassJoin-style segment-signature candidates for whole-string
-    * edit distance ≤ k over a `head` column (Li et al., ICDE'11 —
-    * "PASS-JOIN: a partition-based method for similarity joins").
-    *
-    * Each string is split into k+1 near-even segments BY ITS OWN
-    * LENGTH. Pigeonhole: if ed(a, b) ≤ k, at most k segments of a are
-    * touched by edits, so b contains at least one of a's segments
-    * VERBATIM, starting within ±k of its position in a. Both that
-    * position AND the segment's width are functions of |a|, which the
-    * probing side does not know — only that |a| ∈ [|b|−k, |b|+k] — so
-    * b enumerates windows for EVERY hypothetical partner length d ∈
-    * [−k, k]: width and base position derived from |b|+d, start
-    * shifted by ±k. (Deriving widths from |b| alone silently loses
-    * pairs whose unedited segment is the one whose width differs —
-    * found by the randomized-edits spec, invisible on a fixed-length
-    * corpus.) The candidate join is an equi-join on (seg_id,
-    * segment-string) — an inverted segment index, never an all-pairs
-    * comparison: unlike q65's head-30 length-band blocking (sound for
-    * its k=10/band=100 regime but still comparing every same-band
-    * pair), the k+1-segment signature prunes structurally at small k,
-    * the round-2 verdict's generalization gap. Every candidate is
-    * verified with threshold levenshtein, so the enumeration being a
-    * superset never costs exactness. */
-  private val PassK = 2
-  def passJoinCandidates(d: DataFrame): DataFrame = {
-    val nSeg = PassK + 1
-    val len = length(col("head"))
-    val segLen = floor(len / nSeg).cast("int")
-    // segment i: position i*segLen (0-based), last segment absorbs
-    // the remainder — lengths (b, b, L-2b) for nSeg = 3
-    def segPos(i: Int) = (segLen * i) + 1
-    def segWidth(i: Int): Column =
-      if (i == nSeg - 1) len - segLen * (nSeg - 1) else segLen
-    // signature side: each doc's own segments
-    val sig = d.select(col("doc_id"), col("source"), col("head"),
-      posexplode(array((0 until nSeg).map(i =>
-        col("head").substr(segPos(i), segWidth(i))): _*)))
-      .withColumnRenamed("pos", "seg_id").withColumnRenamed("col", "seg")
-    // substring side: for each hypothetical partner length |b|+d
-    // (|d| ≤ k), windows with the width and base position THAT length
-    // implies for segment i. Position ranges use the boundary
-    // analysis: an UNTOUCHED segment 0 starts at 1 in both strings
-    // and can only be pushed RIGHT by insertions before it (start ∈
-    // [1, 1+k]); an untouched LAST segment's image ends at the
-    // partner's end up to k trailing insertions (end ∈ [|b|−k, |b|]);
-    // only middle segments need the full ±k drift. This both tightens
-    // the candidate set and keeps the expression count small.
-    val windows: Seq[Column] = (0 until nSeg).flatMap { i =>
-      (-PassK to PassK).flatMap { dd =>
-        val lenA = len + dd
-        val segLenA = floor(lenA / nSeg).cast("int")
-        val w: Column =
-          if (i == nSeg - 1) (lenA - segLenA * (nSeg - 1)).cast("int")
-          else segLenA
-        val starts: Seq[Column] =
-          if (i == 0) (0 to PassK).map(s => lit(1) + s)
-          else if (i == nSeg - 1) (0 to PassK).map(t => len - w + 1 - t)
-          else (-PassK to PassK).map(sh => segLenA * i + 1 + sh)
-        starts.map { p =>
-          when(w >= 1 && p >= 1 && (p + w - lit(1)) <= len,
-            struct(lit(i).as("i"), col("head").substr(p, w).as("s")))
-        }
-      }
-    }
-    val sub = d.select(col("doc_id"), col("source"), col("head"),
-      explode(array(windows: _*)).as("win"))
-      .filter(col("win").isNotNull)
-      .select(col("doc_id"), col("source"), col("head"),
-        col("win.i").as("seg_id"), col("win.s").as("seg"))
-    sig.as("a").join(sub.as("b"),
-        col("a.seg_id") === col("b.seg_id") && col("a.seg") === col("b.seg") &&
-          col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.head").as("head_a"), col("b.head").as("head_b"))
-      .distinct()
-  }
+  /** PassJoin candidates at the q84 gate configuration — kept as the
+    * probe/spec entry point; the implementation lives in the unified
+    * [[EditDistanceJoin]] surface (round-3 verdict #6). */
+  def passJoinCandidates(d: DataFrame): DataFrame =
+    EditDistanceJoin.candidatesPassJoin(d, 2)
 
   val queries: Map[String, Q] = Map(
     // -- TPC-H Q3 shape: shipping priority --
@@ -153,50 +81,25 @@ object Workloads {
 
     // -- edit distance (levenshtein) for fuzzy matching. Semantics:
     //    same source, |Δn_chars| <= 100 (the standard ER length
-    //    filter), head edit distance <= 10. The length predicate is
-    //    implemented as a LOSSLESS band equi-join (same pattern as the
-    //    cone join): each doc lands in bands floor(l/B) and
-    //    floor((l+B)/B), so any pair within the tolerance shares a
-    //    band — blocking-key cardinality is sources × length-bands and
-    //    grows with the data, unlike the round-1 source-only blocking
-    //    whose per-key pair count grew O(n²/k) with fixed k. --
+    //    filter), head edit distance <= 10. Routed through the unified
+    //    EditDistanceJoin surface, which picks length-band blocking
+    //    for this large-k regime (see its scaladoc). --
     "q65_edit_distance" -> { (s, dir) =>
-      val bandW = 100 // band width == length tolerance (lossless: see above)
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"),
           substring(col("text"), 1, 30).as("head"))
-      val banded = d.withColumn("band",
-        explode(array_distinct(array(
-          floor(col("n_chars") / bandW).cast("long"),
-          floor((col("n_chars") + bandW) / bandW).cast("long")))))
-      // each qualifying pair matches on exactly ONE band — the band of
-      // the longer doc, floor(max(la,lb)/B), is provably in both docs'
-      // band sets — so no distinct is needed; and the threshold form
-      // of levenshtein (banded DP, -1 when above) bounds the verify
-      // cost per pair
-      banded.as("a").join(banded.as("b"),
-          col("a.source") === col("b.source") &&
-            col("a.band") === col("b.band") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            abs(col("a.n_chars") - col("b.n_chars")) <= bandW &&
-            col("a.band") ===
-              floor(greatest(col("a.n_chars"), col("b.n_chars")) / bandW).cast("long"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.head"), col("b.head"), 10).as("edit_dist"))
-        .filter(col("edit_dist") >= 0 && col("edit_dist") <= 10)
+      EditDistanceJoin(d, k = 10, lengthTolerance = Some(("n_chars", 100)))
     },
 
-    // -- whole-string edit distance <= 2 via PassJoin segment
-    //    signatures (the small-k regime where q65's length-band
-    //    blocking cannot prune: all heads share one band) --
+    // -- whole-string edit distance <= 2 via the same unified surface,
+    //    which picks PassJoin segment signatures for the small-k
+    //    regime where length-band blocking cannot prune (all heads
+    //    share one band) --
     "q84_passjoin_edit2" -> { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           substring(col("text"), 1, 40).as("head"))
-      passJoinCandidates(d)
-        .withColumn("edit_dist", levenshtein(col("head_a"), col("head_b"), PassK))
-        .filter(col("edit_dist") >= 0 && col("edit_dist") <= PassK)
-        .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      EditDistanceJoin(d, k = 2)
     },
 
     // -- regression/correlation aggregates per group --
