@@ -83,6 +83,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!"HashAggregate \\(keys=\\[doc_a".r.findAllIn(p).hasNext, p)
   }
 
+  test("q85: surprisal is keyed joins + a scalar broadcast, nothing all-pairs") {
+    val p = executedPlan("q85_unigram_surprisal")
+    assert(!p.contains("CartesianProduct"), p)
+    // the token inverted-index join is a real equi-join...
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // ...and the only nested-loop is the broadcast of the 1-row total
+    // (formatted explain prints each node twice: tree + detail)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+    // per-doc aggregation is two-phase (map-side partial before the
+    // exchange) — the sum is integer, so partials are exact
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q86: IVF is a joinless scan with isin-cell pruning and top-k, cosine in codegen") {
+    val p = executedPlan("q86_ann_ivf")
+    // no join of any kind: centroids are plan constants, the query
+    // vector a literal — the whole query is scan → project → filter
+    // (cell IN probes) → TakeOrderedAndProject
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.toLowerCase.contains("cosinesimilarity"), p)
+    assert(p.contains(" IN ") || p.contains(" INSET "), p)
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")
