@@ -68,6 +68,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("cosinesimilarity"), p)
   }
 
+  test("q87: adaptive LSH edge generation matches q83's shape (equi-join, codegen sketch + cosine)") {
+    // same audit as q83 but through the adaptive-width path: the
+    // runtime band width must stay a mask over the static sketch, so
+    // the plan shape is identical — a (band_id, key) equi-join feeding
+    // the codegen cosine verify, never a cartesian
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val p = operators.Similarity.adaptiveEdges(e, threshold = 0.9)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("signbands"), p)
+    assert(p.toLowerCase.contains("cosinesimilarity"), p)
+  }
+
   test("q84: PassJoin candidate join is an equi-join on segment signatures") {
     val p = executedPlan("q84_passjoin_edit2")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
