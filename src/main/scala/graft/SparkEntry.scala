@@ -30,6 +30,7 @@ object SparkEntry {
       (ApproxAggs.queries, ApproxAggs.oracles),
       (Workloads.queries, Workloads.oracles),
       (CorpusStats.queries, CorpusStats.oracles),
+      (Mixing.queries, Mixing.oracles),
       (Profiling.queries, Profiling.oracles),
     )
 

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.SplitMix64
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus MIXING operators — the pretraining-prep steps between
+  * cleaning/dedup and the trainer: stratified downsampling,
+  * temperature-based source rebalancing, and deterministic
+  * shard + token-budget packing. (The reference stops at per-sample
+  * analysis output, /root/reference/src/cosmap/analysis/runner.py —
+  * these extend the engine the same way the dedup/similarity family
+  * does, per the brief's training-data-pipeline mandate.)
+  *
+  * All three are driven by the splitmix64 draw keyed on `doc_id`
+  * ([[graft.functions.SplitMix64]]), so they are partitioning- and
+  * cluster-size-independent AND replayable by the DuckDB oracle — the
+  * same determinism contract as the q32/q33 sampler.
+  *
+  * Scale shapes:
+  *  - q88 is a pure map-side filter (one scan, zero shuffles);
+  *  - q89 adds only a 5-row aggregate broadcast back onto the scan;
+  *  - q90 is ONE hash shuffle by shard + an in-partition sort — the
+  *    shard count is the parallelism knob (16 here; 2^16 at 100 TB
+  *    keeps partitions executor-sized), and packing never needs a
+  *    global order, only a per-shard one.
+  */
+object Mixing {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q88/q89/q90 draw salts — distinct streams per operator. */
+  private val SaltStrat = 88L
+  private val SaltTemp = 89L
+  private val SaltPack = 90L
+
+  /** q88 explicit per-stratum keep rates: downsample over-represented
+    * English to 50%, Chinese to 75%, keep the rest whole. The rates
+    * are dyadic doubles (0.5, 0.75), exactly representable, so the
+    * `<` comparison is the same boundary in both engines. */
+  private val RateEn = 0.5
+  private val RateZh = 0.75
+
+  /** q90 packing parameters. */
+  private val NumShards = 16
+  private val TokenBudget = 512L
+
+  /** Whitespace token count — the q40-established tokenization, kept
+    * textually identical so the oracle's `string_split_regex` agrees. */
+  private def nTokens = expr("CAST(size(split(text, '\\\\s+')) AS BIGINT)")
+
+  val queries: Map[String, Q] = Map(
+    // -- stratified downsampling: Bernoulli per-stratum keep with
+    //    explicit target rates — the "rebalance the language mix"
+    //    operator. Map-side only: the draw is a codegen'd expression
+    //    on doc_id, so the filter runs inside the scan stage. --
+    "q88_stratified_sample" -> { (s, dir) =>
+      val u = SplitMix64.uniform(col("doc_id"), SaltStrat)
+      val rate = when(col("lang") === "en", lit(RateEn))
+        .when(col("lang") === "zh", lit(RateZh))
+        .otherwise(lit(1.0))
+      Tables.load(s, dir, "documents")
+        .filter(u < rate)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // -- temperature rebalancing (multilingual-sampling style): keep
+    //    rate per language = sqrt(n_min / n_lang), i.e. temperature
+    //    τ = 1/2 applied to the empirical distribution — the rarest
+    //    language keeps 100%, a 4×-bigger one keeps 50%. sqrt and the
+    //    long→double division are IEEE-correctly-rounded in BOTH
+    //    engines, so the rate doubles are bit-identical and the
+    //    comparison against the splitmix64 draw is exact — no round-6
+    //    quantization needed (house determinism rules: this is the
+    //    one transcendental with a cross-engine exactness guarantee). --
+    "q89_temperature_mix" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val nmin = counts.agg(min(col("n_lang")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(nmin))
+        .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_lang")))
+        .select(col("lang"), col("rate"))
+      val u = SplitMix64.uniform(col("doc_id"), SaltTemp)
+      d.join(broadcast(rates), "lang")
+        .filter(u < col("rate"))
+        .select(col("doc_id"), col("lang"),
+          floor(col("rate") * lit(1000000.0)).as("rate_ppm"))
+    },
+
+    // -- deterministic shard + sequence packing: every doc gets a
+    //    shard (top bits of its draw) and a position in the shard's
+    //    deterministic shuffle order (the draw itself); docs then fill
+    //    fixed token-budget bins greedily in that order — bin =
+    //    (tokens before this doc) div budget, so a doc that straddles
+    //    a boundary belongs to the bin it starts in. This is the
+    //    "shuffle + pack into training sequences" step; one shuffle
+    //    keyed by shard, sort local to the shard. --
+    "q90_shard_pack" -> { (s, dir) =>
+      val u = SplitMix64.uniform(col("doc_id"), SaltPack)
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), nTokens.as("n_tokens"), u.as("u"))
+        .withColumn("shard", floor(col("u") * NumShards).cast("int"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("u"), col("doc_id"))
+      d.withColumn("cum", sum(col("n_tokens")).over(w))
+        .selectExpr("doc_id", "shard", "n_tokens",
+          s"(cum - n_tokens) div $TokenBudget AS bin")
+    },
+  )
+
+  // ---- code-generated DuckDB oracles (the q32/q33 replay playbook) --
+
+  private def u(idExpr: String, salt: Long): String =
+    SplitMix64.uniformSql(idExpr, salt)
+
+  val oracles: Map[String, String] = Map(
+    "q88_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${u("doc_id", SaltStrat)} <
+         |  (CASE lang WHEN 'en' THEN $RateEn WHEN 'zh' THEN $RateZh ELSE 1.0 END)""".stripMargin,
+
+    "q89_temperature_mix" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+         |m AS (SELECT min(n_lang) AS n_min FROM n),
+         |r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n_lang) AS rate FROM n, m)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(floor(r.rate * 1000000.0) AS BIGINT) AS rate_ppm
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${u("d.doc_id", SaltTemp)} < r.rate""".stripMargin,
+
+    "q90_shard_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |    ${u("doc_id", SaltPack)} AS u
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_tokens, u,
+         |  CAST(floor(u * $NumShards) AS INTEGER) AS shard FROM t),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST((cum - n_tokens) // $TokenBudget AS BIGINT) AS bin FROM c""".stripMargin,
+  )
+}

@@ -122,6 +122,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains(" IN ") || p.contains(" INSET "), p)
   }
 
+  test("q88: stratified sample is map-only (no shuffle, no join)") {
+    val p = executedPlan("q88_stratified_sample")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q89: temperature mix never shuffle-joins — the 5-row rate dim broadcasts") {
+    val p = executedPlan("q89_temperature_mix")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q90: packing shuffles ONCE, keyed by shard") {
+    val p = executedPlan("q90_shard_pack")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(p.contains("Window"), p)
+    // one exchange in the tree (formatted mode repeats it once in the
+    // node-detail section)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")
