@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
 object Mixing {
   type Q = (SparkSession, String) => DataFrame
 
-  /** q88/q89/q90 draw salts — distinct streams per operator. */
+  /** q88/q89/q90/q91 draw salts — distinct streams per operator. */
   private val SaltStrat = 88L
   private val SaltTemp = 89L
   private val SaltPack = 90L
+  private val SaltGroupK = 91L
 
   /** q88 explicit per-stratum keep rates: downsample over-represented
     * English to 50%, Chinese to 75%, keep the rest whole. The rates
@@ -45,6 +46,12 @@ object Mixing {
   /** q90 packing parameters. */
   private val NumShards = 16
   private val TokenBudget = 512L
+
+  /** q91 parameters: exactly K docs per language (the "k random
+    * examples per domain for eval" operator), pre-pruned through B
+    * buckets so no executor ever sorts a whole language. */
+  private val GroupK = 20
+  private val PreBuckets = 32
 
   /** Whitespace token count — the q40-established tokenization, kept
     * textually identical so the oracle's `string_split_regex` agrees. */
@@ -106,6 +113,31 @@ object Mixing {
         .selectExpr("doc_id", "shard", "n_tokens",
           s"(cum - n_tokens) div $TokenBudget AS bin")
     },
+    // -- exact-k-per-group sampling: the K docs with the smallest
+    //    draws per language — a uniform without-replacement sample of
+    //    exactly min(K, n) per group, deterministic and engine-
+    //    independent. TWO-PHASE so it scales: a language is one
+    //    window partition, and at 100 TB a per-language sort is a
+    //    single-executor scale-killer — so rank first within
+    //    (lang, bucket) and keep each bucket's top K (the global
+    //    per-language top K must survive: every member is top-K even
+    //    within its own bucket), then rank the ≤ B·K survivors per
+    //    language. The oracle states the single global ranking — same
+    //    result by the superset argument, independently derived. --
+    "q91_per_group_sample" -> { (s, dir) =>
+      val u = SplitMix64.uniform(col("doc_id"), SaltGroupK)
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), u.as("u"),
+          pmod(col("doc_id"), lit(PreBuckets)).as("bucket"))
+      val wb = Window.partitionBy(col("lang"), col("bucket"))
+        .orderBy(col("u"), col("doc_id"))
+      val survivors = d.withColumn("rb", row_number().over(wb))
+        .filter(col("rb") <= GroupK).drop("rb", "bucket")
+      val wg = Window.partitionBy(col("lang")).orderBy(col("u"), col("doc_id"))
+      survivors.withColumn("sample_rank", row_number().over(wg).cast("long"))
+        .filter(col("sample_rank") <= GroupK)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+    },
   )
 
   // ---- code-generated DuckDB oracles (the q32/q33 replay playbook) --
@@ -141,5 +173,18 @@ object Mixing {
          |    ROWS UNBOUNDED PRECEDING) AS cum FROM s)
          |SELECT doc_id, shard, n_tokens,
          |  CAST((cum - n_tokens) // $TokenBudget AS BIGINT) AS bin FROM c""".stripMargin,
+
+    // the oracle ranks globally per language — deliberately NOT the
+    // engine's two-phase plan, so the bucketed pre-prune is checked
+    // against an independent derivation
+    "q91_per_group_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, ${u("doc_id", SaltGroupK)} AS u FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS sample_rank
+         |  FROM t)
+         |SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+         |FROM r WHERE sample_rank <= $GroupK""".stripMargin,
   )
 }

@@ -97,6 +97,32 @@ class MixingSpec extends SparkSpec {
     assert(out.size === toks.size)
   }
 
+  test("q91: two-phase per-group sample equals the global ranking it short-cuts") {
+    val out = SparkEntry.queries("q91_per_group_sample")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    // independent driver replay: rank ALL docs per lang by (u, id)
+    val expected = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).toSeq
+      .flatMap { case (lang, members) =>
+        members
+          .map { case (id, _) => (id, SplitMix64Kernel.uniform(id, 91L * Golden)) }
+          .sortBy { case (id, u) => (u, id) }
+          .take(20)
+          .zipWithIndex
+          .map { case ((id, _), i) => (id, lang, (i + 1).toLong) }
+      }.toSet
+    assert(out === expected)
+
+    // exactly min(20, n_lang) per language
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.size === math.min(20L, counts(lang)).toInt, lang)
+    }
+  }
+
   test("q90: packing is partitioning-independent") {
     val a = SparkEntry.queries("q90_shard_pack")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet

@@ -143,6 +143,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
   }
 
+  test("q91: per-group sample is two-phase — bucketed pre-prune, never one partition per language") {
+    val p = executedPlan("q91_per_group_sample")
+    // two ranking stages: (lang, bucket) then lang-over-survivors
+    assert("Window".r.findAllIn(p).length >= 2, p)
+    // both exchanges are keyed; nothing collapses to a single partition
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("hashpartitioning(lang"), p)
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")
