@@ -214,9 +214,48 @@ object TextAnalysis {
         .selectExpr("doc_id", "n_tokens",
           "ssum div n_tokens AS mean_surprisal_unats")
     },
+
+    // -- document chunking: fixed-size overlapping character windows
+    //    (the embedding/RAG prep step: 200-char chunks, stride 150 →
+    //    50-char overlap; every doc yields ≥ 1 chunk, the last chunk
+    //    may run short). Map-side explode, zero shuffles — output
+    //    inflation is the bounded ~len/stride factor, linear at any
+    //    corpus size. Chunk positions are code-point-based: Spark's
+    //    length/substring and DuckDB's length/substr both count code
+    //    points (validated incl. supplementary planes by the
+    //    splitmix64 polyHash work), so the oracle replays exactly on
+    //    the CJK docs too. --
+    "q92_doc_chunks" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .selectExpr("doc_id", "text", "CAST(length(text) AS BIGINT) AS len")
+        .selectExpr("doc_id", "text",
+          "1 + (greatest(len - 200, 0) + 149) div 150 AS n_chunks")
+        .selectExpr("doc_id", "text",
+          "explode(sequence(CAST(0 AS BIGINT), n_chunks - 1)) AS chunk_id")
+        .selectExpr("doc_id", "chunk_id",
+          "substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text",
+          "CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len")
+    },
   )
 
   val oracles: Map[String, String] = Map(
+    "q92_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    1 + (greatest(len - 200, 0) + 149) // 150 AS n_chunks
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200) AS chunk_text,
+        |  CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_len
+        |FROM c""".stripMargin,
+
     "q85_unigram_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok

@@ -152,6 +152,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(lang"), p)
   }
 
+  test("q92: chunking is a map-side explode (no shuffle, no join)") {
+    val p = executedPlan("q92_doc_chunks")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the explode
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")

@@ -103,4 +103,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) === ((2L, (u(3.0 / 5) + u(1.0 / 5)) / 2)))
     assert(got(2L)._2 > got(1L)._2)
   }
+
+  test("doc chunking: code-point windows replay on ASCII, CJK, short and empty docs") {
+    val out = SparkEntry.queries("q92_doc_chunks")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+
+    val texts = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // driver replay in code points (String ops on code-point arrays)
+    var checked = 0
+    texts.foreach { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val len = cps.length
+      val nChunks = 1 + (math.max(len - 200, 0) + 149) / 150
+      (0 until nChunks).foreach { i =>
+        val start = i * 150
+        val cpsChunk = cps.slice(start, math.min(start + 200, len))
+        val chunk = new String(cpsChunk, 0, cpsChunk.length)
+        val (gotText, gotLen) = out((id, i.toLong))
+        assert(gotText === chunk, s"doc $id chunk $i")
+        assert(gotLen === chunk.codePointCount(0, chunk.length).toLong)
+        checked += 1
+      }
+    }
+    assert(checked === out.size) // no extra chunks
+    // consecutive chunks overlap by 50 code points on long docs
+    val long = texts.collect { case (id, t) if t.codePoints().count() > 200 => id }
+    assert(long.nonEmpty, "corpus should contain at least one >200-cp doc")
+    long.take(3).foreach { id =>
+      val (c0, _) = out((id, 0L)); val (c1, _) = out((id, 1L))
+      // the last 50 cps of chunk 0 are the first 50 of chunk 1
+      val cps0 = c0.codePoints().toArray; val cps1 = c1.codePoints().toArray
+      assert(cps0.slice(150, 200).sameElements(cps1.slice(0, 50)), s"doc $id overlap")
+    }
+  }
 }
