@@ -88,8 +88,15 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"load_start":${fmt(l0)},"load_end":${fmt(l1)},"queries":$ts}"""
     }.mkString("[", ",", "]")
+    val loadsJson = raw
+      .map { case (l0, l1, _) => s"[${fmt(l0)},${fmt(l1)}]" }
+      .mkString("[", ",", "]")
     val total = best.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passJson}""")
+    // Key order is load-bearing: the record keeper stores only the TAIL
+    // of this line, so the bulky raw per-pass data goes first and the
+    // authoritative best-of-N minimums + per-pass load stamps + total
+    // go LAST — any tail-truncated capture still contains them.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":$passJson,"pass_loads":$loadsJson,"queries":$qs,"total_best":${fmt(total)}}""")
     spark.stop()
   }
 }

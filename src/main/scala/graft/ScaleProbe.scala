@@ -110,7 +110,10 @@ object ScaleProbe {
 
     val docs0 = Tables.load(spark, sfDir, "documents")
     val emb0 = Tables.load(spark, sfDir, "embeddings")
-    val planes = Vectors.randomPlanes(nPlanes = 4, dim = 64, seed = 7L)
+    // the SAME planes production q49 ships (quantized 3-decimal) — a
+    // probe against a different hyperplane family would measure a
+    // bucket configuration nobody runs (round-4 advice #3)
+    val planes = graft.operators.Similarity.Planes
 
     val scales = Seq(1, 2, 5, 10)
     val results = scales.map { k =>

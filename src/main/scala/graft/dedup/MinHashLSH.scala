@@ -39,8 +39,17 @@ object MinHashLSH {
     val bandCols = (0 until bands).map(b =>
       graft.functions.SplitMix64.mixFold(slice(col("sig"), b * r + 1, r), b))
     docs.select(col(idCol).as("doc_id"),
-      graft.functions.MinHashSig.minhashSignature(
-        Text.tokens(col(textCol)), numHashes, shingleN).as("sig"))
+        Text.tokens(col(textCol)).as("toks"))
+      // docs with < shingleN tokens have ZERO shingles: they would all
+      // carry the identical all-sentinel signature and collide pairwise
+      // in every band — quadratic candidate growth in the short-doc
+      // count at scale, for pairs the verify stage nulls out anyway
+      // (0-gram jaccard). Drop them up front, mirroring the oracle's
+      // sh3 prefilter (round-4 advice #2).
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSignature(
+          col("toks"), numHashes, shingleN).as("sig"))
       .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
@@ -88,8 +97,13 @@ object MinHashLSH {
     // shuffle — and, unlike .rdd.getNumPartitions, reading it never
     // materializes the RDD lineage (same fix as Dedup.widen)
     val target = docs.sparkSession.sparkContext.defaultParallelism
+    val files = docs.inputFiles.length
+    // files == 0 means a non-file-backed plan (in-memory frame, post-
+    // transform view): partitioning is unreadable without materializing,
+    // so leave it alone rather than force a full shuffle (round-4
+    // advice #4, same fix as Dedup.widen)
     val wide =
-      if (docs.inputFiles.length >= target) docs
+      if (files == 0 || files >= target) docs
       else docs.repartition(target)
     val buckets = bandBuckets(wide, idCol, textCol, numHashes, bands, shingleN)
     verify(wide, candidatePairs(buckets), idCol, textCol, shingleN, threshold)

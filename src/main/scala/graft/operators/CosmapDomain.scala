@@ -119,15 +119,27 @@ object CosmapDomain {
     * parallelizes on the shuffle key (band==broadcast equivalence is
     * property-tested in ConeJoinSpec). */
   def quickstartRaw(s: SparkSession, dir: String): DataFrame = {
-    val catalog = Tables.load(s, dir, "lineitem").select(
-      col("l_orderkey").as("object_id"),
-      (lit(31.0) + (col("l_orderkey") % 7000).cast("double") / 1000.0).as("ra"),
-      (lit(-11.0) + (col("l_partkey") % 7000).cast("double") / 1000.0).as("dec"))
+    val catalog = quickstartCatalog(s, dir)
     val samples = SphereSampler.uniformCircles(s, 1000, QuickstartBounds,
       QuickstartRadiusDeg, seed = 42L)
     val joined = ConeJoin.bandJoin(catalog, samples, bandDeg = 0.25)
     ConeJoin.quickstartAggregate(joined, samples, minSepArcsec = 5.0)
   }
+
+  /** The quickstart pseudo-catalog (lineitem keys → a 0.001° lattice
+    * inside the quickstart region). Shared with ConeJoinSpec's
+    * boundary-margin probe so the probe measures the shipped data. */
+  private[graft] def quickstartCatalog(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem").select(
+      col("l_orderkey").as("object_id"),
+      (lit(31.0) + (col("l_orderkey") % 7000).cast("double") / 1000.0).as("ra"),
+      (lit(-11.0) + (col("l_partkey") % 7000).cast("double") / 1000.0).as("dec"))
+
+  /** The q31/q68 derived inputs, exposed for the same margin probe. */
+  private[graft] def derivedCatalogFor(s: SparkSession, dir: String): DataFrame =
+    derivedCatalog(s, dir)
+  private[graft] def derivedSamplesFor(s: SparkSession, dir: String): DataFrame =
+    derivedSamples(s, dir)
 
   /** q68: per-sample angular centroid of cone contents via the typed
     * CentroidAgg UDAF (partial+merge aggregation; buffer is 4 doubles

@@ -109,7 +109,12 @@ object Dedup {
     // verdict minor #4: df.rdd.getNumPartitions materialized the RDD
     // lineage just to read a number); a real-scale source has >=
     // cores files and pays NO shuffle here
-    if (df.inputFiles.length >= target) df else df.repartition(target)
+    val files = df.inputFiles.length
+    // files == 0 means a non-file-backed plan (in-memory frame, post-
+    // transform view) whose partitioning we can't read without
+    // materializing — leave it alone rather than force a full shuffle
+    // (round-4 advice #4)
+    if (files == 0 || files >= target) df else df.repartition(target)
   }
 
   private val ngramJaccard: Q = { (s, dir) =>

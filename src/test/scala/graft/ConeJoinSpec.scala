@@ -78,6 +78,47 @@ class ConeJoinSpec extends SparkSpec {
     assert(out1.length === 1000)
   }
 
+  /** Round-4 advice #1: the cone gates (q31/q33/q68) compare raw
+    * transcendental separations against their boundaries in BOTH
+    * engines (`sep <= radius` in the join, `sep*3600 > 5` in the
+    * quickstart filter); Java-vs-libm trig divergence is ~1e-13
+    * absolute, so a pair that close to a boundary could flip
+    * membership in one engine only and change n, not just inv.
+    * Quantizing the comparison would merely move the exposure to the
+    * rounding boundary, so instead this probe PROVES the shipped data
+    * keeps every pair orders of magnitude away from every boundary, at
+    * all three gate scales — a data refresh that lands near a boundary
+    * fails here loudly instead of failing the gate mysteriously. */
+  test("cone gate boundary margins far above float noise (tri-scale)") {
+    import graft.operators.CosmapDomain
+    val scales = Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    for (dir <- scales) {
+      // q33: pad the radius 2× so candidates on BOTH sides of the true
+      // boundary are captured, then measure distance to each boundary
+      val r = CosmapDomain.QuickstartRadiusDeg
+      val smp = SphereSampler.uniformCircles(
+          spark, 1000, CosmapDomain.QuickstartBounds, r, seed = 42L)
+        .withColumn("radius_deg", col("radius_deg") * 2)
+      val cand = ConeJoin.bandJoin(
+        CosmapDomain.quickstartCatalog(spark, dir), smp, bandDeg = 0.25)
+      val m33 = cand.agg(
+        min(abs(col("sep_deg") - lit(r))).as("mJoin"),
+        min(abs(col("sep_deg") * 3600.0 - 5.0)).as("mSep")).head
+      assert(m33.getDouble(0) > 1e-9,
+        s"$dir q33 join-boundary margin ${m33.getDouble(0)} too thin")
+      assert(m33.getDouble(1) > 1e-7,
+        s"$dir q33 min-sep filter margin ${m33.getDouble(1)} too thin (arcsec)")
+
+      // q31/q68: same probe on the derived lattice geometry
+      val padded = CosmapDomain.derivedSamplesFor(spark, dir)
+        .withColumn("radius_deg", col("radius_deg") * 1.5)
+      val m31 = ConeJoin.bandJoin(
+          CosmapDomain.derivedCatalogFor(spark, dir), padded, bandDeg = 5.0)
+        .agg(min(abs(col("sep_deg") - lit(19.97)))).head.getDouble(0)
+      assert(m31 > 1e-9, s"$dir q31 join-boundary margin $m31 too thin")
+    }
+  }
+
   // ---- Rectangle samples (beyond the reference) --------------------
 
   private lazy val rectSamples: DataFrame = {
