@@ -31,6 +31,7 @@ object SparkEntry {
       (Workloads.queries, Workloads.oracles),
       (CorpusStats.queries, CorpusStats.oracles),
       (Mixing.queries, Mixing.oracles),
+      (CorpusPipeline.queries, CorpusPipeline.oracles),
       (Profiling.queries, Profiling.oracles),
     )
 

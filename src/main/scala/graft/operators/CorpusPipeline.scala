@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.Tables
+import graft.pipeline.{DagCompiler, PipelineSpec, Transform, TransformRegistry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** q93 — the north-star LLM corpus-prep chain, driven END-TO-END by
+  * the §2.10 declarative DAG compiler rather than hand-wired code:
+  *
+  *   clean (q80 predicate) → near-dup dedup keep (q53 machinery) →
+  *   temperature mix (q89) → shard/pack (q90) → chunk (q92)
+  *
+  * The spec below is a transformations.json-shaped document (the
+  * reference's pipeline language, /root/reference/README.md:82-103):
+  * the heavy stages are REGISTERED transforms (the dynamic-code
+  * surface, analysis.py:93-126) and the chunk stage is pure builtin
+  * `op` nodes — both halves of §2.10 carry real work in one DAG.
+  *
+  * Every stage is the SAME composable form its standalone gate query
+  * uses (TextAnalysis.cleanKeep, Dedup.dedupKeep,
+  * Mixing.temperatureKeep/shardPack, the q92 selectExprs), with the
+  * same splitmix64 salts — so the DuckDB oracle is the CTE chain of
+  * the stages' own generated SQL, scoped stage-over-stage.
+  *
+  * Scale notes: the one NEW wrinkle vs the standalone queries is that
+  * `text` rides the q90 shard shuffle (the chunk stage consumes it
+  * next; one shuffle moving text once beats a skinny pack plus a
+  * second join shuffle to re-attach it), and the cleaned frame is
+  * persisted because the dedup stage's plan-time hot-gram collect and
+  * the main action both read it. PlanShapeSpec pins the composed
+  * shapes: rates broadcast, chunk explode map-side above the single
+  * Window, no cartesian anywhere.
+  */
+object CorpusPipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val specJson =
+    """{
+      |  "Main": {
+      |    "load_documents": {
+      |      "needed-data": ["documents"],
+      |      "op": {"kind": "table", "table": "documents"}
+      |    },
+      |    "clean": {"dependencies": {"load_documents": "df"}},
+      |    "dedup_keep": {"dependencies": {"clean": "df"}},
+      |    "temperature_mix": {"dependencies": {"dedup_keep": "df"}},
+      |    "shard_pack": {"dependencies": {"temperature_mix": "df"}},
+      |    "chunk_prep": {
+      |      "dependencies": {"shard_pack": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "text",
+      |        "CAST(length(text) AS BIGINT) AS len"]}
+      |    },
+      |    "chunk_ids": {
+      |      "dependencies": {"chunk_prep": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "text",
+      |        "explode(sequence(CAST(0 AS BIGINT), (1 + (greatest(len - 200, 0) + 149) div 150) - 1)) AS chunk_id"]}
+      |    },
+      |    "chunk_out": {
+      |      "dependencies": {"chunk_ids": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "chunk_id",
+      |        "substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text",
+      |        "CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len"]},
+      |      "is-output": true
+      |    }
+      |  }
+      |}""".stripMargin
+
+  private def in(args: Map[String, Any]): DataFrame =
+    args("df").asInstanceOf[DataFrame]
+
+  /** The dynamic-code half of the DAG: each heavy stage is the shared
+    * composable operator. `clean`'s output is persisted — the dedup
+    * stage reads it for the plan-time hot-gram constant AND in the
+    * main action (CLAUDE.md rule: cache inputs referenced more than
+    * once; MEMORY_AND_DISK, spills rather than OOMs). */
+  private val registry = TransformRegistry(
+    "clean" -> Transform(a => TextAnalysis.cleanKeep(in(a)).persist()),
+    "dedup_keep" -> Transform(a => Dedup.dedupKeep(in(a))),
+    "temperature_mix" -> Transform(a => Mixing.temperatureKeep(in(a))),
+    "shard_pack" -> Transform(a => Mixing.shardPack(in(a))))
+
+  val queries: Map[String, Q] = Map(
+    "q93_corpus_prep_pipeline" -> { (s, dir) =>
+      val blocks = PipelineSpec.fromJson(specJson)
+      DagCompiler.runPipeline(
+        blocks("Main"), registry,
+        data = Map("documents" -> Tables.load(s, dir, "documents")),
+        params = Map.empty, spark = Some(s)).asInstanceOf[DataFrame]
+    },
+  )
+
+  /** Composed oracle: each stage's OWN generated SQL, scoped to the
+    * previous stage's CTE (DuckDB allows a WITH inside a CTE body;
+    * inner names are locally scoped, so the stage fragments nest
+    * unchanged). */
+  val oracles: Map[String, String] = Map(
+    "q93_corpus_prep_pipeline" ->
+      s"""WITH cleaned AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN (
+         |${TextAnalysis.oracles("q80_clean_corpus")}
+         |) k USING (doc_id)),
+         |deduped AS (
+         |  SELECT doc_id, lang, text FROM cleaned
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM (
+         |${Dedup.neardupDropSql("cleaned")}
+         |))),
+         |mixed AS (
+         |${Mixing.temperatureSql("deduped", "d.doc_id, d.lang, d.text")}),
+         |packed AS (
+         |${Mixing.shardPackSql("mixed", "doc_id, lang, text, shard")}),
+         |${TextAnalysis.chunkSql("packed", "doc_id, lang, shard, bin")
+              .stripPrefix("WITH ")}""".stripMargin,
+  )
+}

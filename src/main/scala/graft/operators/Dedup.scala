@@ -117,8 +117,10 @@ object Dedup {
     if (files == 0 || files >= target) df else df.repartition(target)
   }
 
-  private val ngramJaccard: Q = { (s, dir) =>
-      val d = widen(Tables.load(s, dir, "documents"))
+  /** Exact J ≥ 0.5 near-dup pairs over any documents-shaped frame
+    * (needs `doc_id`, `text`) — the composable form q44/q53 and the
+    * q93 pipeline share. */
+  def jaccardPairs(d: DataFrame): DataFrame = {
       // the gram table is referenced five times across candidates +
       // verify; a lazy persist shares one computation within the
       // action (MEMORY_AND_DISK — spills rather than OOMs at scale)
@@ -138,6 +140,20 @@ object Dedup {
         .selectExpr("doc_a", "doc_b",
           "CAST(inter AS BIGINT) * 1000000 div (CAST(ng_a AS BIGINT) + ng_b - inter) AS jaccard_ppm")
         .filter(col("jaccard_ppm") >= 500000L)
+  }
+
+  private val ngramJaccard: Q = { (s, dir) =>
+    jaccardPairs(widen(Tables.load(s, dir, "documents")))
+  }
+
+  /** Dedup materialization over any documents-shaped frame: drop every
+    * doc that is the higher-id member of a J ≥ 0.5 pair, keeping the
+    * input's FULL rows — q53 is this over the raw table plus the
+    * 4-column gate projection; the q93 pipeline chains it after
+    * cleaning (text stays aboard for the downstream stages). */
+  def dedupKeep(d: DataFrame): DataFrame = {
+    val drop = jaccardPairs(widen(d)).select(col("doc_b").as("doc_id")).distinct()
+    d.join(drop, Seq("doc_id"), "left_anti")
   }
 
   /** SimHash chunk-collision candidate pairs with Hamming distance
@@ -225,9 +241,7 @@ object Dedup {
     //    higher-id member of any J >= 0.5 near-dup pair (anti-join:
     //    drop duplicates, keep the canonical representative) --
     "q53_neardup_dedup_keep" -> { (s, dir) =>
-      val drop = ngramJaccard(s, dir).select(col("doc_b").as("doc_id")).distinct()
-      Tables.load(s, dir, "documents")
-        .join(drop, Seq("doc_id"), "left_anti")
+      dedupKeep(Tables.load(s, dir, "documents"))
         .select("doc_id", "lang", "source", "n_chars")
     },
   )
@@ -370,6 +384,31 @@ object Dedup {
        |WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000""".stripMargin
   }
 
+  /** Parameterized oracle for the J ≥ 0.5 drop set (`doc_b` members of
+    * near-dup pairs) over relation `src` — q53's oracle and the q93
+    * composed oracle both come from here, so the engine's
+    * [[dedupKeep]] and its replay stay in lockstep. */
+  private[operators] def neardupDropSql(src: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $src),
+       |g0 AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+       |  FROM tok),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       |  FROM g0),
+       |sz AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT DISTINCT doc_b AS doc_id
+       |FROM inter
+       |JOIN sz sa ON doc_a = sa.doc_id
+       |JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q45_minhash_lsh" -> oracle45,
     "q46_simhash_pairs" -> oracle46,
@@ -397,29 +436,10 @@ object Dedup {
         |WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000""".stripMargin,
 
     "q53_neardup_dedup_keep" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
-        |g0 AS (
-        |  SELECT doc_id, t,
-        |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
-        |  FROM tok),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        |  FROM g0),
-        |sz AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |dup AS (
-        |  SELECT DISTINCT doc_b AS doc_id
-        |  FROM inter
-        |  JOIN sz sa ON doc_a = sa.doc_id
-        |  JOIN sz sb ON doc_b = sb.doc_id
-        |  WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000)
-        |SELECT doc_id, lang, source, n_chars
-        |FROM documents
-        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
+      s"""SELECT doc_id, lang, source, n_chars
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM (
+         |${neardupDropSql("documents")}))""".stripMargin,
 
     "q69_dedup_clusters" ->
       """WITH RECURSIVE tok AS (

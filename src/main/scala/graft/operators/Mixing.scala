@@ -82,15 +82,7 @@ object Mixing {
     //    quantization needed (house determinism rules: this is the
     //    one transcendental with a cross-engine exactness guarantee). --
     "q89_temperature_mix" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
-      val nmin = counts.agg(min(col("n_lang")).as("n_min"))
-      val rates = counts.crossJoin(broadcast(nmin))
-        .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_lang")))
-        .select(col("lang"), col("rate"))
-      val u = SplitMix64.uniform(col("doc_id"), SaltTemp)
-      d.join(broadcast(rates), "lang")
-        .filter(u < col("rate"))
+      temperatureKeep(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           floor(col("rate") * lit(1000000.0)).as("rate_ppm"))
     },
@@ -104,14 +96,8 @@ object Mixing {
     //    "shuffle + pack into training sequences" step; one shuffle
     //    keyed by shard, sort local to the shard. --
     "q90_shard_pack" -> { (s, dir) =>
-      val u = SplitMix64.uniform(col("doc_id"), SaltPack)
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), nTokens.as("n_tokens"), u.as("u"))
-        .withColumn("shard", floor(col("u") * NumShards).cast("int"))
-      val w = Window.partitionBy(col("shard")).orderBy(col("u"), col("doc_id"))
-      d.withColumn("cum", sum(col("n_tokens")).over(w))
-        .selectExpr("doc_id", "shard", "n_tokens",
-          s"(cum - n_tokens) div $TokenBudget AS bin")
+      shardPack(Tables.load(s, dir, "documents"))
+        .select("doc_id", "shard", "n_tokens", "bin")
     },
     // -- exact-k-per-group sampling: the K docs with the smallest
     //    draws per language — a uniform without-replacement sample of
@@ -140,10 +126,72 @@ object Mixing {
     },
   )
 
+  // ---- composable stage forms (shared with the q93 pipeline) -------
+
+  /** Temperature filter over any documents-shaped frame (needs
+    * `doc_id`, `lang`), keeping the input's full rows plus `rate` —
+    * q89 is this over the raw table plus the rate_ppm projection; the
+    * q93 pipeline chains it after cleaning + dedup. The rate dim stays
+    * a broadcast onto the scan at any input size (it has one row per
+    * language). */
+  private[graft] def temperatureKeep(d: DataFrame): DataFrame = {
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val nmin = counts.agg(min(col("n_lang")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_lang")))
+      .select(col("lang"), col("rate"))
+    val u = SplitMix64.uniform(col("doc_id"), SaltTemp)
+    d.join(broadcast(rates), "lang").filter(u < col("rate"))
+  }
+
+  /** Shard + token-budget packing over any documents-shaped frame
+    * (needs `doc_id`, `text`), keeping the input's full rows plus
+    * (n_tokens, shard, bin). q90 projects the skinny 4-column gate
+    * output (Catalyst prunes `text` out of the shard shuffle there);
+    * the q93 pipeline keeps `text` aboard because the chunk stage
+    * consumes it next — one shuffle moving the text once beats a
+    * skinny pack plus a second full join shuffle to re-attach text. */
+  private[graft] def shardPack(d: DataFrame): DataFrame = {
+    val u = SplitMix64.uniform(col("doc_id"), SaltPack)
+    val t = d.withColumn("n_tokens", nTokens).withColumn("u", u)
+      .withColumn("shard", floor(col("u") * NumShards).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("u"), col("doc_id"))
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $TokenBudget"))
+      .drop("u", "cum")
+  }
+
   // ---- code-generated DuckDB oracles (the q32/q33 replay playbook) --
 
   private def u(idExpr: String, salt: Long): String =
     SplitMix64.uniformSql(idExpr, salt)
+
+  /** Parameterized oracle for [[temperatureKeep]] over relation
+    * `src`; `select` picks the output columns (alias `d` = src rows,
+    * `r` = the per-language rate). q89's oracle and the q93 composed
+    * oracle both come from here, so engine and replay stay in
+    * lockstep. */
+  private[operators] def temperatureSql(src: String, select: String): String =
+    s"""WITH tn AS (SELECT lang, count(*) AS n_lang FROM $src GROUP BY lang),
+       |tm AS (SELECT min(n_lang) AS n_min FROM tn),
+       |tr AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n_lang) AS rate FROM tn, tm)
+       |SELECT $select
+       |FROM $src d JOIN tr r USING (lang)
+       |WHERE ${u("d.doc_id", SaltTemp)} < r.rate""".stripMargin
+
+  /** Parameterized oracle for [[shardPack]] over relation `src`;
+    * `select` picks the pass-through columns (bin is appended). */
+  private[operators] def shardPackSql(src: String, select: String): String =
+    s"""WITH pt AS (
+       |  SELECT *,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+       |    ${u("doc_id", SaltPack)} AS u
+       |  FROM $src),
+       |ps AS (SELECT *, CAST(floor(u * $NumShards) AS INTEGER) AS shard FROM pt),
+       |pc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM ps)
+       |SELECT $select, CAST((cum - n_tokens) // $TokenBudget AS BIGINT) AS bin
+       |FROM pc""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q88_stratified_sample" ->
@@ -151,28 +199,10 @@ object Mixing {
          |WHERE ${u("doc_id", SaltStrat)} <
          |  (CASE lang WHEN 'en' THEN $RateEn WHEN 'zh' THEN $RateZh ELSE 1.0 END)""".stripMargin,
 
-    "q89_temperature_mix" ->
-      s"""WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
-         |m AS (SELECT min(n_lang) AS n_min FROM n),
-         |r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n_lang) AS rate FROM n, m)
-         |SELECT d.doc_id, d.lang,
-         |  CAST(floor(r.rate * 1000000.0) AS BIGINT) AS rate_ppm
-         |FROM documents d JOIN r USING (lang)
-         |WHERE ${u("d.doc_id", SaltTemp)} < r.rate""".stripMargin,
+    "q89_temperature_mix" -> temperatureSql("documents",
+      "d.doc_id, d.lang, CAST(floor(r.rate * 1000000.0) AS BIGINT) AS rate_ppm"),
 
-    "q90_shard_pack" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
-         |    ${u("doc_id", SaltPack)} AS u
-         |  FROM documents),
-         |s AS (SELECT doc_id, n_tokens, u,
-         |  CAST(floor(u * $NumShards) AS INTEGER) AS shard FROM t),
-         |c AS (SELECT doc_id, shard, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
-         |    ROWS UNBOUNDED PRECEDING) AS cum FROM s)
-         |SELECT doc_id, shard, n_tokens,
-         |  CAST((cum - n_tokens) // $TokenBudget AS BIGINT) AS bin FROM c""".stripMargin,
+    "q90_shard_pack" -> shardPackSql("documents", "doc_id, shard, n_tokens"),
 
     // the oracle ranks globally per language — deliberately NOT the
     // engine's two-phase plan, so the bucketed pre-prune is checked

@@ -139,35 +139,7 @@ object TextAnalysis {
     //    signals are integer ppm, so the keep predicate is engine-
     //    exact by construction. --
     "q80_clean_corpus" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      val base = d.selectExpr("doc_id", "lang", "source", "n_chars",
-        "size(split(text, '\\\\s+')) AS n_tokens",
-        "CAST(size(array_distinct(split(text, '\\\\s+'))) AS BIGINT) * 1000000 div greatest(size(split(text, '\\\\s+')), 1) AS ttr_ppm")
-      val topbg = d
-        .select(col("doc_id"),
-          explode(graft.functions.NGrams.wordNGramsAll(
-            Text.tokens(col("text")), 2)).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg((max(col("c")) * lit(1000000L)).as("tn"), sum(col("c")).as("tot"))
-        .selectExpr("doc_id", "tn div tot AS top_bigram_ppm")
-      val grams5 = d.select(col("doc_id"),
-        explode(Text.wordNGrams(col("text"), 5)).as("g"))
-      val contaminated = grams5.filter(col("doc_id") % 97 =!= 0)
-        .join(grams5.filter(col("doc_id") % 97 === 0).select(col("g")), "g")
-        .select(col("doc_id")).distinct()
-      val canonical = d
-        .groupBy(Text.fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      base
-        .join(topbg, Seq("doc_id"), "left")
-        .join(canonical, Seq("doc_id"))           // exact-dup canonical only
-        .join(contaminated, Seq("doc_id"), "left_anti") // decontaminated
-        .filter(col("doc_id") % 97 =!= 0)         // eval docs leave the corpus
-        .filter(col("n_tokens") >= 12 &&
-          col("ttr_ppm") >= 350000L &&
-          coalesce(col("top_bigram_ppm"), lit(0L)) <= 80000L)
+      cleanKeep(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     },
 
@@ -238,23 +210,64 @@ object TextAnalysis {
     },
   )
 
+  /** The q80 keep predicate over any documents-shaped frame, returning
+    * the surviving rows with ALL input columns (text preserved) — the
+    * composable form the q93 pipeline chains from; q80 itself is this
+    * over the raw table plus the 4-column gate projection. The final
+    * semi-join re-attaches the full rows to the kept-id set, mirroring
+    * how the composed oracle scopes the stage. */
+  private[graft] def cleanKeep(d: DataFrame): DataFrame = {
+    val base = d.selectExpr("doc_id",
+      "size(split(text, '\\\\s+')) AS n_tokens",
+      "CAST(size(array_distinct(split(text, '\\\\s+'))) AS BIGINT) * 1000000 div greatest(size(split(text, '\\\\s+')), 1) AS ttr_ppm")
+    val topbg = d
+      .select(col("doc_id"),
+        explode(graft.functions.NGrams.wordNGramsAll(
+          Text.tokens(col("text")), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")) * lit(1000000L)).as("tn"), sum(col("c")).as("tot"))
+      .selectExpr("doc_id", "tn div tot AS top_bigram_ppm")
+    val grams5 = d.select(col("doc_id"),
+      explode(Text.wordNGrams(col("text"), 5)).as("g"))
+    val contaminated = grams5.filter(col("doc_id") % 97 =!= 0)
+      .join(grams5.filter(col("doc_id") % 97 === 0).select(col("g")), "g")
+      .select(col("doc_id")).distinct()
+    val canonical = d
+      .groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = base
+      .join(topbg, Seq("doc_id"), "left")
+      .join(canonical, Seq("doc_id"))           // exact-dup canonical only
+      .join(contaminated, Seq("doc_id"), "left_anti") // decontaminated
+      .filter(col("doc_id") % 97 =!= 0)         // eval docs leave the corpus
+      .filter(col("n_tokens") >= 12 &&
+        col("ttr_ppm") >= 350000L &&
+        coalesce(col("top_bigram_ppm"), lit(0L)) <= 80000L)
+      .select(col("doc_id"))
+    d.join(kept, Seq("doc_id"), "left_semi")
+  }
+
+  /** Parameterized oracle for the chunking stage over relation `src`
+    * (needs `text` plus the pass-through `keyCols`) — q92's oracle and
+    * the q93 composed oracle both come from here. */
+  private[operators] def chunkSql(src: String, keyCols: String): String =
+    s"""WITH ct AS (
+       |  SELECT *, CAST(length(text) AS BIGINT) AS len FROM $src),
+       |cn AS (
+       |  SELECT *, 1 + (greatest(len - 200, 0) + 149) // 150 AS n_chunks
+       |  FROM ct),
+       |cc AS (
+       |  SELECT *, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+       |  FROM cn)
+       |SELECT $keyCols, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200) AS chunk_text,
+       |  CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_len
+       |FROM cc""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q92_doc_chunks" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
-        |  FROM documents),
-        |n AS (
-        |  SELECT doc_id, text,
-        |    1 + (greatest(len - 200, 0) + 149) // 150 AS n_chunks
-        |  FROM t),
-        |c AS (
-        |  SELECT doc_id, text,
-        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
-        |  FROM n)
-        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |  substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200) AS chunk_text,
-        |  CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_len
-        |FROM c""".stripMargin,
+    "q92_doc_chunks" -> chunkSql("documents", "doc_id"),
 
     "q85_unigram_surprisal" ->
       """WITH toks AS (

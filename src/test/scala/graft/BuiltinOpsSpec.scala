@@ -60,4 +60,32 @@ class BuiltinOpsSpec extends SparkSpec {
       .select("c_nationkey").distinct().count()
     assert(out.head().getLong(0) === distinctKeys)
   }
+
+  test("q93 compiled pipeline ≡ the hand-wired stage chain, row for row") {
+    import org.apache.spark.sql.functions._
+    val compiled = operators.CorpusPipeline
+      .queries("q93_corpus_prep_pipeline")(spark, sf0001)
+    val d = Tables.load(spark, sf0001, "documents")
+    val packed = operators.Mixing.shardPack(
+      operators.Mixing.temperatureKeep(
+        operators.Dedup.dedupKeep(
+          operators.TextAnalysis.cleanKeep(d))))
+    val hand = packed
+      .selectExpr("doc_id", "lang", "shard", "bin", "text",
+        "CAST(length(text) AS BIGINT) AS len")
+      .selectExpr("doc_id", "lang", "shard", "bin", "text",
+        "explode(sequence(CAST(0 AS BIGINT), (1 + (greatest(len - 200, 0) + 149) div 150) - 1)) AS chunk_id")
+      .selectExpr("doc_id", "lang", "shard", "bin", "chunk_id",
+        "substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text",
+        "CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len")
+    val key = Seq("doc_id", "chunk_id")
+    assert(compiled.count() > 0)
+    assert(compiled.join(hand, key, "left_anti").count() === 0)
+    assert(hand.join(compiled, key, "left_anti").count() === 0)
+    // same columns, same values: full-row set equality
+    val a = compiled.orderBy(col("doc_id"), col("chunk_id")).collect()
+    val b = hand.select(compiled.columns.map(col): _*)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    assert(a.sameElements(b))
+  }
 }

@@ -159,6 +159,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the explode
   }
 
+  test("q93: composed corpus-prep pipeline keeps each stage's shape") {
+    val p = executedPlan("q93_corpus_prep_pipeline")
+    // nothing in the composition may degrade to an all-pairs plan
+    assert(!p.contains("CartesianProduct"), p)
+    // the temperature rate dim still broadcasts (no shuffle join of a
+    // per-language 5-row table against the corpus)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // shard/pack remains the single Window in the chain, keyed by shard
+    assert(p.contains("hashpartitioning(shard"), p)
+    // chunking stays a map-side explode ABOVE the pack window: the
+    // formatted tree prints root-first, so the chunk Generate must
+    // appear before the Window with no Exchange between them (the
+    // map-only stage acquired no shuffle by being composed)
+    val gi = p.indexOf("Generate")
+    val wi = p.indexOf("Window")
+    assert(gi >= 0 && wi > gi, p)
+    assert(!p.substring(gi, wi).contains("Exchange"), p)
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")
