@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types._
+
+/** ENGINE-OWNED deterministic sketches (round-4 verdict #3): unlike
+  * Spark's built-in HLL++/t-digest (whose internals no other engine
+  * can replay — q55 stays the rows-only engine-specific variant),
+  * these sketches are DEFINED over the splitmix64 hash family and
+  * integer register arithmetic, so a DuckDB oracle replays them
+  * bit-for-bit and the q55b gate checks them EXACT — the q45 sketch
+  * playbook applied to aggregation state.
+  *
+  * Both are `TypedImperativeAggregate`s: fixed-size byte-serialized
+  * state, map-side partial aggregation, per-register/per-bucket merge
+  * — the shuffle carries O(groups · sketch size) at any corpus scale,
+  * and both merges are commutative + idempotent-max/add, so results
+  * are partitioning- and order-independent by construction.
+  */
+object HllSketch {
+  /** 2^P registers. */
+  val P = 12
+  val M: Int = 1 << P
+  /** Register rank cap: rho = min(trailing-zeros(w)+1, MaxRho). The
+    * cap costs nothing statistically (P(rho > 40) = 2^-40 per item)
+    * and buys integer exactness: the harmonic digest
+    * Σ 2^(MaxRho − reg) ≤ m·2^40 = 2^52 fits a BIGINT exactly AND a
+    * double exactly, so the final estimate is one IEEE division of
+    * bit-identical operands in both engines (house rule: division is
+    * cross-engine exact; no quantization needed). */
+  val MaxRho = 40
+  /** alpha_m · m² · 2^MaxRho — the harmonic-estimate numerator,
+    * emitted into the oracle as a shortest-round-trip double literal
+    * so both engines hold the identical constant. */
+  val EstNumerator: Double =
+    (0.7213 / (1.0 + 1.079 / M)) * M.toDouble * M.toDouble * math.pow(2.0, MaxRho)
+
+  def rho(w: Long): Int =
+    if (w == 0L) MaxRho
+    else math.min(java.lang.Long.numberOfTrailingZeros(w) + 1, MaxRho)
+
+  /** User-facing cardinality estimate: the standard small-range
+    * linear-counting correction over the digest. The GATE compares
+    * the raw digest (integers + one IEEE-exact division); this
+    * correction involves ln, which is transcendental and therefore
+    * stays out of the cross-engine-exact surface — ApproxSpec bounds
+    * it against exact counts instead. */
+  def estimate(zeros: Int, rawEst: Double): Double =
+    if (rawEst <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+    else rawEst
+
+  val digestType: StructType = StructType(Seq(
+    StructField("reg_sum", LongType, nullable = false),
+    StructField("zeros", IntegerType, nullable = false),
+    StructField("inv_num", LongType, nullable = false),
+    StructField("est", DoubleType, nullable = false)))
+}
+
+/** HLL with splitmix64-hashed inputs and trailing-zero ranks. Eval
+  * emits the register DIGEST (reg_sum, zeros, inv_num, est) rather
+  * than an opaque estimate, so the gate compares the full sketch
+  * state, integer-exactly, plus the IEEE-exact harmonic estimate. */
+case class HllSketchAgg(
+    child: Expression,
+    salt: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  import HllSketch._
+
+  private val saltTerm = salt * SplitMix64Kernel.Golden
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = SplitMix64Kernel.mix(v.asInstanceOf[Long] + saltTerm)
+      val idx = (h & (M - 1)).toInt
+      val r = rho(h >>> P)
+      if (r > buf(idx)) buf(idx) = r.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var regSum = 0L
+    var zeros = 0
+    var invNum = 0L
+    var i = 0
+    while (i < M) {
+      val r = buf(i)
+      regSum += r
+      if (r == 0) zeros += 1
+      invNum += 1L << (MaxRho - r) // reg 0 contributes 2^MaxRho
+      i += 1
+    }
+    // invNum ≤ m·2^40 = 2^52: the Long→Double conversion is exact,
+    // the division correctly rounded — bit-identical to the replay
+    InternalRow(regSum, zeros, invNum, EstNumerator / invNum.toDouble)
+  }
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(storage: Array[Byte]): Array[Byte] = storage
+
+  override def dataType: DataType = digestType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(n: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+}
+
+/** Deterministic quantile sketch: a fixed-width histogram over integer
+  * cents — idx = clamp(cents div width, 0, buckets−1), merge = vector
+  * add, estimate(q) = LOWER BOUND of the bucket holding rank
+  * ⌈q·n⌉ (rank arithmetic kept rational: q = num/den). Everything is
+  * integer, so the replay is exact and the error bound is one bucket
+  * width (ApproxSpec pins it). Unlike GK/t-digest, the state does not
+  * depend on insertion order — the cluster-determinism property the
+  * built-in approx_percentile cannot offer. */
+case class HistQuantileAgg(
+    child: Expression,
+    widthCents: Long,
+    buckets: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](buckets)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val cents = v.asInstanceOf[Long]
+      // negatives clamp to 0 on both sides regardless of the floor-vs-
+      // truncate division difference, so the mapping is engine-exact
+      val idx = math.min(math.max(cents / widthCents, 0L), (buckets - 1).toLong).toInt
+      buf(idx) += 1L
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buckets) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  private def rankBucket(buf: Array[Long], rank: Long): Int = {
+    var cum = 0L
+    var i = 0
+    while (i < buckets) {
+      cum += buf(i)
+      if (cum >= rank) return i
+      i += 1
+    }
+    buckets - 1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val n = buf.sum
+    if (n == 0L) InternalRow(0L, null, null)
+    else {
+      val p50 = rankBucket(buf, (n + 1L) / 2L).toLong * widthCents
+      val p90 = rankBucket(buf, (9L * n + 9L) / 10L).toLong * widthCents
+      InternalRow(n, p50, p90)
+    }
+  }
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buckets * 8)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+  override def deserialize(storage: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](buckets)
+    java.nio.ByteBuffer.wrap(storage).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("p50_cents", LongType, nullable = true),
+    StructField("p90_cents", LongType, nullable = true)))
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(n: Int): HistQuantileAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HistQuantileAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): HistQuantileAgg =
+    copy(child = newChild)
+}
+
+object Sketches {
+  /** HLL register digest of a BIGINT key column. */
+  def hllDigest(c: Column, salt: Long): Column =
+    graftbridge.toColumn(
+      HllSketchAgg(graftbridge.toExpression(c), salt).toAggregateExpression())
+
+  /** Histogram-quantile digest of an integer-cents column. */
+  def histQuantiles(cents: Column, widthCents: Long, buckets: Int): Column =
+    graftbridge.toColumn(
+      HistQuantileAgg(graftbridge.toExpression(cents), widthCents, buckets)
+        .toAggregateExpression())
+}

@@ -21,4 +21,63 @@ class ApproxSpec extends SparkSpec {
         s"$k: approx median $aMed vs exact $eMed")
     }
   }
+
+  test("owned sketches (q55b): estimates bounded against exact values") {
+    // larger scale → the 4096-register HLL's ~1.6% standard error is
+    // the operative bound; 5% allows 3 sigma
+    val dir = "/root/testdata/sf0.01"
+    val li = Tables.load(spark, dir, "lineitem")
+    val eParts = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("parts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact DISCRETE quantiles (value at rank ⌈q·n⌉) — the sketch's
+    // own definition; the interpolated `percentile` can step past a
+    // bucket edge between two data points
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy(col("v"))
+    val ranked = li.select(col("l_returnflag"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)").as("v"))
+      .withColumn("rn", row_number().over(w))
+    val eQuant = ranked.groupBy("l_returnflag").agg(max("rn").as("n"))
+      .join(ranked, "l_returnflag")
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("(9 * n + 9) div 10"))
+      .groupBy("l_returnflag").agg(min("v").as("v50"), max("v").as("v90"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val width = 8192L
+    val got = graft.operators.ApproxAggs.queries("q55b_owned_sketches")(spark, dir)
+      .collect()
+    assert(got.length === eParts.size)
+    got.foreach { r =>
+      val k = r.getString(0)
+      // the digest's est is the RAW harmonic estimate (gate-exact);
+      // the user-facing estimate applies the small-range correction
+      val est = graft.functions.HllSketch.estimate(r.getInt(2), r.getDouble(4))
+      assert(math.abs(est - eParts(k)) / eParts(k) < 0.05,
+        s"$k: owned HLL $est vs exact ${eParts(k)}")
+      // the bucket [lower, lower + width) must CONTAIN the discrete
+      // quantile — the sketch's error bound is exactly one bucket
+      val (e50, e90) = eQuant(k)
+      val p50 = r.getLong(6)
+      val p90 = r.getLong(7)
+      assert(e50 >= p50 && e50 < p50 + width,
+        s"$k: p50 bucket [$p50, ${p50 + width}) vs exact discrete $e50")
+      assert(e90 >= p90 && e90 < p90 + width,
+        s"$k: p90 bucket [$p90, ${p90 + width}) vs exact discrete $e90")
+    }
+  }
+
+  test("owned sketches are partitioning-independent (cluster determinism)") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    def digest(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.Sketches.hllDigest(col("l_partkey"), 55L).as("h"),
+        graft.functions.Sketches.histQuantiles(
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)"),
+          8192L, 2048).as("q"))
+      .orderBy("l_returnflag").collect().map(_.toString).toSeq
+    val a = digest(li.repartition(1))
+    val b = digest(li.repartition(17, col("l_orderkey")))
+    assert(a === b, "sketch digests differ across partitionings")
+  }
 }
