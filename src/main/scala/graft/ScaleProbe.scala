@@ -176,6 +176,21 @@ object ScaleProbe {
         embR, bitsA).count())
       embR.unpersist()
 
+      // q90 mixing shuffle: per-shard balance under replication. The
+      // shard count is the declared 100 TB parallelism knob (16 here,
+      // 2^16 at scale) — measure that the splitmix64 shard assignment
+      // keeps per-shard row counts AND token sums flat as the corpus
+      // grows, rather than asserting it (round-4 verdict #4).
+      val packed = graft.operators.Mixing.shardPack(
+        docs.select(col("doc_id"), col("text")))
+      val bal = packed.groupBy("shard")
+        .agg(count(lit(1)).as("rows"), sum("n_tokens").as("toks"))
+        .agg(max("rows").cast("double").as("maxR"), avg("rows").as("avgR"),
+          max("toks").cast("double").as("maxT"), avg("toks").as("avgT"))
+        .head
+      val skewRows = bal.getDouble(0) / bal.getDouble(1)
+      val skewToks = bal.getDouble(2) / bal.getDouble(3)
+
       docs.unpersist(); emb.unpersist()
       val line = s"""{"scale":$k,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
         s""""q44_prefix_cand":$c44,"q45_lsh_cand":$c45,""" +
@@ -183,6 +198,7 @@ object ScaleProbe {
         s""""q49_ann_cand":$c49,""" +
         s""""q83_fixed_cand":$c83,"q87_adaptive_cand":$c83a,"q87_adaptive_bits":$bitsA,""" +
         s""""q84_passjoin_cand":$c84,""" +
+        f""""q90_shard_skew":{"rows_max_over_mean":$skewRows%.3f,"tokens_max_over_mean":$skewToks%.3f},""" +
         f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f,"q83":$t83%.2f,"q83a":$t83a%.2f,"q84":$t84%.2f}}"""
       println(line)
       (k, Map("q44" -> c44, "q45" -> c45, "q46" -> c46,

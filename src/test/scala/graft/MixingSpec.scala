@@ -142,4 +142,33 @@ class MixingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(a === b)
   }
+
+  test("q90: shard assignment stays balanced under adversarial data skew") {
+    import spark.implicits._
+    // worst-case input: ONE language, ONE source, zipf-ish document
+    // lengths (one giant doc, long tail of tiny ones), consecutive
+    // ids. Shard = splitmix64(doc_id) — independent of every data
+    // column — so rows spread uniformly no matter how skewed the
+    // corpus is; token sums follow once no single doc dominates a
+    // shard's worth of tokens.
+    val n = 5000
+    val rows = (0 until n).map { i =>
+      val words = if (i == 0) 2000 else 1 + (i % 37)
+      (i.toLong, Seq.fill(words)("w").mkString(" "))
+    }
+    val skewed = rows.toDF("doc_id", "text").repartition(5)
+    val packed = graft.operators.Mixing.shardPack(skewed)
+    val byShard = packed.groupBy("shard")
+      .agg(count(lit(1)).as("rows"), sum("n_tokens").as("toks"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(byShard.length === 16, "all 16 shards populated")
+    val rowCounts = byShard.map(_._1.toDouble)
+    val tokSums = byShard.map(_._2.toDouble)
+    val rowSkew = rowCounts.max / (rowCounts.sum / 16)
+    val tokSkew = tokSums.max / (tokSums.sum / 16)
+    assert(rowSkew < 1.2, s"row skew $rowSkew")
+    // the planted giant doc (2000 tokens vs ~6000/shard) lands
+    // somewhere; even so token sums must stay within ~1.5x of mean
+    assert(tokSkew < 1.5, s"token skew $tokSkew")
+  }
 }
