@@ -19,7 +19,8 @@ object PlanAudit {
       "q01_agg", "q02_filter_project", "q04_join_multi_broadcast",
       "q13_sort_limit_topk", "q31_cone_join_agg", "q44_ngram_jaccard",
       "q45_minhash_lsh", "q47_cosine_topk", "q65_edit_distance",
-      "q75_rect_join_agg")
+      "q75_rect_join_agg", "q93_corpus_prep_pipeline",
+      "q55b_owned_sketches")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

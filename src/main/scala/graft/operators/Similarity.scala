@@ -261,6 +261,53 @@ object Similarity {
         .limit(10)
     },
 
+    // -- batch kNN JOIN over the IVF index (the semdedup / retrieval-
+    //    prep shape: EVERY query vector gets its top-k neighbors, not
+    //    one query like q47/q86). Corpus assigned to argmax-cosine
+    //    cells map-side; each query probes its 6 nearest cells
+    //    (nprobe=6/16: ~0.6 recall@5 on this near-uniform synthetic
+    //    corpus at 2.7x pruning — SimilaritySpec measures it; a real
+    //    clustered corpus at scale runs k=2^16 cells at the same
+    //    nprobe/k ratio with far better recall)
+    //    (per-row struct-sort over the 16-cell cosine array — stays in
+    //    codegen); candidates come from ONE equi-join on the cell key;
+    //    exact cosine re-ranks per query through a window keyed by
+    //    q_id. Scale shape: no broadcast of either side, candidates
+    //    per query ≈ corpus·(nprobe/ncells), the per-query top-k sort
+    //    is bounded by its candidate set — the same plan serves
+    //    millions of queries. EXACT-gated: the oracle replays
+    //    assignment, per-query probe ranking (independent window
+    //    derivation vs the engine's struct-sort) and the round-6
+    //    re-rank from the same Centroids86 literals. --
+    "q94_knn_join" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = Centroids86.table
+      val sims = array(cents.map(c =>
+        VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
+      val assigned = e.select(col("vec_id"), col("label"), col("embedding"),
+        (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+      val qc = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          sims.as("sims"))
+        // top-4 probe cells: sort (−cos, cid) structs — descending
+        // cosine with index tie-break, the exact oracle ordering
+        .select(col("q_id"), col("q_emb"), explode(expr(
+          s"""transform(slice(array_sort(transform(sequence(0, ${cents.length - 1}),
+             |  i -> struct(-element_at(sims, i + 1) AS s, i AS i))), 1, 6),
+             |  x -> x.i)""".stripMargin)).as("qcell"))
+      val cand = assigned.as("a")
+        .join(qc.as("q"),
+          col("a.cell") === col("q.qcell") && col("a.vec_id") =!= col("q.q_id"))
+        .select(col("q.q_id"), col("a.vec_id"), col("a.label"),
+          round(VectorExprs.cosineFast(col("a.embedding"), col("q.q_emb")), 6)
+            .as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+    },
+
     // -- ANN via sign-LSH buckets + Hamming-1 multi-probe
     //    (EXACT-gated: the oracle replays the quantized planes'
     //    bucket bits, the probe set and the round-6 re-rank;
@@ -460,6 +507,57 @@ object Similarity {
        |LIMIT 10""".stripMargin
   }
 
+  /** q94's oracle: the oracle86 machinery in batch form — per-vector
+    * argmax assignment, PER-QUERY probe ranking via a window (an
+    * independent derivation of the engine's per-row struct-sort), and
+    * the round-6 re-rank + per-query top-5 window. */
+  private def oracle94: String = {
+    def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def sumsq(a: String) =
+      s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def cosE(a: String, b: String) =
+      s"(${dotE(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
+    val cents = Centroids86.table
+    val centStructs = cents.zipWithIndex
+      .map { case (c, i) => s"struct_pack(cid := $i, c := ${lst(c)})" }
+      .mkString(",\n    ")
+    val simList = cents.map(c => cosE("embedding", lst(c)))
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH cents AS (
+       |  SELECT u.cid AS cid, u.c AS c
+       |  FROM UNNEST([$centStructs]) AS t(u)),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding,
+       |    CAST(list_position(l, list_max(l)) - 1 AS INTEGER) AS cell
+       |  FROM (SELECT vec_id, label, embedding, $simList AS l
+       |        FROM embeddings)),
+       |queries AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |qsims AS (
+       |  SELECT q_id, q_emb, cid, ${cosE("q_emb", "c")} AS qc
+       |  FROM queries, cents),
+       |qcells AS (
+       |  SELECT q_id, q_emb, cid FROM (
+       |    SELECT q_id, q_emb, cid,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY qc DESC, cid) AS pr
+       |    FROM qsims)
+       |  WHERE pr <= 6),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id, a.label,
+       |    round(${cosE("a.embedding", "p.q_emb")}, 6) AS cos_sim
+       |  FROM qcells p JOIN assigned a
+       |    ON a.cell = p.cid AND a.vec_id <> p.q_id)
+       |SELECT q_id, vec_id, label, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** q49's oracle: bucket bits from the same quantized planes, the
     * query's Hamming-1 probe set, exact-cosine re-rank — the oracle83
     * bucket machinery composed with the q47 top-10 select. */
@@ -493,6 +591,7 @@ object Similarity {
     "q83_embedding_clusters_lsh" -> oracle83,
     "q87_semantic_dedup_adaptive" -> oracle87,
     "q86_ann_ivf" -> oracle86,
+    "q94_knn_join" -> oracle94,
     "q49_ann_lsh" -> oracle49,
     "q47_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

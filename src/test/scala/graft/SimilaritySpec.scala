@@ -96,6 +96,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q94 batch kNN join: per-query probe margins wide, recall vs brute force") {
+    import graft.functions.VectorExprs
+    val cents = graft.operators.Centroids86.table
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables.load(spark, dir, "embeddings")
+      // EVERY query's 6th-vs-7th probe-cell gap must dwarf the ~1e-13
+      // cross-engine cosine noise (the q86 single-query argument,
+      // extended to the whole query batch; nprobe = 6)
+      val sims = array(cents.map(c =>
+        VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
+      val sorted = array_sort(sims, (a, b) => when(a > b, -1).when(a < b, 1).otherwise(0))
+      val minGap = e.filter(col("vec_id") % 50 === 0)
+        .select((element_at(sorted, 6) - element_at(sorted, 7)).as("gap"))
+        .agg(min(col("gap"))).head().getDouble(0)
+      assert(minGap > 1e-9, s"q94 probe margin too thin at $dir: $minGap")
+    }
+    // recall of the IVF-probed top-5 vs the exact brute-force top-5,
+    // averaged over all queries (nprobe=4 of 16 cells)
+    val got = Similarity.queries("q94_knn_join")(spark, sf0001)
+      .select("q_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val brute = e.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorExprs.cosineFast(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (qid, truth) =>
+      got.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.5, s"q94 mean recall@5 $avg below floor (nprobe=4/16)")
+  }
+
   test("q49 cross-engine safety margins: plane-sign dots bounded away from 0") {
     // the oracle replays bucket bits as sign(dot); noise between the
     // two ordered-fold evaluations is ~1e-13, so every |dot| must be
