@@ -206,6 +206,111 @@ case class HistQuantileAgg(
     copy(child = newChild)
 }
 
+/** Deterministic Count-Min sketch over a token-array column: depth×width
+  * integer counters, counter (j, mix(strHash(tok) + salt_j·φ) mod width)
+  * incremented per token occurrence. Merge = matrix add — commutative,
+  * so the sketch is order- and partitioning-independent, and every
+  * counter is an integer the oracle can rebuild exactly. One map pass
+  * estimates any token's frequency within εN without a token shuffle —
+  * the fixed-memory heavy-hitter primitive at corpus scale.
+  *
+  * Eval emits (n_tokens, per-row position-weighted checksums
+  * Σ (bucket+1)·count — a collision-sensitive integer digest of the
+  * whole matrix — and min-over-rows estimates for the given probe
+  * tokens). Estimates are one-sided: est ≥ true count always. */
+case class CountMinAgg(
+    child: Expression,
+    saltBase: Long,
+    depth: Int,
+    width: Int,
+    probes: Seq[String],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require((width & (width - 1)) == 0, "width must be a power of two")
+
+  private def saltTerm(j: Int): Long = (saltBase + j) * SplitMix64Kernel.Golden
+
+  /** Bucket of a pre-strHashed token in row j — also used at
+    * plan/oracle time to embed the probe tokens' bucket constants. */
+  def bucket(th: Long, j: Int): Int =
+    (SplitMix64Kernel.mix(th + saltTerm(j)) & (width - 1)).toInt
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val th = SplitMix64Kernel.strHash(arr.getUTF8String(i))
+        var j = 0
+        while (j < depth) {
+          buf(j * width + bucket(th, j)) += 1L
+          j += 1
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var n = 0L
+    var i = 0
+    while (i < width) { n += buf(i); i += 1 } // every row sums to N
+    val chk = new Array[Long](depth)
+    var j = 0
+    while (j < depth) {
+      var s = 0L
+      var b = 0
+      while (b < width) { s += (b + 1L) * buf(j * width + b); b += 1 }
+      chk(j) = s
+      j += 1
+    }
+    val est = probes.map { t =>
+      val th = SplitMix64Kernel.strHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      (0 until depth).map(j => buf(j * width + bucket(th, j))).min
+    }.toArray
+    InternalRow(n,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(chk),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(est))
+  }
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+  override def deserialize(storage: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](depth * width)
+    java.nio.ByteBuffer.wrap(storage).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("chk", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("est", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(n: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CountMinAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
+    copy(child = newChild)
+}
+
 object Sketches {
   /** HLL register digest of a BIGINT key column. */
   def hllDigest(c: Column, salt: Long): Column =
@@ -216,5 +321,12 @@ object Sketches {
   def histQuantiles(cents: Column, widthCents: Long, buckets: Int): Column =
     graftbridge.toColumn(
       HistQuantileAgg(graftbridge.toExpression(cents), widthCents, buckets)
+        .toAggregateExpression())
+
+  /** Count-Min digest of a token-array column. */
+  def countMin(tokens: Column, saltBase: Long, depth: Int, width: Int,
+               probes: Seq[String]): Column =
+    graftbridge.toColumn(
+      CountMinAgg(graftbridge.toExpression(tokens), saltBase, depth, width, probes)
         .toAggregateExpression())
 }

@@ -39,6 +39,13 @@ object ApproxAggs {
   private val WidthCents = 8192L // ≈ $82 buckets; error bound = 1 bucket
   private val Buckets = 2048 // covers cents up to 2048·8192 ≈ $167k
 
+  /** q95 Count-Min parameters: 4×1024 counters (ε ≈ e/1024, δ ≈ e⁻⁴);
+    * probes are the q41 stopword set. */
+  private val CmSalt = 950L
+  private val CmDepth = 4
+  private val CmWidth = 1024
+  private val CmProbes = Seq("the", "a", "of", "in", "to", "is")
+
   /** Integer-cents projection of l_extendedprice — through
     * DECIMAL(15,2) on BOTH engines (the q01-proven conversion). */
   private val CentsSql =
@@ -61,6 +68,28 @@ object ApproxAggs {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
+    },
+
+    // -- owned Count-Min sketch over token occurrences, per language:
+    //    ONE map pass + a shuffle of O(groups · matrix bytes) replaces
+    //    a full token explode+groupBy when only frequency ESTIMATES
+    //    are needed — the fixed-memory heavy-hitter primitive at
+    //    100 TB. EXACT-gated like q55b: every counter is an integer
+    //    rebuilt by the oracle (splitmix64 token hashes, power-of-two
+    //    bucket masks), the digest is the per-row position-weighted
+    //    checksum, and the probe estimates are min-over-rows integers. --
+    "q95_countmin_tokens" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(Sketches.countMin(graft.functions.Text.tokens(col("text")),
+          CmSalt, CmDepth, CmWidth, CmProbes).as("s"))
+      val estCols = CmProbes.zipWithIndex.map { case (t, i) =>
+        element_at(col("s.est"), i + 1).as(s"est_$t")
+      }
+      val chkCols = (0 until CmDepth).map(j =>
+        element_at(col("s.chk"), j + 1).as(s"chk$j"))
+      d.select(col("lang") +: col("s.n_tokens").as("n_tokens")
+        +: (chkCols ++ estCols): _*)
     },
 
     "q55b_owned_sketches" -> { (s, dir) =>
@@ -134,7 +163,75 @@ object ApproxAggs {
        |JOIN q90 ON hll.flag = q90.flag""".stripMargin
   }
 
+  /** Code-generated replay of the Count-Min matrix: token-occurrence
+    * hashes (poly-31 code points → splitmix64, the q45 playbook —
+    * distinct tokens hashed once), per-row salted mixes through CTE
+    * columns, bucket = low bits, counters via GROUP BY. The probe
+    * tokens' (row, bucket) coordinates are Scala-computed constants —
+    * the same kernel the aggregate runs — so the oracle's LEFT JOIN
+    * grid reads the identical cells the engine's eval reads. */
+  private def oracle95: String = {
+    import graft.functions.{SplitMix64, SplitMix64Kernel}
+    val m64 = "18446744073709551616"
+    // per-row salt term (saltBase + j)·φ as an unsigned literal
+    def saltLit(j: Int): String = java.lang.Long.toUnsignedString(
+      (CmSalt + j) * SplitMix64Kernel.Golden)
+    val saltCase = (0 until CmDepth)
+      .map(j => s"WHEN $j THEN ${saltLit(j)}").mkString(" ")
+    // probe (token, row, bucket) constants from the SAME Scala kernel
+    val probeStructs = CmProbes.zipWithIndex.flatMap { case (t, pi) =>
+      val th = SplitMix64Kernel.strHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      (0 until CmDepth).map { j =>
+        val bkt = (SplitMix64Kernel.mix(th + (CmSalt + j) * SplitMix64Kernel.Golden)
+          & (CmWidth - 1)).toInt
+        s"struct_pack(pi := $pi, j := $j, bkt := $bkt)"
+      }
+    }.mkString(",\n    ")
+    val chkCols = (0 until CmDepth)
+      .map(j => s"CAST(max(CASE WHEN j = $j THEN chk END) AS BIGINT) AS chk$j")
+      .mkString(",\n  ")
+    val estCols = CmProbes.zipWithIndex
+      .map { case (t, pi) =>
+        s"CAST(max(CASE WHEN pi = $pi THEN est END) AS BIGINT) AS est_$t"
+      }
+      .mkString(",\n  ")
+    s"""WITH tok AS (
+       |  SELECT lang, string_split_regex(text, '\\s+') AS t FROM documents),
+       |pos AS (
+       |  SELECT lang, t, unnest(generate_series(1, len(t))) AS i FROM tok),
+       |wt AS (SELECT lang, t[i] AS w FROM pos),
+       |dt AS (SELECT DISTINCT w FROM wt),
+       |dp AS (SELECT w, ${SplitMix64.polyHashSql("w")} AS p FROM dt),
+       |dh AS (SELECT w, ${SplitMix64.mixSql("p")} AS th FROM dp),
+       |occ AS (SELECT wt.lang, dh.th FROM wt JOIN dh USING (w)),
+       |sj AS (
+       |  SELECT lang, j, (th + CASE j $saltCase END) % $m64 AS x
+       |  FROM occ, (SELECT unnest(range($CmDepth)) AS j) js),
+       |sh AS (SELECT lang, j, ${SplitMix64.mixSql("x")} AS h FROM sj),
+       |c AS (
+       |  SELECT lang, j, h % $CmWidth AS bkt, count(*) AS cnt
+       |  FROM sh GROUP BY 1, 2, 3),
+       |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens FROM occ GROUP BY lang),
+       |chk AS (
+       |  SELECT lang, j, sum((bkt + 1) * cnt) AS chk FROM c GROUP BY 1, 2),
+       |chkp AS (SELECT lang, $chkCols FROM chk GROUP BY lang),
+       |pb AS (SELECT u.pi AS pi, u.j AS j, u.bkt AS bkt
+       |       FROM UNNEST([$probeStructs]) AS t(u)),
+       |pe AS (
+       |  SELECT l.lang, g.pi, min(coalesce(c.cnt, 0)) AS est
+       |  FROM (SELECT DISTINCT lang FROM documents) l
+       |  CROSS JOIN pb g
+       |  LEFT JOIN c ON c.lang = l.lang AND c.j = g.j AND c.bkt = g.bkt
+       |  GROUP BY 1, 2),
+       |pep AS (SELECT lang, $estCols FROM pe GROUP BY lang)
+       |SELECT n.lang, n.n_tokens, chkp.* EXCLUDE (lang), pep.* EXCLUDE (lang)
+       |FROM n JOIN chkp USING (lang) JOIN pep USING (lang)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q95_countmin_tokens" -> oracle95,
+
     "q54_percentiles" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,

@@ -67,6 +67,40 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("owned Count-Min (q95): one-sided, within the epsilon-N bound, merge-independent") {
+    val dir = "/root/testdata/sf0.01"
+    val probes = Seq("the", "a", "of", "in", "to", "is")
+    // exact per-(lang, probe-token) occurrence counts
+    val li = Tables.load(spark, dir, "documents")
+    val exact = li.select(col("lang"),
+        explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(probes: _*))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = graft.operators.ApproxAggs.queries("q95_countmin_tokens")(spark, dir)
+      .collect()
+    got.foreach { r =>
+      val lang = r.getString(0)
+      val n = r.getLong(1)
+      probes.zipWithIndex.foreach { case (t, i) =>
+        val est = r.getLong(6 + i)
+        val truth = exact.getOrElse((lang, t), 0L)
+        // CMS is one-sided (collisions only ADD) ...
+        assert(est >= truth, s"$lang/$t: est $est < true $truth")
+        // ... and bounded: excess ≤ ~3·N/width with d=4 rows
+        assert(est <= truth + 3L * n / 1024L + 1,
+          s"$lang/$t: est $est exceeds true $truth + 3N/w (N=$n)")
+      }
+    }
+    // partitioning independence of the full digest
+    def digest(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .groupBy(col("lang"))
+      .agg(graft.functions.Sketches.countMin(
+        graft.functions.Text.tokens(col("text")), 950L, 4, 1024, probes).as("s"))
+      .orderBy("lang").collect().map(_.toString).toSeq
+    assert(digest(li.repartition(1)) === digest(li.repartition(13, col("doc_id"))))
+  }
+
   test("owned sketches are partitioning-independent (cluster determinism)") {
     val li = Tables.load(spark, sf0001, "lineitem")
     def digest(df: org.apache.spark.sql.DataFrame): Seq[String] = df
