@@ -311,6 +311,148 @@ case class CountMinAgg(
     copy(child = newChild)
 }
 
+/** Shared Bloom kernel: bit positions are
+  * mix(strHash(elem) + (saltBase + j)·φ) masked to the power-of-two
+  * bit count, j < k. Used by the aggregate (set bits), the map-side
+  * membership expression (test bits), and the oracle generator
+  * (embed probe constants) — one definition, three consumers. */
+object BloomKernel {
+  def position(th: Long, saltBase: Long, j: Int, bits: Int): Int =
+    (SplitMix64Kernel.mix(th + (saltBase + j) * SplitMix64Kernel.Golden)
+      & (bits - 1)).toInt
+
+  /** Count of array elements whose k positions are ALL set in words. */
+  def countHits(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      words: Array[Long], saltBase: Long, k: Int, bits: Int): Long = {
+    var hits = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val th = SplitMix64Kernel.strHash(arr.getUTF8String(i))
+      var j = 0
+      var all = true
+      while (all && j < k) {
+        val pos = position(th, saltBase, j, bits)
+        if ((words(pos >>> 6) & (1L << (pos & 63))) == 0L) all = false
+        j += 1
+      }
+      if (all) hits += 1L
+      i += 1
+    }
+    hits
+  }
+}
+
+/** Bloom filter over a string-array column: a fixed 2^b-bit set,
+  * merge = word-wise OR — the one-sided membership sketch. At corpus
+  * scale this is how decontamination runs: build the filter over the
+  * benchmark's n-grams in one aggregate (bytes, not rows, cross the
+  * shuffle), broadcast the bitset, and test corpus grams MAP-SIDE —
+  * no gram-keyed join of the whole corpus. False positives only
+  * (flagged docs are a superset); zero false negatives. */
+case class BloomFilterAgg(
+    child: Expression,
+    saltBase: Long,
+    bits: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require((bits & (bits - 1)) == 0, "bits must be a power of two")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val th = SplitMix64Kernel.strHash(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val pos = BloomKernel.position(th, saltBase, j, bits)
+          buf(pos >>> 6) |= 1L << (pos & 63)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+  override def deserialize(storage: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bits / 64)
+    java.nio.ByteBuffer.wrap(storage).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(n: Int): BloomFilterAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BloomFilterAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): BloomFilterAgg =
+    copy(child = newChild)
+}
+
+/** Map-side Bloom membership count over a string-array column against
+  * a plan-time bitset constant (the PrefixRarest Setup-block pattern:
+  * one bounded broadcast object, zero shuffles, whole-stage codegen). */
+case class BloomCountHits(child: Expression, words: Array[Long],
+    saltBase: Long, k: Int, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_count_hits requires array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BloomKernel.countHits(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      words, saltBase, k, bits)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val wordsRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.BloomKernel.countHits($a, $wordsRef, ${saltBase}L, $k, $bits);")
+  }
+
+  override def prettyName: String = "bloom_count_hits"
+  // default toString would dump the whole bitset into explain output
+  override def toString: String =
+    s"bloom_count_hits($child, ${bits} bits, k=$k)"
+  override protected def withNewChildInternal(newChild: Expression): BloomCountHits =
+    copy(child = newChild)
+}
+
 object Sketches {
   /** HLL register digest of a BIGINT key column. */
   def hllDigest(c: Column, salt: Long): Column =
@@ -329,4 +471,16 @@ object Sketches {
     graftbridge.toColumn(
       CountMinAgg(graftbridge.toExpression(tokens), saltBase, depth, width, probes)
         .toAggregateExpression())
+
+  /** Bloom filter words over a string-array column. */
+  def bloom(elems: Column, saltBase: Long, bits: Int, k: Int): Column =
+    graftbridge.toColumn(
+      BloomFilterAgg(graftbridge.toExpression(elems), saltBase, bits, k)
+        .toAggregateExpression())
+
+  /** Map-side membership count against a collected Bloom bitset. */
+  def bloomCountHits(elems: Column, words: Array[Long], saltBase: Long,
+                     k: Int, bits: Int): Column =
+    graftbridge.toColumn(
+      BloomCountHits(graftbridge.toExpression(elems), words, saltBase, k, bits))
 }

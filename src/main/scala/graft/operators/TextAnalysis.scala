@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
+  /** q96 Bloom parameters: 2^17 bits (16 KiB), k = 4 hash rows. */
+  private val BloomSalt = 960L
+  private val BloomBits = 131072
+  private val BloomK = 4
+
   private val stopEn = Seq("the", "a", "of", "in", "to", "is")
   private val stopEs = Seq("el", "la", "de", "que", "y", "los")
   private val stopFr = Seq("le", "les", "des", "et", "une", "dans")
@@ -143,6 +148,31 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     },
 
+    // -- Bloom-filter decontamination: the 100 TB shape of q78. The
+    //    benchmark's 5-grams build a fixed 2^17-bit Bloom in ONE
+    //    aggregate (bytes, not gram rows, cross the shuffle); the
+    //    bitset is a bounded plan-time constant (16 KiB — the
+    //    PrefixRarest/Centroids86 Setup-block pattern) tested against
+    //    corpus grams MAP-SIDE in codegen — the gram-keyed join of the
+    //    whole corpus disappears. One-sided by construction: flagged
+    //    docs are a SUPERSET of the truly contaminated (spec-pinned
+    //    vs q78); false-negative rate is zero. EXACT-gated: the
+    //    oracle rebuilds the bit positions and memberships
+    //    integer-exactly, so even the false positives match. --
+    "q96_bloom_decontaminate" -> { (s, dir) =>
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), Text.wordNGrams(col("text"), 5).as("g5"))
+      val words = grams.filter(col("doc_id") % 97 === 0)
+        .agg(graft.functions.Sketches.bloom(
+          col("g5"), BloomSalt, BloomBits, BloomK).as("w"))
+        .head.getSeq[Long](0).toArray
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          graft.functions.Sketches.bloomCountHits(
+            col("g5"), words, BloomSalt, BloomK, BloomBits).as("n_bloom_hits"))
+        .filter(col("n_bloom_hits") > 0)
+    },
+
     // -- benchmark decontamination: flag corpus docs sharing any
     //    distinct 5-gram with the benchmark subset (doc_id % 97 == 0
     //    stands in for an eval set). Inverted-index equi-join on the
@@ -266,8 +296,54 @@ object TextAnalysis {
        |  CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INTEGER), 200)) AS BIGINT) AS chunk_len
        |FROM cc""".stripMargin
 
+  /** q96's oracle rebuilds the Bloom SET-OF-POSITIONS in SQL (a bit
+    * set IS its set of set positions — no word array needed): distinct
+    * grams hashed once (poly-31 → splitmix64, the q45 playbook), the
+    * benchmark's k salted positions collected DISTINCT, and each
+    * corpus gram occurrence declared a hit iff all k of its positions
+    * join — integer arithmetic end to end, so the engine's false
+    * positives replay exactly. */
+  private def oracle96: String = {
+    import graft.functions.{SplitMix64, SplitMix64Kernel}
+    val m64 = "18446744073709551616"
+    def saltLit(j: Int): String = java.lang.Long.toUnsignedString(
+      (BloomSalt + j) * SplitMix64Kernel.Golden)
+    val saltCase = (0 until BloomK)
+      .map(j => s"WHEN $j THEN ${saltLit(j)}").mkString(" ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+       |  FROM tok),
+       |occ AS (
+       |  SELECT doc_id, i,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+       |  FROM g0),
+       |dg AS (SELECT DISTINCT g FROM occ),
+       |dp AS (SELECT g, ${SplitMix64.polyHashSql("g")} AS p FROM dg),
+       |dh AS (SELECT g, ${SplitMix64.mixSql("p")} AS th FROM dp),
+       |js AS (SELECT unnest(range($BloomK)) AS j),
+       |bx AS (
+       |  SELECT DISTINCT dh.th FROM occ JOIN dh USING (g)
+       |  WHERE occ.doc_id % 97 = 0),
+       |bs AS (SELECT (th + CASE j $saltCase END) % $m64 AS x FROM bx CROSS JOIN js),
+       |bpos AS (SELECT DISTINCT ${SplitMix64.mixSql("x")} % $BloomBits AS pos FROM bs),
+       |cx AS (
+       |  SELECT occ.doc_id, occ.i, j, (dh.th + CASE j $saltCase END) % $m64 AS x
+       |  FROM occ JOIN dh USING (g) CROSS JOIN js
+       |  WHERE occ.doc_id % 97 <> 0),
+       |cp AS (SELECT doc_id, i, ${SplitMix64.mixSql("x")} % $BloomBits AS pos FROM cx),
+       |hit AS (
+       |  SELECT doc_id, i FROM cp JOIN bpos USING (pos)
+       |  GROUP BY doc_id, i HAVING count(*) = $BloomK)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+       |FROM hit GROUP BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q92_doc_chunks" -> chunkSql("documents", "doc_id"),
+    "q96_bloom_decontaminate" -> oracle96,
 
     "q85_unigram_surprisal" ->
       """WITH toks AS (

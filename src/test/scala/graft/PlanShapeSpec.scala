@@ -178,6 +178,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.substring(gi, wi).contains("Exchange"), p)
   }
 
+  test("q96: bloom decontamination is MAP-SIDE — no gram join, no shuffle") {
+    // the corpus side must be scan → project(bloom_count_hits) →
+    // filter; the benchmark gram join that q78 needs is replaced by
+    // the plan-time 16 KiB bitset constant
+    val p = executedPlan("q96_bloom_decontaminate")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("bloom_count_hits"), p)
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")

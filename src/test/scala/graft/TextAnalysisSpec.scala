@@ -141,4 +141,21 @@ class TextAnalysisSpec extends SparkSpec {
       assert(cps0.slice(150, 200).sameElements(cps1.slice(0, 50)), s"doc $id overlap")
     }
   }
+
+  test("q96 bloom decontamination: superset of exact q78, bounded false positives") {
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val exact = SparkEntry.queries("q78_decontaminate")(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bloom = SparkEntry.queries("q96_bloom_decontaminate")(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // one-sided: every truly contaminated doc is flagged
+      assert(exact.subsetOf(bloom),
+        s"$dir: bloom missed ${exact.diff(bloom)} — false negatives are impossible by construction")
+      // and the false-positive overhead stays small at 2^17 bits / k=4
+      val corpus = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 97 =!= 0).count()
+      val fp = (bloom -- exact).size.toDouble / corpus
+      assert(fp < 0.05, s"$dir: bloom false-positive doc rate $fp")
+    }
+  }
 }
