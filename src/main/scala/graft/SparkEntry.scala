@@ -35,9 +35,12 @@ object SparkEntry {
       (Profiling.queries, Profiling.oracles),
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The flagship is the round-5 north star: the full
+    * corpus-prep chain (clean → dedup → mix → pack → chunk) compiled
+    * from a declarative pipeline spec. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q04_join_multi_broadcast")(spark, "/root/testdata/sf0.001")
+    queries("q93_corpus_prep_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   val queries: Map[String, (SparkSession, String) => DataFrame] =

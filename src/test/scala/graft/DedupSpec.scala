@@ -130,4 +130,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(fp.size === 1)
   }
+
+  test("minhash banding drops sub-shingle docs before bucketing (round-4 advice #2)") {
+    import spark.implicits._
+    // docs shorter than the shingle width have ZERO shingles: they
+    // would all share the all-sentinel signature and collide pairwise
+    // in every band — quadratic candidate growth in the short-doc
+    // count at scale, for pairs verify nulls out anyway
+    val docs = Seq(
+      (1L, "one two"), (2L, "uno dos"), (3L, "ein zwei"), // < 3 tokens
+      (4L, "alpha beta gamma delta"), (5L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val buckets = MinHashLSH.bandBuckets(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleN = 3)
+    val ids = buckets.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(4L, 5L), s"short docs must not enter banding: $ids")
+    // ...and the surviving near-dup pair is still found
+    val pairs = MinHashLSH.nearDupPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((4L, 5L)))
+  }
 }
