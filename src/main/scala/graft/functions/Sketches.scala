@@ -16,6 +16,15 @@ import org.apache.spark.sql.types._
   * bit-for-bit and the q55b gate checks them EXACT — the q45 sketch
   * playbook applied to aggregation state.
   *
+  * Algorithms are the published classics, re-derived for
+  * cross-engine determinism: HyperLogLog (Flajolet, Fusy, Gandouet,
+  * Meunier, AofA 2007) with trailing-zero ranks; Count-Min (Cormode
+  * & Muthukrishnan, J. Algorithms 2005); Bloom filters (Bloom, CACM
+  * 1970). The reference engine has no sketch surface at all
+  * (/root/reference/src/cosmap/analysis/runner.py computes exact
+  * per-sample aggregates only) — this family is part of the
+  * training-data-pipeline extension mandate.
+  *
   * Both are `TypedImperativeAggregate`s: fixed-size byte-serialized
   * state, map-side partial aggregation, per-register/per-bucket merge
   * — the shuffle carries O(groups · sketch size) at any corpus scale,
@@ -75,6 +84,13 @@ case class HllSketchAgg(
   import HllSketch._
 
   private val saltTerm = salt * SplitMix64Kernel.Golden
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hll_digest requires a BIGINT key, got $other")
+    }
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
@@ -140,6 +156,13 @@ case class HistQuantileAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hist_quantile requires BIGINT cents, got $other")
+    }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](buckets)
 
@@ -236,6 +259,14 @@ case class CountMinAgg(
     * plan/oracle time to embed the probe tokens' bucket constants. */
   def bucket(th: Long, j: Int): Int =
     (SplitMix64Kernel.mix(th + saltTerm(j)) & (width - 1)).toInt
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"count_min requires array<string> tokens, got $other")
+    }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
@@ -360,6 +391,14 @@ case class BloomFilterAgg(
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
   require((bits & (bits - 1)) == 0, "bits must be a power of two")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_filter requires array<string> elements, got $other")
+    }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](bits / 64)
 

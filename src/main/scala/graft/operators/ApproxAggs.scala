@@ -40,11 +40,14 @@ object ApproxAggs {
   private val Buckets = 2048 // covers cents up to 2048·8192 ≈ $167k
 
   /** q95 Count-Min parameters: 4×1024 counters (ε ≈ e/1024, δ ≈ e⁻⁴);
-    * probes are the q41 stopword set. */
-  private val CmSalt = 950L
-  private val CmDepth = 4
-  private val CmWidth = 1024
-  private val CmProbes = Seq("the", "a", "of", "in", "to", "is")
+    * probes are the q41/q42 English stopword set — referenced, not
+    * re-declared, so the two can never silently diverge (and
+    * ApproxSpec reads THIS list to align its exact-count comparison
+    * with the output columns). */
+  private[graft] val CmSalt = 950L
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 1024
+  private[graft] val CmProbes: Seq[String] = TextAnalysis.stopEnList
 
   /** Integer-cents projection of l_extendedprice — through
     * DECIMAL(15,2) on BOTH engines (the q01-proven conversion). */
@@ -225,8 +228,13 @@ object ApproxAggs {
        |  LEFT JOIN c ON c.lang = l.lang AND c.j = g.j AND c.bkt = g.bkt
        |  GROUP BY 1, 2),
        |pep AS (SELECT lang, $estCols FROM pe GROUP BY lang)
-       |SELECT n.lang, n.n_tokens, chkp.* EXCLUDE (lang), pep.* EXCLUDE (lang)
-       |FROM n JOIN chkp USING (lang) JOIN pep USING (lang)""".stripMargin
+       |SELECT l.lang, coalesce(n.n_tokens, 0) AS n_tokens,
+       |  ${(0 until CmDepth).map(j => s"coalesce(chk$j, 0) AS chk$j").mkString(", ")},
+       |  pep.* EXCLUDE (lang)
+       |FROM (SELECT DISTINCT lang FROM documents) l
+       |LEFT JOIN n USING (lang)
+       |LEFT JOIN chkp USING (lang)
+       |JOIN pep USING (lang)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(

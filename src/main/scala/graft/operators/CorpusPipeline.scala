@@ -72,13 +72,16 @@ object CorpusPipeline {
     args("df").asInstanceOf[DataFrame]
 
   /** The dynamic-code half of the DAG: each heavy stage is the shared
-    * composable operator. `clean`'s output is persisted — the dedup
-    * stage reads it for the plan-time hot-gram constant AND in the
-    * main action (CLAUDE.md rule: cache inputs referenced more than
-    * once; MEMORY_AND_DISK, spills rather than OOMs). */
+    * composable operator. Two stage outputs are persisted (CLAUDE.md
+    * rule: cache inputs referenced more than once; MEMORY_AND_DISK,
+    * spills rather than OOMs): `clean` is read by the dedup stage's
+    * plan-time hot-gram collect AND the main action; `dedup_keep` is
+    * read TWICE by temperatureKeep (the per-language rate aggregate
+    * and the main join) — without the persist the whole candidate +
+    * verify + anti-join chain would execute once per reference. */
   private val registry = TransformRegistry(
     "clean" -> Transform(a => TextAnalysis.cleanKeep(in(a)).persist()),
-    "dedup_keep" -> Transform(a => Dedup.dedupKeep(in(a))),
+    "dedup_keep" -> Transform(a => Dedup.dedupKeep(in(a)).persist()),
     "temperature_mix" -> Transform(a => Mixing.temperatureKeep(in(a))),
     "shard_pack" -> Transform(a => Mixing.shardPack(in(a))))
 

@@ -290,8 +290,9 @@ object Similarity {
       val qc = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           sims.as("sims"))
-        // top-4 probe cells: sort (−cos, cid) structs — descending
-        // cosine with index tie-break, the exact oracle ordering
+        // top-6 probe cells (nprobe=6): sort (−cos, cid) structs —
+        // descending cosine with index tie-break, the exact oracle
+        // ordering
         .select(col("q_id"), col("q_emb"), explode(expr(
           s"""transform(slice(array_sort(transform(sequence(0, ${cents.length - 1}),
              |  i -> struct(-element_at(sims, i + 1) AS s, i AS i))), 1, 6),

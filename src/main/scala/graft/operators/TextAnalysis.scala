@@ -19,7 +19,9 @@ object TextAnalysis {
   private val BloomBits = 131072
   private val BloomK = 4
 
-  private val stopEn = Seq("the", "a", "of", "in", "to", "is")
+  /** The English stopword set — shared with q95's Count-Min probes. */
+  private[graft] val stopEnList = Seq("the", "a", "of", "in", "to", "is")
+  private val stopEn = stopEnList
   private val stopEs = Seq("el", "la", "de", "que", "y", "los")
   private val stopFr = Seq("le", "les", "des", "et", "une", "dans")
   private val stopDe = Seq("der", "die", "und", "das", "ist", "ein")

@@ -69,7 +69,9 @@ class ApproxSpec extends SparkSpec {
 
   test("owned Count-Min (q95): one-sided, within the epsilon-N bound, merge-independent") {
     val dir = "/root/testdata/sf0.01"
-    val probes = Seq("the", "a", "of", "in", "to", "is")
+    // the query's OWN probe list — index-aligned with its est_* output
+    // columns, so a probe reorder can't silently misalign this test
+    val probes = graft.operators.ApproxAggs.CmProbes
     // exact per-(lang, probe-token) occurrence counts
     val li = Tables.load(spark, dir, "documents")
     val exact = li.select(col("lang"),
@@ -96,7 +98,9 @@ class ApproxSpec extends SparkSpec {
     def digest(df: org.apache.spark.sql.DataFrame): Seq[String] = df
       .groupBy(col("lang"))
       .agg(graft.functions.Sketches.countMin(
-        graft.functions.Text.tokens(col("text")), 950L, 4, 1024, probes).as("s"))
+        graft.functions.Text.tokens(col("text")),
+        graft.operators.ApproxAggs.CmSalt, graft.operators.ApproxAggs.CmDepth,
+        graft.operators.ApproxAggs.CmWidth, probes).as("s"))
       .orderBy("lang").collect().map(_.toString).toSeq
     assert(digest(li.repartition(1)) === digest(li.repartition(13, col("doc_id"))))
   }

@@ -113,7 +113,7 @@ class SimilaritySpec extends SparkSpec {
       assert(minGap > 1e-9, s"q94 probe margin too thin at $dir: $minGap")
     }
     // recall of the IVF-probed top-5 vs the exact brute-force top-5,
-    // averaged over all queries (nprobe=4 of 16 cells)
+    // averaged over all queries (nprobe=6 of 16 cells)
     val got = Similarity.queries("q94_knn_join")(spark, sf0001)
       .select("q_id", "vec_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
@@ -135,7 +135,7 @@ class SimilaritySpec extends SparkSpec {
       got.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
     }
     val avg = recalls.sum / recalls.size
-    assert(avg >= 0.5, s"q94 mean recall@5 $avg below floor (nprobe=4/16)")
+    assert(avg >= 0.5, s"q94 mean recall@5 $avg below floor (nprobe=6/16)")
   }
 
   test("q49 cross-engine safety margins: plane-sign dots bounded away from 0") {
