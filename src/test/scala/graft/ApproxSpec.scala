@@ -105,6 +105,43 @@ class ApproxSpec extends SparkSpec {
     assert(digest(li.repartition(1)) === digest(li.repartition(13, col("doc_id"))))
   }
 
+  test("owned sketches reject wrong-typed inputs at ANALYSIS time") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    // string key into the HLL; scalar into the array-typed sketches —
+    // all must fail analysis, not throw ClassCastException per row in
+    // a running executor
+    intercept[org.apache.spark.sql.AnalysisException] {
+      li.agg(graft.functions.Sketches.hllDigest(col("l_returnflag"), 1L)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      li.agg(graft.functions.Sketches.histQuantiles(col("l_returnflag"), 10L, 16)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      li.agg(graft.functions.Sketches.countMin(col("l_orderkey"), 1L, 2, 64, Seq("x"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      li.agg(graft.functions.Sketches.bloom(col("l_orderkey"), 1L, 64, 2)).collect()
+    }
+  }
+
+  test("owned HLL: raw-regime estimate accurate at sf0.1 (n >> m, no correction branch)") {
+    val dir = "/root/testdata/sf0.1"
+    val li = Tables.load(spark, dir, "lineitem")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("parts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.operators.ApproxAggs.queries("q55b_owned_sketches")(spark, dir)
+      .collect().foreach { r =>
+        val k = r.getString(0)
+        val raw = r.getDouble(4)
+        // 20000 distinct keys >> 2.5·4096: estimate() must return the
+        // RAW harmonic estimate unchanged, and it must be accurate
+        assert(graft.functions.HllSketch.estimate(r.getInt(2), raw) === raw)
+        assert(math.abs(raw - exact(k)) / exact(k) < 0.05,
+          s"$k: raw-regime HLL $raw vs exact ${exact(k)}")
+      }
+  }
+
   test("owned sketches are partitioning-independent (cluster determinism)") {
     val li = Tables.load(spark, sf0001, "lineitem")
     def digest(df: org.apache.spark.sql.DataFrame): Seq[String] = df
