@@ -191,6 +191,20 @@ object ScaleProbe {
       val skewRows = bal.getDouble(0) / bal.getDouble(1)
       val skewToks = bal.getDouble(2) / bal.getDouble(3)
 
+      // the composed q93 chain (clean → dedup keep → temperature mix
+      // → shard/pack) on the replicated corpus: output rows must grow
+      // ~linearly (α≈1) and wall time should too — the end-to-end
+      // check that the five-stage composition inherits its stages'
+      // scale shapes instead of multiplying them
+      val (c93, t93) = timed {
+        val cleaned = graft.operators.TextAnalysis.cleanKeep(docs).persist()
+        val deduped = graft.operators.Dedup.dedupKeep(cleaned).persist()
+        val n = graft.operators.Mixing.shardPack(
+          graft.operators.Mixing.temperatureKeep(deduped)).count()
+        cleaned.unpersist(); deduped.unpersist()
+        n
+      }
+
       docs.unpersist(); emb.unpersist()
       val line = s"""{"scale":$k,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
         s""""q44_prefix_cand":$c44,"q45_lsh_cand":$c45,""" +
@@ -199,11 +213,12 @@ object ScaleProbe {
         s""""q83_fixed_cand":$c83,"q87_adaptive_cand":$c83a,"q87_adaptive_bits":$bitsA,""" +
         s""""q84_passjoin_cand":$c84,""" +
         f""""q90_shard_skew":{"rows_max_over_mean":$skewRows%.3f,"tokens_max_over_mean":$skewToks%.3f},""" +
-        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f,"q83":$t83%.2f,"q83a":$t83a%.2f,"q84":$t84%.2f}}"""
+        s""""q93_chain_rows":$c93,""" +
+        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f,"q83":$t83%.2f,"q83a":$t83a%.2f,"q84":$t84%.2f,"q93_chain":$t93%.2f}}"""
       println(line)
       (k, Map("q44" -> c44, "q45" -> c45, "q46" -> c46,
         "q79" -> c46w, "q49" -> c49, "q83_fixed" -> c83,
-        "q87_adaptive" -> c83a, "q84" -> c84))
+        "q87_adaptive" -> c83a, "q84" -> c84, "q93_chain_rows" -> c93))
     }
 
     // growth exponent α over the widest span: candidates ∝ n^α
