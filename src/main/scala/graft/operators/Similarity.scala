@@ -280,33 +280,24 @@ object Similarity {
     //    derivation vs the engine's struct-sort) and the round-6
     //    re-rank from the same Centroids86 literals. --
     "q94_knn_join" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      knnJoinQuery(Tables.load(s, dir, "embeddings"), Centroids86.table)
+    },
+
+    // -- q94's ADAPTIVE-codebook twin (the q87 pattern applied to
+    //    IVF): the cell count grows with the corpus — ~32 vectors per
+    //    cell through a power-of-two ladder, taking a PREFIX of the
+    //    checked-in 64-cell Centroids94 codebook — so per-query
+    //    candidates stay ~constant and total candidate volume stays
+    //    linear in the query count as the corpus scales (the fixed
+    //    16-cell q94 config is the declared baseline; at production
+    //    scale the ladder continues up the trained codebook size,
+    //    exactly how IVF deployments grow nlist with n). The one
+    //    count() is a scalar, like q87's band-width probe. EXACT-
+    //    gated: the oracle derives the cell count from count(*) via
+    //    the same integer ladder and slices the 64-cosine list. --
+    "q94b_knn_join_adaptive" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val cents = Centroids86.table
-      val sims = array(cents.map(c =>
-        VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
-      val assigned = e.select(col("vec_id"), col("label"), col("embedding"),
-        (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
-      val qc = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          sims.as("sims"))
-        // top-6 probe cells (nprobe=6): sort (−cos, cid) structs —
-        // descending cosine with index tie-break, the exact oracle
-        // ordering
-        .select(col("q_id"), col("q_emb"), explode(expr(
-          s"""transform(slice(array_sort(transform(sequence(0, ${cents.length - 1}),
-             |  i -> struct(-element_at(sims, i + 1) AS s, i AS i))), 1, 6),
-             |  x -> x.i)""".stripMargin)).as("qcell"))
-      val cand = assigned.as("a")
-        .join(qc.as("q"),
-          col("a.cell") === col("q.qcell") && col("a.vec_id") =!= col("q.q_id"))
-        .select(col("q.q_id"), col("a.vec_id"), col("a.label"),
-          round(VectorExprs.cosineFast(col("a.embedding"), col("q.q_emb")), 6)
-            .as("cos_sim"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-      cand.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
+      knnJoinQuery(e, Centroids94.table.take(adaptiveCells(e.count())))
     },
 
     // -- ANN via sign-LSH buckets + Hamming-1 multi-probe
@@ -330,6 +321,44 @@ object Similarity {
         .limit(10)
     },
   )
+
+  /** Adaptive IVF cell count: ~32 vectors per cell through a
+    * power-of-two ladder, clamped to the checked-in 64-cell codebook.
+    * Integer-exact so the oracle's CASE ladder reproduces it. */
+  def adaptiveCells(n: Long): Int =
+    if (n <= 512) 16 else if (n <= 1024) 32 else 64
+
+  /** The shared batch-kNN body (q94 fixed 16 cells / q94b adaptive
+    * prefix of 64): map-side argmax cell assignment, per-query top-6
+    * probe cells via a codegen struct-sort, ONE cell-keyed equi-join,
+    * per-query top-5 through a q_id-keyed window. */
+  private def knnJoinQuery(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sims = array(cents.map(c =>
+      VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
+    val assigned = e.select(col("vec_id"), col("label"), col("embedding"),
+      (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+    val qc = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sims.as("sims"))
+      // top-6 probe cells (nprobe=6): sort (−cos, cid) structs —
+      // descending cosine with index tie-break, the exact oracle
+      // ordering
+      .select(col("q_id"), col("q_emb"), explode(expr(
+        s"""transform(slice(array_sort(transform(sequence(0, ${cents.length - 1}),
+           |  i -> struct(-element_at(sims, i + 1) AS s, i AS i))), 1, 6),
+           |  x -> x.i)""".stripMargin)).as("qcell"))
+    val cand = assigned.as("a")
+      .join(qc.as("q"),
+        col("a.cell") === col("q.qcell") && col("a.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id"), col("a.vec_id"), col("a.label"),
+        round(VectorExprs.cosineFast(col("a.embedding"), col("q.q_emb")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
 
   /** q83's DuckDB oracle is CODE-GENERATED from the same quantized
     * plane constants the Spark expression uses (the oracle replays
@@ -559,6 +588,63 @@ object Similarity {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** q94b's oracle: oracle94 with the ADAPTIVE prefix — the cell
+    * count comes from count(*) through the same integer ladder as
+    * [[adaptiveCells]], the per-vector argmax slices the full
+    * 64-cosine list to the active prefix, and probe ranking only
+    * considers cells below the count. */
+  private def oracle94b: String = {
+    def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def sumsq(a: String) =
+      s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def cosE(a: String, b: String) =
+      s"(${dotE(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
+    val cents = Centroids94.table
+    val centStructs = cents.zipWithIndex
+      .map { case (c, i) => s"struct_pack(cid := $i, ce := ${lst(c)})" }
+      .mkString(",\n    ")
+    val simList = cents.map(c => cosE("embedding", lst(c)))
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH cc AS (
+       |  SELECT CASE WHEN count(*) <= 512 THEN 16
+       |              WHEN count(*) <= 1024 THEN 32
+       |              ELSE 64 END AS ncells
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT u.cid AS cid, u.ce AS ce
+       |  FROM UNNEST([$centStructs]) AS t(u)),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding,
+       |    CAST(list_position(lc, list_max(lc)) - 1 AS INTEGER) AS cell
+       |  FROM (SELECT vec_id, label, embedding, ($simList)[1:ncells] AS lc
+       |        FROM embeddings, cc)),
+       |queries AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |qsims AS (
+       |  SELECT q_id, q_emb, cid, ${cosE("q_emb", "ce")} AS qc
+       |  FROM queries, cents, cc WHERE cid < ncells),
+       |qcells AS (
+       |  SELECT q_id, q_emb, cid FROM (
+       |    SELECT q_id, q_emb, cid,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY qc DESC, cid) AS pr
+       |    FROM qsims)
+       |  WHERE pr <= 6),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id, a.label,
+       |    round(${cosE("a.embedding", "p.q_emb")}, 6) AS cos_sim
+       |  FROM qcells p JOIN assigned a
+       |    ON a.cell = p.cid AND a.vec_id <> p.q_id)
+       |SELECT q_id, vec_id, label, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   /** q49's oracle: bucket bits from the same quantized planes, the
     * query's Hamming-1 probe set, exact-cosine re-rank — the oracle83
     * bucket machinery composed with the q47 top-10 select. */
@@ -593,6 +679,7 @@ object Similarity {
     "q87_semantic_dedup_adaptive" -> oracle87,
     "q86_ann_ivf" -> oracle86,
     "q94_knn_join" -> oracle94,
+    "q94b_knn_join_adaptive" -> oracle94b,
     "q49_ann_lsh" -> oracle49,
     "q47_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

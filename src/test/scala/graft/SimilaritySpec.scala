@@ -138,6 +138,39 @@ class SimilaritySpec extends SparkSpec {
     assert(avg >= 0.5, s"q94 mean recall@5 $avg below floor (nprobe=6/16)")
   }
 
+  test("q94b adaptive codebook: drift armor, ladder, prefix margins tri-scale") {
+    import graft.functions.VectorExprs
+    // drift armor: the checked-in 64-cell table IS the training output
+    val sample = Tables.load(spark, sf0001, "embeddings")
+      .orderBy(col("vec_id")).limit(256)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    val fresh = graft.functions.Vectors.kmeansCentroids(sample, k = 64, iters = 10)
+      .map(_.map(v => math.rint(v * 1000) / 1000))
+    assert(fresh === graft.operators.Centroids94.table)
+    // the ladder's integer contract
+    assert(Similarity.adaptiveCells(500) === 16)
+    assert(Similarity.adaptiveCells(513) === 32)
+    assert(Similarity.adaptiveCells(2000) === 64)
+    // per-scale prefix margins: argmax 1st-vs-2nd over the ACTIVE
+    // prefix for every vector, probe 6th-vs-7th for every query
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables.load(spark, dir, "embeddings")
+      val c = Similarity.adaptiveCells(e.count())
+      val cents = graft.operators.Centroids94.table.take(c)
+      val sims = array(cents.map(ct =>
+        VectorExprs.cosineFast(col("embedding"), typedlit(ct))): _*)
+      val sorted = array_sort(sims, (a, b) => when(a > b, -1).when(a < b, 1).otherwise(0))
+      val m = e.select(
+          (element_at(sorted, 1) - element_at(sorted, 2)).as("g1"),
+          when(col("vec_id") % 50 === 0,
+            element_at(sorted, 6) - element_at(sorted, 7)).as("g6"))
+        .agg(min(col("g1")), min(col("g6"))).head
+      assert(m.getDouble(0) > 1e-9, s"$dir c=$c argmax margin ${m.getDouble(0)}")
+      assert(m.getDouble(1) > 1e-9, s"$dir c=$c probe margin ${m.getDouble(1)}")
+    }
+  }
+
   test("q49 cross-engine safety margins: plane-sign dots bounded away from 0") {
     // the oracle replays bucket bits as sign(dot); noise between the
     // two ordered-fold evaluations is ~1e-13, so every |dot| must be

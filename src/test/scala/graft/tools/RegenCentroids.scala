@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * literals. Run after any intentional change to the training recipe
   * and paste the output over the table in Centroids86.scala:
   *
-  *   sbt "Test/runMain graft.tools.RegenCentroids"
+  *   sbt "Test/runMain graft.tools.RegenCentroids"        # k=16 (q86)
+  *   sbt "Test/runMain graft.tools.RegenCentroids 64"     # k=64 (q94b)
   */
 object RegenCentroids {
   def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(16)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
@@ -24,7 +26,7 @@ object RegenCentroids {
       .orderBy(col("vec_id")).limit(256)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
-    val cents = graft.functions.Vectors.kmeansCentroids(sample, k = 16, iters = 10)
+    val cents = graft.functions.Vectors.kmeansCentroids(sample, k = k, iters = 10)
     val quantized = cents.map(_.map(v => math.rint(v * 1000) / 1000))
     println("  val table: Seq[Seq[Double]] = Seq(")
     quantized.foreach { c =>
