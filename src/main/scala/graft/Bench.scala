@@ -92,11 +92,35 @@ object Bench {
       .map { case (l0, l1, _) => s"[${fmt(l0)},${fmt(l1)}]" }
       .mkString("[", ",", "]")
     val total = best.map(_._2).filter(_ >= 0).sum
+    // Pinned-threshold self-audit (round-5 verdict #1): compare each
+    // best-of against the checked-in per-query ceilings (BENCH_PINS
+    // .json, ~2.5x a clean same-box round-6 run at sf0.1) and list the
+    // queries whose MINIMUM across passes still exceeds its pin — a
+    // contaminated window is then machine-readable in the artifact
+    // itself instead of a cross-round forensic exercise. Pins describe
+    // sf0.1 on this box, so the audit only arms there; a missing or
+    // unreadable pins file yields an empty list, never a crash.
+    val pins: Map[String, Double] =
+      if (!sfDir.contains("sf0.1")) Map.empty
+      else try {
+        val src = sys.env.getOrElse("SPARK_GRAFT_PINS", "BENCH_PINS.json")
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(src)), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val suspect = best.collect {
+      case (n, t) if t >= 0 && pins.get(n).exists(t > _) => "\"" + n + "\""
+    }.mkString("[", ",", "]")
     // Key order is load-bearing: the record keeper stores only the TAIL
-    // of this line, so the bulky raw per-pass data goes first and the
-    // authoritative best-of-N minimums + per-pass load stamps + total
-    // go LAST — any tail-truncated capture still contains them.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":$passJson,"pass_loads":$loadsJson,"queries":$qs,"total_best":${fmt(total)}}""")
+    // of this line, so the bulky raw per-pass data goes first, then the
+    // best-of-N minimums, and the COMPACT authoritative fields — per-
+    // pass load stamps, the suspect list, the total — go at the very
+    // end: any tail-truncated capture wide enough to hold the best-of
+    // dict necessarily also holds the ~100-byte stamps + audit after it
+    // (round-5 put pass_loads BEFORE the 94-entry queries dict and the
+    // driver's capture truncated exactly the stamps; third ask, fixed).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":$passJson,"queries":$qs,"pass_loads":$loadsJson,"suspect":$suspect,"total_best":${fmt(total)}}""")
     spark.stop()
   }
 }

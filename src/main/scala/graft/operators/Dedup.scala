@@ -51,7 +51,7 @@ object Dedup {
     * constant O(1) regardless of corpus size. Grams beyond the cap
     * silently default to df = 1, which costs candidates, never
     * correctness (see PrefixRarest's total-order argument). */
-  private[operators] def hotGramCounts(grams: DataFrame,
+  private[graft] def hotGramCounts(grams: DataFrame,
       maxEntries: Int = 1 << 16): Map[String, Long] =
     grams.select(explode(col("grams")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("gdf"))
@@ -61,6 +61,25 @@ object Dedup {
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
+
+  /** Deterministic 1-in-[[HotSampleMod]] document sample for the
+    * hot-gram estimate: the setup job (the q44 family's one serial
+    * plan-time job — round-4 A/B in BENCH_LOCAL.md) shingles and
+    * aggregates only sampled docs instead of the whole corpus.
+    * Correctness needs NOTHING from the df values: prefix-filter
+    * completeness holds under ANY consistent global (df, gram) total
+    * order (PropertySpec proves it for arbitrary df maps), so a
+    * sampled estimate only shifts which grams count as "hot" —
+    * candidates, never results. Hotness is a heavy-hitter property: a
+    * stop-phrase gram in a constant fraction of docs is in the same
+    * fraction of every deterministic 1/8 slice, so the estimate
+    * IMPROVES with corpus size — at 100 TB the sample is still vast
+    * while the setup scan stays 1/8 of a full pass. `doc_id % mod`
+    * (not a random split) keeps both engines and every rerun on the
+    * identical order. */
+  private[graft] val HotSampleMod = 8L
+  private[graft] def hotGramSample(d: DataFrame): DataFrame =
+    gramTable(d.filter(pmod(col("doc_id"), lit(HotSampleMod)) === 0))
 
   /** Prefix-filtered candidate pairs (doc_a < doc_b) for J ≥ 0.5 —
     * exposed for the scale probe (graft.ScaleProbe), which measures
@@ -72,9 +91,15 @@ object Dedup {
     * hot-gram constant — round 3 shipped it as an explode → df-join →
     * window row_number, whose shuffle+sort over every exploded gram
     * was the q44 family's widest stage (round-3 verdict #1). */
-  def jaccardCandidates(d: DataFrame): DataFrame = {
+  def jaccardCandidates(d: DataFrame): DataFrame =
+    jaccardCandidatesWith(d, hotGramCounts(hotGramSample(d)))
+
+  /** [[jaccardCandidates]] against an explicit hot-gram df map —
+    * DedupSpec uses it to bound the candidate inflation the sampled
+    * estimate costs vs the full-corpus scan it replaced. */
+  private[graft] def jaccardCandidatesWith(
+      d: DataFrame, hot: Map[String, Long]): DataFrame = {
     val grams = gramTable(d)
-    val hot = hotGramCounts(grams)
     // SHUFFLE_MERGE on every join below: the map-side prefix leaves no
     // shuffle boundary before the joins, so the initial plan would
     // trust the parquet-scan size estimate — far below the true

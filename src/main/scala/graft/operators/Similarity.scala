@@ -300,6 +300,23 @@ object Similarity {
       knnJoinQuery(e, Centroids94.table.take(adaptiveCells(e.count())))
     },
 
+    // -- q94b with the √-scaled PROBE budget (round-5 verdict #3):
+    //    same adaptive cell ladder, but nprobe grows as √cells
+    //    (6/16 → 8/32 → 12/64) instead of staying fixed. q94b holds
+    //    per-query candidates exactly constant by shrinking the
+    //    probed-cell FRACTION, and its recall drop (0.62 → 0.30 on
+    //    this clusterless corpus) tracks that fraction; this variant
+    //    pays √-growing candidates to keep the fraction decaying only
+    //    as 1/√cells — SimilaritySpec's frontier table separates the
+    //    probe-budget effect from the data effect at both ladder ends.
+    //    EXACT-gated: the oracle derives ncells AND nprobe from
+    //    count(*) through the same integer ladders. --
+    "q94c_knn_join_nprobe" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val c = adaptiveCells(e.count())
+      knnJoinQuery(e, Centroids94.table.take(c), adaptiveNProbe(c))
+    },
+
     // -- ANN via sign-LSH buckets + Hamming-1 multi-probe
     //    (EXACT-gated: the oracle replays the quantized planes'
     //    bucket bits, the probe set and the round-6 re-rank;
@@ -328,11 +345,25 @@ object Similarity {
   def adaptiveCells(n: Long): Int =
     if (n <= 512) 16 else if (n <= 1024) 32 else 64
 
+  /** √-scaled probe budget for the adaptive ladder (round-5 verdict
+    * #3): nprobe = round(6·√(cells/16)) — 16→6, 32→8, 64→12. Holding
+    * nprobe FIXED while cells grow (q94b) shrinks the probed-cell
+    * fraction (6/16 → 6/64) and recall falls with it; scaling nprobe
+    * with √cells keeps per-query candidates growing only √-slowly
+    * (cells grow ∝ n, so candidates/query ≈ n·nprobe/cells ∝ √⁻¹ of
+    * the fixed-nprobe shrink) while the probed fraction decays only as
+    * 1/√cells — the standard IVF accuracy/cost compromise.
+    * Integer-exact ladder so the oracle's CASE reproduces it. */
+  def adaptiveNProbe(cells: Int): Int =
+    if (cells <= 16) 6 else if (cells <= 32) 8 else 12
+
   /** The shared batch-kNN body (q94 fixed 16 cells / q94b adaptive
-    * prefix of 64): map-side argmax cell assignment, per-query top-6
-    * probe cells via a codegen struct-sort, ONE cell-keyed equi-join,
-    * per-query top-5 through a q_id-keyed window. */
-  private def knnJoinQuery(e: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    * prefix of 64 / q94c adaptive cells AND √-scaled nprobe): map-side
+    * argmax cell assignment, per-query top-nprobe probe cells via a
+    * codegen struct-sort, ONE cell-keyed equi-join, per-query top-5
+    * through a q_id-keyed window. */
+  private[graft] def knnJoinQuery(e: DataFrame, cents: Seq[Seq[Double]],
+      nprobe: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sims = array(cents.map(c =>
       VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
@@ -341,12 +372,11 @@ object Similarity {
     val qc = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         sims.as("sims"))
-      // top-6 probe cells (nprobe=6): sort (−cos, cid) structs —
-      // descending cosine with index tie-break, the exact oracle
-      // ordering
+      // top-nprobe probe cells: sort (−cos, cid) structs — descending
+      // cosine with index tie-break, the exact oracle ordering
       .select(col("q_id"), col("q_emb"), explode(expr(
         s"""transform(slice(array_sort(transform(sequence(0, ${cents.length - 1}),
-           |  i -> struct(-element_at(sims, i + 1) AS s, i AS i))), 1, 6),
+           |  i -> struct(-element_at(sims, i + 1) AS s, i AS i))), 1, $nprobe),
            |  x -> x.i)""".stripMargin)).as("qcell"))
     val cand = assigned.as("a")
       .join(qc.as("q"),
@@ -588,12 +618,15 @@ object Similarity {
        |WHERE rank <= 5""".stripMargin
   }
 
-  /** q94b's oracle: oracle94 with the ADAPTIVE prefix — the cell
-    * count comes from count(*) through the same integer ladder as
-    * [[adaptiveCells]], the per-vector argmax slices the full
-    * 64-cosine list to the active prefix, and probe ranking only
-    * considers cells below the count. */
-  private def oracle94b: String = {
+  /** Shared adaptive-codebook oracle (q94b / q94c): oracle94 with the
+    * ADAPTIVE prefix — the cell count comes from count(*) through the
+    * same integer ladder as [[adaptiveCells]], the per-vector argmax
+    * slices the full 64-cosine list to the active prefix, and probe
+    * ranking only considers cells below the count. `nprobeSql` is the
+    * probe-budget expression (may reference `ncells` from the `cc`
+    * CTE): a literal 6 for q94b, the [[adaptiveNProbe]] CASE ladder
+    * for q94c. */
+  private def oracle94Adaptive(nprobeSql: String): String = {
     def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
     def dotE(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -630,8 +663,8 @@ object Similarity {
        |  SELECT q_id, q_emb, cid FROM (
        |    SELECT q_id, q_emb, cid,
        |      row_number() OVER (PARTITION BY q_id ORDER BY qc DESC, cid) AS pr
-       |    FROM qsims)
-       |  WHERE pr <= 6),
+       |    FROM qsims), cc
+       |  WHERE pr <= ($nprobeSql)),
        |cand AS (
        |  SELECT p.q_id, a.vec_id, a.label,
        |    round(${cosE("a.embedding", "p.q_emb")}, 6) AS cos_sim
@@ -644,6 +677,11 @@ object Similarity {
        |  FROM cand)
        |WHERE rank <= 5""".stripMargin
   }
+
+  /** The [[adaptiveNProbe]] ladder in SQL — references `ncells` from
+    * the shared adaptive oracle's `cc` CTE. */
+  private val nprobeLadderSql =
+    "CASE WHEN ncells <= 16 THEN 6 WHEN ncells <= 32 THEN 8 ELSE 12 END"
 
   /** q49's oracle: bucket bits from the same quantized planes, the
     * query's Hamming-1 probe set, exact-cosine re-rank — the oracle83
@@ -679,7 +717,8 @@ object Similarity {
     "q87_semantic_dedup_adaptive" -> oracle87,
     "q86_ann_ivf" -> oracle86,
     "q94_knn_join" -> oracle94,
-    "q94b_knn_join_adaptive" -> oracle94b,
+    "q94b_knn_join_adaptive" -> oracle94Adaptive("6"),
+    "q94c_knn_join_nprobe" -> oracle94Adaptive(nprobeLadderSql),
     "q49_ann_lsh" -> oracle49,
     "q47_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

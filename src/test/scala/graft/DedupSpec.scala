@@ -123,6 +123,30 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("sampled hot-gram estimate: candidate inflation bounded (round-5 verdict #2)") {
+    // the q44 setup job now estimates hotness from the 1-in-8
+    // doc_id % 8 sample; grams hot in the corpus but df<2 in the
+    // sample default to df=1 and can re-enter prefixes, which costs
+    // candidates — never results (prefix completeness holds under any
+    // consistent order). The price shrinks as the corpus grows (the
+    // heavy-hitter argument: a constant-fraction gram is in the same
+    // fraction of every 1/8 slice): measured 5.5x at sf0.01 (625
+    // sampled docs — too few to see the df 2..15 band) but only 1.20x
+    // at sf0.1 (6.2k sampled docs), with the setup scan 5.2 s → 1.0 s.
+    // Pin the inflation at the scale the claim lives at: sf0.1, <=1.5x.
+    val d = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val sampledN = Dedup.jaccardCandidatesWith(
+      d, Dedup.hotGramCounts(Dedup.hotGramSample(d))).count()
+    val fullN = Dedup.jaccardCandidatesWith(
+      d, Dedup.hotGramCounts(
+        d.select(col("doc_id"), Text.wordNGrams(col("text"), 3).as("grams"))
+          .withColumn("ng", size(col("grams"))).filter(col("ng") > 0)))
+      .count()
+    info(s"sf0.1 candidates: full-scan hot map $fullN, sampled hot map $sampledN")
+    assert(sampledN <= fullN * 3 / 2,
+      s"sampled hot-gram estimate inflates candidates: $sampledN vs $fullN")
+  }
+
   test("exact dedup fingerprint normalizes whitespace and case") {
     import spark.implicits._
     val fp = Seq("Hello  World", "hello world", " hello\tworld ")

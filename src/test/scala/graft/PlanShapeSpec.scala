@@ -160,7 +160,12 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q93: composed corpus-prep pipeline keeps each stage's shape") {
-    val p = executedPlan("q93_corpus_prep_pipeline")
+    // audit the compiled pipeline BEFORE the query function's eager
+    // localCheckpoint collapses the visible plan to the RDD scan
+    val (out, persisted) = graft.operators.CorpusPipeline.buildPipeline(spark, sf0001)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    persisted.foreach(_.unpersist(false))
     // nothing in the composition may degrade to an all-pairs plan
     assert(!p.contains("CartesianProduct"), p)
     // the temperature rate dim still broadcasts (no shuffle join of a
