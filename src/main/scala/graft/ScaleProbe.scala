@@ -205,6 +205,13 @@ object ScaleProbe {
         n
       }
 
+      // q97 repeated spans (round 6): no candidate pairs exist — the
+      // scale driver is output span rows (∝ marked windows). Bijective
+      // token renaming preserves within-replica repeats and creates no
+      // cross-replica window collisions, so α must be 1 exactly.
+      val (c97, t97) = timed(
+        graft.operators.RepeatedSpans.repeatedSpans(docs).count())
+
       docs.unpersist(); emb.unpersist()
       val line = s"""{"scale":$k,"n_docs":$nDocs,"n_vecs":$nVecs,""" +
         s""""q44_prefix_cand":$c44,"q45_lsh_cand":$c45,""" +
@@ -213,12 +220,13 @@ object ScaleProbe {
         s""""q83_fixed_cand":$c83,"q87_adaptive_cand":$c83a,"q87_adaptive_bits":$bitsA,""" +
         s""""q84_passjoin_cand":$c84,""" +
         f""""q90_shard_skew":{"rows_max_over_mean":$skewRows%.3f,"tokens_max_over_mean":$skewToks%.3f},""" +
-        s""""q93_chain_rows":$c93,""" +
-        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f,"q83":$t83%.2f,"q83a":$t83a%.2f,"q84":$t84%.2f,"q93_chain":$t93%.2f}}"""
+        s""""q93_chain_rows":$c93,"q97_span_rows":$c97,""" +
+        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f,"q83":$t83%.2f,"q83a":$t83a%.2f,"q84":$t84%.2f,"q93_chain":$t93%.2f,"q97":$t97%.2f}}"""
       println(line)
       (k, Map("q44" -> c44, "q45" -> c45, "q46" -> c46,
         "q79" -> c46w, "q49" -> c49, "q83_fixed" -> c83,
-        "q87_adaptive" -> c83a, "q84" -> c84, "q93_chain_rows" -> c93))
+        "q87_adaptive" -> c83a, "q84" -> c84, "q93_chain_rows" -> c93,
+        "q97_span_rows" -> c97))
     }
 
     // growth exponent α over the widest span: candidates ∝ n^α

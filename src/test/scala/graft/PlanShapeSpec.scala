@@ -183,6 +183,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.substring(gi, wi).contains("Exchange"), p)
   }
 
+  test("q97: repeated-span marking is join-light — semi-join on the gram key, no pair join, no broadcast of the window table") {
+    val p = executedPlan("q97_repeated_spans")
+    // the whole point vs the q44 family: no candidate PAIR join exists
+    assert(!p.contains("CartesianProduct"), p)
+    // marking is a LEFT SEMI equi-join on the gram key, shuffled (a
+    // size misestimate must not broadcast the deserialized gram table)
+    assert(p.contains("SortMergeJoin LeftSemi"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // occurrence counting partial-aggregates map-side: HashAggregate
+    // below the exchange (a hot boilerplate window pre-counts on every
+    // mapper — the shuffle carries compressed partials, not rows)
+    assert(p.contains("HashAggregate"), p)
+    // islands merge: ONE doc-keyed exchange; the final groupBy
+    // (doc_id, island) reuses the window's partitioning
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("q98: source overlap self-join shuffles on the gram key; only the totals dim broadcasts") {
+    val p = executedPlan("q98_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    // the vocabulary-sized self-join must NOT broadcast either side
+    assert(p.contains("SortMergeJoin"), p)
+    // exactly one broadcast join: the |sources|-row totals dim
+    // (formatted mode repeats the node once in the detail section)
+    assert("BroadcastHashJoin".r.findAllIn(p).length <= 2, p)
+    // sg is persisted: three plan references, one computation
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
+
   test("q96: bloom decontamination is MAP-SIDE — no gram join, no shuffle") {
     // the corpus side must be scan → project(bloom_count_hits) →
     // filter; the benchmark gram join that q78 needs is replaced by
