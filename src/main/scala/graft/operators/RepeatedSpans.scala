@@ -117,12 +117,52 @@ object RepeatedSpans {
         "shared_grams * 1000000 div total_a AS containment_ppm")
   }
 
+  /** Span materialization: rebuild each document's text with every
+    * repeated-span token REMOVED — the boilerplate-stripping action
+    * (a shared header in 10M docs disappears from all of them; the
+    * keep-one-canonical semantics live in q43/q53). Documents whose
+    * every token is marked vanish from the output on both engines
+    * (the group has no kept rows). Whitespace is normalized by the
+    * token round-trip, identically on both sides.
+    *
+    * Scale shape: the span table is a per-doc dim (ScaleProbe: span
+    * rows α = 1.00, a few spans per thousand docs), but it arrives
+    * doc-keyed like the token table, so the anti-join is the SAME
+    * doc-keyed shuffle family as the final groupBy — no new join
+    * geometry; the interval predicate rides the equi-key. */
+  def scrubSpans(d: DataFrame): DataFrame = {
+    val spans = repeatedSpans(d)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val toks = d.select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("t"))
+    // the spans side is small RELATIVE to the corpus (~1 span per
+    // thousand docs) but scale-growing in absolute terms — a broadcast
+    // would eventually exceed the driver; and the token side must
+    // shuffle on doc_id for the final groupBy regardless, so the
+    // merge anti-join rides that same shuffle family for free
+    val kept = toks.as("tk").hint("shuffle_merge")
+      .join(spans.as("sp").hint("shuffle_merge"),
+        col("tk.doc_id") === col("sp.doc_id") &&
+          col("tk.i").between(col("sp.span_start"), col("sp.span_end")),
+        "left_anti")
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("t")))),
+          x => x.getField("t")), " ").as("text_clean"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_repeated_spans" -> { (s, dir) =>
       repeatedSpans(Tables.load(s, dir, "documents"))
     },
     "q98_source_overlap" -> { (s, dir) =>
       sourceOverlap(Tables.load(s, dir, "documents"))
+    },
+    "q99_span_scrub" -> { (s, dir) =>
+      scrubSpans(Tables.load(s, dir, "documents"))
     },
   )
 
@@ -171,8 +211,37 @@ object RepeatedSpans {
        |  shared_grams * 1000000 // t.total_a AS containment_ppm
        |FROM pr JOIN tot t ON t.source = pr.source_a""".stripMargin
 
+  private def oracle99: String =
+    s"""WITH ${winCtes("win")},
+       |rep AS (SELECT g FROM win GROUP BY g HAVING count(*) >= 2),
+       |marked AS (SELECT doc_id, i FROM win WHERE g IN (SELECT g FROM rep)),
+       |flg AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= $W
+       |      THEN 0 ELSE 1 END AS f
+       |  FROM marked),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |    sum(f) OVER (PARTITION BY doc_id ORDER BY i) AS island
+       |  FROM flg),
+       |spans AS (
+       |  SELECT doc_id, min(i) AS s, max(i) + ${W - 1} AS e
+       |  FROM isl GROUP BY doc_id, island),
+       |tt AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+       |  FROM tok),
+       |tw AS (SELECT doc_id, i, t[i] AS w FROM tt),
+       |kept AS (
+       |  SELECT doc_id, i, w FROM tw
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |    WHERE s.doc_id = tw.doc_id AND tw.i BETWEEN s.s AND s.e))
+       |SELECT doc_id, count(*) AS n_tokens_kept,
+       |  string_agg(w, ' ' ORDER BY i) AS text_clean
+       |FROM kept GROUP BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q97_repeated_spans" -> oracle97,
     "q98_source_overlap" -> oracle98,
+    "q99_span_scrub" -> oracle99,
   )
 }

@@ -212,6 +212,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
 
+  test("q99: span scrub anti-joins on the doc key — no broadcast of the scale-growing span table") {
+    val p = executedPlan("q99_span_scrub")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin LeftAnti"), p)
+    assert(!p.contains("BroadcastHashJoin LeftAnti"), p)
+    // the final reassembly groupBy reuses the anti-join's doc_id
+    // partitioning: at most the join's own two doc-keyed exchanges
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length <= 4, p)
+  }
+
   test("q96: bloom decontamination is MAP-SIDE — no gram join, no shuffle") {
     // the corpus side must be scan → project(bloom_count_hits) →
     // filter; the benchmark gram join that q78 needs is replaced by

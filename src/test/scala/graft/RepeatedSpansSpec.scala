@@ -74,6 +74,30 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(RepeatedSpans.repeatedSpans(d).count() === 0)
   }
 
+  test("span scrub removes exactly the repeated span; clean docs pass through") {
+    val d = docs(
+      (1L, "A", "u1 u2 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 u3 u4"),
+      (2L, "A", "v1 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 v2 v3"),
+      (3L, "A", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+    val got = RepeatedSpans.scrubSpans(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) === ((4L, "u1 u2 u3 u4")))
+    assert(got(2L) === ((3L, "v1 v2 v3")))
+    assert(got(3L) === ((10L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")))
+  }
+
+  test("span scrub: fully-duplicated documents vanish from the output") {
+    // every window of the twin docs occurs twice -> every token is
+    // inside a span -> no kept rows -> no output group, both engines
+    val ten = (1 to 10).map(i => s"d$i").mkString(" ")
+    val d = docs(
+      (1L, "A", ten), (2L, "A", ten),
+      (3L, "A", (1 to 9).map(i => s"z$i").mkString(" ")))
+    val got = RepeatedSpans.scrubSpans(d)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got === Set(3L))
+  }
+
   test("source overlap: exact ppm containment both directions") {
     // A's doc: 9 tokens -> distinct windows {t1..t8, t2..t9};
     // B's doc: t1..t8 then z1 -> {t1..t8, t2..t8 z1}. Shared = 1.
