@@ -58,9 +58,15 @@ object Bench {
       sec
     }
 
-    // warmup: JIT + codegen + parquet footer caches
+    // warmup: JIT + codegen + parquet footer caches. q44 warms the
+    // dedup family's codegen (WordNGrams/PrefixRarest kernels + the
+    // wide SMJ stages): measured at sf0.1, a cold first q44 pays
+    // ~2 s of JIT that no other query amortizes, which left
+    // best-of-2 with a single clean sample (round-6 A/B: passes of
+    // 5.67/4.12/3.77 without this warmup, flat ~3.8-4.2 with it).
     execute("q01_agg")
     execute("q04_join_multi_broadcast")
+    execute("q44_ngram_jaccard")
 
     // optional arg: comma-separated query-name filter (local iteration)
     val names = args.headOption match {

@@ -66,6 +66,54 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(got === Set((1L, 8L), (10L, 17L)))
   }
 
+  test("randomized corpora match a driver-side brute-force reference") {
+    // 10 seeded corpora over a 12-token vocabulary (small enough that
+    // repeated 8-windows actually occur), each checked against an
+    // independent O(n²) reference: count every window by value, mark,
+    // merge islands with the same gap rule, compare exactly.
+    val W = RepeatedSpans.W
+    for (seed <- 1 to 10) {
+      val rng = new scala.util.Random(seed)
+      val corpus = (1L to 12L).map { id =>
+        val n = 8 + rng.nextInt(30)
+        (id, "A", Seq.fill(n)(s"w${rng.nextInt(12)}").mkString(" "))
+      }
+      // reference: windows per doc -> global occurrence counts ->
+      // marked starts -> islands
+      val winsByDoc = corpus.map { case (id, _, text) =>
+        val t = text.split("\\s+")
+        id -> (1 to t.length - W + 1).map(i =>
+          i.toLong -> t.slice(i - 1, i - 1 + W).mkString(" "))
+      }.toMap
+      val occ = winsByDoc.values.flatten.groupBy(_._2).view.mapValues(_.size).toMap
+      val want = winsByDoc.flatMap { case (id, ws) =>
+        val marked = ws.collect { case (i, g) if occ(g) >= 2 => i }.sorted
+        if (marked.isEmpty) Seq.empty
+        else {
+          val islands = marked.tail.foldLeft(Vector(Vector(marked.head))) {
+            case (acc, i) =>
+              if (i - acc.last.last <= W) acc.init :+ (acc.last :+ i)
+              else acc :+ Vector(i)
+          }
+          islands.map(is => (id, is.head, is.last + W - 1,
+            is.last - is.head + W, is.size.toLong))
+        }
+      }.toSet
+      val got = RepeatedSpans.repeatedSpans(docs(corpus: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === want, s"seed $seed")
+      // structural invariant: spans within a doc are disjoint and
+      // separated by more than W tokens (else they'd have merged)
+      got.groupBy(_._1).foreach { case (_, spans) =>
+        val sorted = spans.toSeq.sortBy(_._2)
+        sorted.zip(sorted.tail).foreach { case (a, b) =>
+          assert(b._2 - (a._3 - W + 1) > W, s"seed $seed: unmerged spans $a $b")
+        }
+      }
+    }
+  }
+
   test("short and empty docs produce no windows and no crash") {
     val d = docs(
       (1L, "A", "only seven tokens here not eight ok"),
