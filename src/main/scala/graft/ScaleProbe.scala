@@ -229,6 +229,36 @@ object ScaleProbe {
         "q97_span_rows" -> c97))
     }
 
+    // Adversarial boilerplate probe (round 6): the classic corpus
+    // scale-killer — one 30-token paragraph appended to every 5th
+    // document (20% of the corpus). A naive gram-collision join would
+    // pay nb·(nb-1)/2 pairs on the boilerplate keys alone (~500k at
+    // sf0.1); the prefix filter must prune them STRUCTURALLY (df≈1000
+    // grams are in almost no document's rarest-half prefix), and the
+    // q97 span marker must stay linear by construction (nb marked
+    // spans, never nb² pairs).
+    {
+      val boiler = (1 to 30).map(i => s"bpbp$i").mkString(" ")
+      val adv = saltedDocs(docs0, 1)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat_ws(" ", col("text"), lit(boiler)))
+            .otherwise(col("text")))
+        .repartition(spark.sparkContext.defaultParallelism).cache()
+      val nAdv = adv.count()
+      val nb = adv.filter(pmod(col("doc_id"), lit(5)) === 0).count()
+      val (cAdv44, tAdv44) = timed(
+        graft.operators.Dedup.jaccardCandidates(adv).count())
+      val (cAdv97, tAdv97) = timed(
+        graft.operators.RepeatedSpans.repeatedSpans(adv).count())
+      adv.unpersist()
+      val naive = nb * (nb - 1) / 2
+      println(s"""{"metric":"adversarial_boilerplate","n_docs":$nAdv,""" +
+        s""""docs_with_boilerplate":$nb,"naive_boilerplate_pairs":$naive,""" +
+        s""""q44_prefix_cand":$cAdv44,"q97_span_rows":$cAdv97,""" +
+        f""""sec":{"q44":$tAdv44%.2f,"q97":$tAdv97%.2f}}""")
+    }
+
     // growth exponent α over the widest span: candidates ∝ n^α
     val (k1, base) = results.head
     val (kN, top) = results.last
