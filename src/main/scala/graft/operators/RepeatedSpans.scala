@@ -37,9 +37,10 @@ import org.apache.spark.sql.functions._
 object RepeatedSpans {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Window width (tokens). Lee et al. use 50 BPE tokens at web
-    * scale; 8 whitespace tokens keeps the synthetic gate corpus
-    * non-degenerate (its docs are a few hundred tokens). */
+  /** Default window width (tokens) — the gate configuration. Lee et
+    * al. use 50 BPE tokens at web scale (pass w = 50 there); 8
+    * whitespace tokens keeps the synthetic gate corpus non-degenerate
+    * (its docs are a few hundred tokens). The oracles replay W = 8. */
   val W = 8
 
   /** Marked repeated spans per document: (doc_id, span_start,
@@ -55,11 +56,11 @@ object RepeatedSpans {
     * gaps-and-islands merge — the final groupBy(doc_id, island)
     * reuses the window's partitioning, so the whole operator is two
     * shuffle families for any corpus size. */
-  def repeatedSpans(d: DataFrame): DataFrame = {
+  def repeatedSpans(d: DataFrame, w: Int = W): DataFrame = {
     // every window occurrence, position 1-based to match the oracle's
     // generate_series; i cast long so both engines emit BIGINT
     val win = d.select(col("doc_id"),
-        posexplode(NGrams.wordNGramsAll(Text.tokens(col("text")), W)))
+        posexplode(NGrams.wordNGramsAll(Text.tokens(col("text")), w)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
         col("col").as("g"))
     // occurrence counts, multiplicity included (within-doc repeats
@@ -79,14 +80,14 @@ object RepeatedSpans {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val islands = marked
       .withColumn("f",
-        when(col("i") - lag(col("i"), 1).over(byDoc) <= W, lit(0L))
+        when(col("i") - lag(col("i"), 1).over(byDoc) <= w, lit(0L))
           .otherwise(lit(1L)))
       .withColumn("island", sum(col("f")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     islands.groupBy(col("doc_id"), col("island"))
       .agg(min(col("i")).as("span_start"),
-        (max(col("i")) + (W - 1)).as("span_end"),
-        (max(col("i")) - min(col("i")) + W).as("span_tokens"),
+        (max(col("i")) + (w - 1)).as("span_end"),
+        (max(col("i")) - min(col("i")) + w).as("span_tokens"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
   }
@@ -94,14 +95,14 @@ object RepeatedSpans {
   /** Cross-source containment matrix: (source_a, source_b,
     * shared_grams, total_a, containment_ppm) for every ordered pair
     * with shared_grams > 0. Composable form. */
-  def sourceOverlap(d: DataFrame): DataFrame = {
+  def sourceOverlap(d: DataFrame, n: Int = W): DataFrame = {
     // distinct (source, gram): the per-doc distinct kernel shrinks the
     // explode before the global distinct's shuffle; persisted — three
     // plan references (both self-join sides + the totals), and the
     // parquet-size estimate would otherwise BROADCAST a corpus-
     // vocabulary-sized side (the q44 estimate-vs-reality lesson)
     val sg = d.select(col("source"),
-        explode(Text.wordNGrams(col("text"), W)).as("g"))
+        explode(Text.wordNGrams(col("text"), n)).as("g"))
       .distinct().persist()
     val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("total_a"))
     // per-gram source list is <= |sources| rows a side: the self-join
@@ -130,8 +131,8 @@ object RepeatedSpans {
     * doc-keyed like the token table, so the anti-join is the SAME
     * doc-keyed shuffle family as the final groupBy — no new join
     * geometry; the interval predicate rides the equi-key. */
-  def scrubSpans(d: DataFrame): DataFrame = {
-    val spans = repeatedSpans(d)
+  def scrubSpans(d: DataFrame, w: Int = W): DataFrame = {
+    val spans = repeatedSpans(d, w)
       .select(col("doc_id"), col("span_start"), col("span_end"))
     val toks = d.select(col("doc_id"),
         posexplode(Text.tokens(col("text"))))

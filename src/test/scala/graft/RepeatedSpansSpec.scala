@@ -70,9 +70,10 @@ class RepeatedSpansSpec extends SparkSpec {
     // 10 seeded corpora over a 12-token vocabulary (small enough that
     // repeated 8-windows actually occur), each checked against an
     // independent O(n²) reference: count every window by value, mark,
-    // merge islands with the same gap rule, compare exactly.
-    val W = RepeatedSpans.W
-    for (seed <- 1 to 10) {
+    // merge islands with the same gap rule, compare exactly. Both the
+    // gate width (8) and a non-default width (4) exercise the
+    // parameterized form.
+    for (seed <- 1 to 10; W <- Seq(RepeatedSpans.W, 4)) {
       val rng = new scala.util.Random(seed)
       val corpus = (1L to 12L).map { id =>
         val n = 8 + rng.nextInt(30)
@@ -99,10 +100,10 @@ class RepeatedSpansSpec extends SparkSpec {
             is.last - is.head + W, is.size.toLong))
         }
       }.toSet
-      val got = RepeatedSpans.repeatedSpans(docs(corpus: _*))
+      val got = RepeatedSpans.repeatedSpans(docs(corpus: _*), W)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4))).toSet
-      assert(got === want, s"seed $seed")
+      assert(got === want, s"seed $seed w $W")
       // structural invariant: spans within a doc are disjoint and
       // separated by more than W tokens (else they'd have merged)
       got.groupBy(_._1).foreach { case (_, spans) =>
