@@ -23,6 +23,23 @@ import org.apache.spark.sql.SparkSession
   * in the record rather than a cross-round forensic exercise.
   */
 object Bench {
+
+  /** Parse the BENCH_PINS.json `pins` map — tolerant of the wrapper
+    * object and comments; any malformed input yields an empty map
+    * (the audit degrades to "no suspects", never a crash). */
+  private[graft] def parsePins(txt: String): Map[String, Double] =
+    try {
+      """"(q[0-9][^"]*)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
+  /** Names whose best-of MINIMUM exceeds its pin — the queries where
+    * every interleaved pass hit external load. Failed queries (-1)
+    * and unpinned names never flag. */
+  private[graft] def suspects(best: Seq[(String, Double)],
+      pins: Map[String, Double]): Seq[String] =
+    best.collect { case (n, t) if t >= 0 && pins.get(n).exists(t > _) => n }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -110,14 +127,11 @@ object Bench {
       if (!sfDir.contains("sf0.1")) Map.empty
       else try {
         val src = sys.env.getOrElse("SPARK_GRAFT_PINS", "BENCH_PINS.json")
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(src)), "UTF-8")
-        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        parsePins(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(src)), "UTF-8"))
       } catch { case _: Throwable => Map.empty }
-    val suspect = best.collect {
-      case (n, t) if t >= 0 && pins.get(n).exists(t > _) => "\"" + n + "\""
-    }.mkString("[", ",", "]")
+    val suspect = suspects(best, pins)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Key order is load-bearing: the record keeper stores only the TAIL
     // of this line, so the bulky raw per-pass data goes first, then the
     // best-of-N minimums, and the COMPACT authoritative fields — per-
