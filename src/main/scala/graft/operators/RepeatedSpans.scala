@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Corpus-level exact-substring auditing over `documents` — the two
+/** Corpus-level exact-substring auditing over `documents` — the
   * remaining ops of a production training-data pipeline's text-prep
   * suite (north-star surface beyond the reference, like TextAnalysis):
   *
@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   *    joins only its own source list (<= |sources| rows a side), so
   *    the output and the join are |sources|²-bounded, never corpus².
   *
-  * Both are pure integer/string relational algebra — the DuckDB
+  *  - q99 span scrub: the materialization of q97 — see [[scrubSpans]].
+  *
+  * All three are pure integer/string relational algebra — the DuckDB
   * oracles replay them row-for-row (hash-EXACT), same contract as
   * q44's gram machinery.
   */
