@@ -31,6 +31,7 @@ object SparkEntry {
       (Workloads.queries, Workloads.oracles),
       (CorpusStats.queries, CorpusStats.oracles),
       (Mixing.queries, Mixing.oracles),
+      (Curation.queries, Curation.oracles),
       (CorpusPipeline.queries, CorpusPipeline.oracles),
       (RepeatedSpans.queries, RepeatedSpans.oracles),
       (Profiling.queries, Profiling.oracles),

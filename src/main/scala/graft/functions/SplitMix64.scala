@@ -109,6 +109,30 @@ case class MixFoldExpr(child: Expression, init: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[SplitMix64Kernel.strHash]] as a codegen'd expression: the
+  * poly-31 code-point fold through the splitmix64 finalizer, per row.
+  * DuckDB replay: `mixSql(polyHashSql(s))` (the q96 oracle pattern) —
+  * the result is the same 64-bit value, signed here, in [0, 2^64) as
+  * HUGEINT there; consumers that need a cross-engine-comparable
+  * non-negative value use the top bits (`>>> 11`), which both
+  * representations state identically. */
+case class StrHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"strHash needs a string, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    SplitMix64Kernel.strHash(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SplitMix64Kernel.strHash($a);")
+  override protected def withNewChildInternal(newChild: Expression): StrHash =
+    copy(child = newChild)
+}
+
 /** `uniform(id, salt)` as a codegen'd Catalyst expression: one static
   * kernel call per row, no boxing, stays inside WholeStageCodegen. */
 case class SplitMixUniform(child: Expression, saltTerm: Long)
@@ -147,6 +171,10 @@ object SplitMix64 {
   def uniform(id: Column, salt: Long): Column =
     graftbridge.toColumn(
       SplitMixUniform(graftbridge.toExpression(id), saltTerm(salt)))
+
+  /** Column form of [[SplitMix64Kernel.strHash]] (codegen'd). */
+  def strHash(c: Column): Column =
+    graftbridge.toColumn(StrHash(graftbridge.toExpression(c)))
 
   // ---- DuckDB replay (code-generated oracle SQL) -------------------
   //

@@ -317,6 +317,22 @@ object Similarity {
       knnJoinQuery(e, Centroids94.table.take(c), adaptiveNProbe(c))
     },
 
+    // -- SemDeDup (Abbas et al. 2023): cluster-scoped near-dup
+    //    pruning — assign every vector to its adaptive IVF cell
+    //    (the q94b Centroids94 ladder), compare pairs WITHIN a cell
+    //    only, and drop the higher vec_id of any pair with cosine
+    //    ≥ 0.4. The decisive scale property vs q82's all-pairs: the
+    //    ladder holds cell occupancy ~constant (≈32), so total
+    //    compared pairs ≈ n·occupancy/2 — LINEAR in the corpus where
+    //    all-pairs is quadratic; the price is misses across cell
+    //    boundaries (the published SemDeDup trade). One cell-keyed
+    //    self-join, one distinct, one left join for the kept flag.
+    //    EXACT-gated: the oracle replays cell assignment from the
+    //    same 3-decimal codebook literals and the round-6 cosine. --
+    "q102_semdedup" -> { (s, dir) =>
+      semDedup(Tables.load(s, dir, "embeddings"), threshold = 0.4)
+    },
+
     // -- ANN via sign-LSH buckets + Hamming-1 multi-probe
     //    (EXACT-gated: the oracle replays the quantized planes'
     //    bucket bits, the probe set and the round-6 re-rank;
@@ -344,6 +360,34 @@ object Similarity {
     * Integer-exact so the oracle's CASE ladder reproduces it. */
   def adaptiveCells(n: Long): Int =
     if (n <= 512) 16 else if (n <= 1024) 32 else 64
+
+  /** SemDeDup over any embeddings-shaped frame (needs `vec_id`,
+    * `embedding`): adaptive-cell assignment, within-cell pair scan,
+    * higher vec_id of any ≥-threshold pair dropped. Exposed for the
+    * hand-corpus spec and ScaleProbe; q102 is this at t = 0.4. */
+  private[graft] def semDedup(e: DataFrame, threshold: Double): DataFrame = {
+    val cents = Centroids94.table.take(adaptiveCells(e.count()))
+    val sims = array(cents.map(c =>
+      VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    // both self-join sides and the removed set are corpus-sized:
+    // hint them away from broadcast (the q97-q99 lesson)
+    val removed = a.hint("shuffle_merge").join(b.hint("shuffle_merge"), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b") &&
+        round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6)
+          >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(removed.withColumn("rm", lit(1L)).hint("shuffle_merge"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("rm").isNotNull, 0L).otherwise(1L).as("kept"))
+  }
 
   /** √-scaled probe budget for the adaptive ladder (round-5 verdict
     * #3): nprobe = round(6·√(cells/16)) — 16→6, 32→8, 64→12. Holding
@@ -683,6 +727,40 @@ object Similarity {
   private val nprobeLadderSql =
     "CASE WHEN ncells <= 16 THEN 6 WHEN ncells <= 32 THEN 8 ELSE 12 END"
 
+  /** q102's oracle: the adaptive cell assignment (same Centroids94
+    * literals + count(*) ladder as oracle94Adaptive), then the
+    * within-cell pair scan and the kept flag — pure relational
+    * algebra over the round-6 cosine, so removals replay exactly. */
+  private def oracle102: String = {
+    def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def sumsq(a: String) =
+      s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def cosE(a: String, b: String) =
+      s"(${dotE(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
+    val simList = Centroids94.table.map(c => cosE("embedding", lst(c)))
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH cc AS (
+       |  SELECT CASE WHEN count(*) <= 512 THEN 16
+       |              WHEN count(*) <= 1024 THEN 32
+       |              ELSE 64 END AS ncells
+       |  FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_position(lc, list_max(lc)) - 1 AS BIGINT) AS cell
+       |  FROM (SELECT vec_id, embedding, ($simList)[1:ncells] AS lc
+       |        FROM embeddings, cc)),
+       |removed AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${cosE("a.embedding", "b.embedding")}, 6) >= 0.4)
+       |SELECT a.vec_id, a.cell,
+       |  CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id""".stripMargin
+  }
+
   /** q49's oracle: bucket bits from the same quantized planes, the
     * query's Hamming-1 probe set, exact-cosine re-rank — the oracle83
     * bucket machinery composed with the q47 top-10 select. */
@@ -719,6 +797,7 @@ object Similarity {
     "q94_knn_join" -> oracle94,
     "q94b_knn_join_adaptive" -> oracle94Adaptive("6"),
     "q94c_knn_join_nprobe" -> oracle94Adaptive(nprobeLadderSql),
+    "q102_semdedup" -> oracle102,
     "q49_ann_lsh" -> oracle49,
     "q47_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

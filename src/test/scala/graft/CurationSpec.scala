@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.SplitMix64Kernel
+import graft.operators.{Curation, Similarity}
+
+/** Hand-corpus proofs of the targeted-curation family (q100 BM25 /
+  * q101 DSIR / q103 bigram LM) plus a driver-side brute-force
+  * cross-check of q102 SemDeDup on the real sf0.001 embeddings —
+  * every expected value recomputed independently with scala.math,
+  * mirroring the engine's exact IEEE operation sequence. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side replica of the engine's per-term BM25 score. */
+  private def bm25Score(tf: Double, df: Double, dl: Double,
+      nd: Double, sdl: Double): Long = {
+    val dlr = dl / (sdl / nd)
+    val tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlr))
+    val idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+    math.round((idf * tfn) * 1000000)
+  }
+
+  test("BM25: exact scores, tf monotonicity, absent docs excluded") {
+    val d = Seq((1L, "q q x"), (2L, "q x x"), (3L, "y y y"))
+      .toDF("doc_id", "text")
+    val rows = Curation.bm25TopK(d, Seq(0 -> Seq("q")), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._5)
+    // N=3, sdl=9, dl=3 everywhere; df(q)=2; tf 2 vs 1
+    val s1 = bm25Score(2, 2, 3, 3, 9)
+    val s2 = bm25Score(1, 2, 3, 3, 9)
+    assert(rows.toSeq === Seq((0L, 1L, 1L, s1, 1L), (0L, 2L, 1L, s2, 2L)))
+    assert(s1 > s2) // more occurrences, same length -> higher score
+  }
+
+  test("BM25: rarer term outranks common term; multi-term scores sum") {
+    val d = Seq((1L, "r x"), (2L, "s x"), (3L, "s x"), (4L, "r s"))
+      .toDF("doc_id", "text")
+    val got = Curation.bm25TopK(d, Seq(0 -> Seq("r", "s")), 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val sr = bm25Score(1, 2, 2, 4, 8) // df(r)=2 (docs 1,4)
+    val ss = bm25Score(1, 3, 2, 4, 8) // df(s)=3 (docs 2,3,4)
+    assert(sr > ss) // rarer term carries more idf
+    assert(got(1L) === (1L, sr))
+    assert(got(2L) === (1L, ss))
+    assert(got(4L) === (2L, sr + ss)) // integer sum of both terms
+  }
+
+  test("DSIR: target-like docs outweigh dissimilar docs; Gumbel key replays") {
+    val d = Seq(
+      (1L, "src7", "aa bb aa bb"), (2L, "src7", "aa bb aa bb"),
+      (3L, "other", "aa bb aa bb"), (4L, "other", "cc dd cc dd"))
+      .toDF("doc_id", "source", "text")
+    val sc = Curation.dsirScores(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sc.keySet === Set(1L, 2L, 3L, 4L)) // every doc scored
+    // doc 3 shares all its hashed bigrams with the target; doc 4 none
+    assert(sc(3L)._1 > sc(4L)._1)
+    // key - wsum is exactly the quantized Gumbel draw keyed by doc_id
+    sc.foreach { case (id, (w, k)) =>
+      val u = SplitMix64Kernel.uniform(id, 101L * SplitMix64Kernel.Golden)
+      val g = math.round(-math.log(-math.log(math.max(u, 1e-12))) * 1000000)
+      assert(k - w === g, s"gumbel mismatch for doc $id")
+    }
+  }
+
+  test("bigram LM: add-1 smoothed surprisal exact; <2-token docs drop") {
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val rows = Curation.bigramSurprisal(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // V=4 (a,b,c,z); c1(a)=3; c("a b")=2, c("a c")=1
+    val sAb = math.round(math.log(7.0 / 3.0) * 1000000)
+    val sAc = math.round(math.log(7.0 / 2.0) * 1000000)
+    assert(rows === Set((1L, 1L, sAb), (2L, 1L, sAb), (3L, 1L, sAc)))
+    assert(sAc > sAb) // rarer continuation is more surprising
+  }
+
+  test("SemDeDup: removals match a driver-side within-cell brute force") {
+    val out = Similarity.queries("q102_semdedup")(spark, sf0001).collect()
+    val cells = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = out.filter(_.getLong(2) == 1L).map(_.getLong(0)).toSet
+    val embs = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(out.length === embs.size) // every vector labeled exactly once
+    val ncells = Similarity.adaptiveCells(embs.size.toLong)
+    assert(cells.values.forall(c => c >= 0 && c < ncells))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = embs.keys.toSeq.sorted
+    val removed = scala.collection.mutable.Set[Long]()
+    for (a <- ids; b <- ids if a < b && cells(a) == cells(b))
+      if (r6(cos(embs(a), embs(b))) >= 0.4) removed += b
+    assert(kept === embs.keySet -- removed)
+    assert(removed.nonEmpty, "corpus should contain within-cell near-dups")
+  }
+}

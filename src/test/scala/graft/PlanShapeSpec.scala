@@ -222,6 +222,44 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length <= 4, p)
   }
 
+  test("q100: BM25 is inverted-index joins — term/df dims broadcast, corpus side shuffles, nothing all-pairs") {
+    val p = executedPlan("q100_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // the tiny query-term dim and df dim broadcast into the scan side
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-sized doc-length join is hinted to a shuffle join
+    assert(p.contains("SortMergeJoin"), p)
+    // the only nested-loop is the 1-row avgdl scalar (tree + detail)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("q101: DSIR — λ dim broadcasts, doc-weight join shuffles, global top-K is TakeOrdered") {
+    val p = executedPlan("q101_dsir_resample")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // never a full global sort
+    assert(p.contains("BroadcastHashJoin"), p)     // the ≤1024-row λ dim
+    assert(p.contains("SortMergeJoin"), p)         // the per-doc weight join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p) // totals scalar
+  }
+
+  test("q102: SemDeDup joins are keyed equi-joins; no scale side ever broadcasts") {
+    val p = executedPlan("q102_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // within-cell self-join + kept-flag join, both shuffled
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert("SortMergeJoin".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("q103: bigram LM is keyed joins + a scalar broadcast, nothing all-pairs") {
+    val p = executedPlan("q103_bigram_lm")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin"), p) // bigram/unigram count joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p) // V scalar
+    // per-doc aggregation is two-phase (integer partials are exact)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("q96: bloom decontamination is MAP-SIDE — no gram join, no shuffle") {
     // the corpus side must be scan → project(bloom_count_hits) →
     // filter; the benchmark gram join that q78 needs is replaced by
