@@ -174,6 +174,26 @@ object ScaleProbe {
       val bitsA = graft.operators.Similarity.adaptiveBits(nVecs)
       val (c83a, t83a) = timed(graft.operators.Similarity.adaptiveCandidates(
         embR, bitsA).count())
+
+      // q102 SemDeDup within-cell pairs (round 7). Two readings: (a)
+      // the pair count itself — ~n·occupancy/2, linear only while the
+      // cell ladder is ACTIVE; the checked-in 64-cell codebook is
+      // already saturated at this corpus's base scale, so the measured
+      // α here is ≈2 BY CONSTRUCTION (the q94b declared trade: at
+      // production scale nlist continues growing ∝ n, which is what
+      // bounds occupancy at 100 TB); (b) the reading that transfers to
+      // any nlist — CELL SKEW max/mean, the real semdedup scale risk
+      // (one runaway cell turns the within-cell scan quadratic no
+      // matter how nlist grows). The signed-permutation null model
+      // decorrelates replicas, so skew must stay ~flat under
+      // replication.
+      val assigned102 = graft.operators.Similarity.assignCells(embR)
+      val ncells102 = graft.operators.Similarity.adaptiveCells(nVecs)
+      val (c102, t102) = timed(
+        graft.operators.Similarity.cellPairs(assigned102).count())
+      val cs102 = assigned102.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(max("n").cast("double").as("mx"), avg("n").as("av")).head
+      val skew102 = cs102.getDouble(0) / cs102.getDouble(1)
       embR.unpersist()
 
       // q90 mixing shuffle: per-shard balance under replication. The
@@ -221,12 +241,13 @@ object ScaleProbe {
         s""""q84_passjoin_cand":$c84,""" +
         f""""q90_shard_skew":{"rows_max_over_mean":$skewRows%.3f,"tokens_max_over_mean":$skewToks%.3f},""" +
         s""""q93_chain_rows":$c93,"q97_span_rows":$c97,""" +
-        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f,"q83":$t83%.2f,"q83a":$t83a%.2f,"q84":$t84%.2f,"q93_chain":$t93%.2f,"q97":$t97%.2f}}"""
+        f""""q102_cell_pairs":$c102,"q102_ncells":$ncells102,"q102_cell_skew":$skew102%.3f,""" +
+        f""""sec":{"q44":$t44%.2f,"q45":$t45%.2f,"q46":$t46%.2f,"q79":$t46w%.2f,"q49":$t49%.2f,"q83":$t83%.2f,"q83a":$t83a%.2f,"q84":$t84%.2f,"q93_chain":$t93%.2f,"q97":$t97%.2f,"q102":$t102%.2f}}"""
       println(line)
       (k, Map("q44" -> c44, "q45" -> c45, "q46" -> c46,
         "q79" -> c46w, "q49" -> c49, "q83_fixed" -> c83,
         "q87_adaptive" -> c83a, "q84" -> c84, "q93_chain_rows" -> c93,
-        "q97_span_rows" -> c97))
+        "q97_span_rows" -> c97, "q102_cell_pairs" -> c102))
     }
 
     // Adversarial boilerplate probe (round 6): the classic corpus

@@ -157,6 +157,61 @@ object RepeatedSpans {
           x => x.getField("t")), " ").as("text_clean"))
   }
 
+  /** Span scrub as a PIPELINE STAGE over any documents-shaped frame:
+    * [[scrubSpans]] plus the pass-through `lang` re-attached (doc-keyed
+    * join, the same shuffle family) and the scrubbed text taking the
+    * `text` column — so downstream stages (clean/dedup/mix/pack) chain
+    * unchanged. Note the reassembly normalizes whitespace (tokens
+    * re-joined with single spaces) — identically on both engines, so
+    * the composed oracle replays it. Fully-marked docs vanish. */
+  private[graft] def scrubKeep(d: DataFrame, w: Int = W): DataFrame =
+    scrubSpans(d, w)
+      .select(col("doc_id"), col("text_clean").as("text"))
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+
+  /** [[scrubKeep]]'s generated DuckDB SQL over relation `src` (needs
+    * doc_id, lang, text) — yields (doc_id, lang, text) with repeated-
+    * span tokens removed; the q104 composed oracle chains from it.
+    * Same windows/islands algebra as oracle97/oracle99, prefixed to
+    * avoid CTE-name collisions when nested. */
+  private[operators] def scrubSql(src: String): String = {
+    val cat = (0 until W).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH stok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $src),
+       |sg0 AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(1, greatest(len(t) - ${W - 1}, 0))) AS i
+       |  FROM stok),
+       |swin AS (SELECT doc_id, i, $cat AS g FROM sg0),
+       |srep AS (SELECT g FROM swin GROUP BY g HAVING count(*) >= 2),
+       |smk AS (SELECT doc_id, i FROM swin WHERE g IN (SELECT g FROM srep)),
+       |sflg AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= $W
+       |      THEN 0 ELSE 1 END AS f
+       |  FROM smk),
+       |sisl AS (
+       |  SELECT doc_id, i,
+       |    sum(f) OVER (PARTITION BY doc_id ORDER BY i) AS island
+       |  FROM sflg),
+       |sspans AS (
+       |  SELECT doc_id, min(i) AS s, max(i) + ${W - 1} AS e
+       |  FROM sisl GROUP BY doc_id, island),
+       |stt AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+       |  FROM stok),
+       |stw AS (SELECT doc_id, i, t[i] AS w FROM stt),
+       |skept AS (
+       |  SELECT doc_id, i, w FROM stw
+       |  WHERE NOT EXISTS (SELECT 1 FROM sspans s
+       |    WHERE s.doc_id = stw.doc_id AND stw.i BETWEEN s.s AND s.e)),
+       |sclean AS (
+       |  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text
+       |  FROM skept GROUP BY doc_id)
+       |SELECT c.doc_id, d.lang, c.text
+       |FROM sclean c JOIN $src d USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_repeated_spans" -> { (s, dir) =>
       repeatedSpans(Tables.load(s, dir, "documents"))

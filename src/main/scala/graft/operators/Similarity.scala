@@ -361,26 +361,39 @@ object Similarity {
   def adaptiveCells(n: Long): Int =
     if (n <= 512) 16 else if (n <= 1024) 32 else 64
 
+  /** Adaptive-cell assignment over any embeddings-shaped frame: every
+    * vector with its argmax-cosine cell from the [[adaptiveCells]]
+    * prefix of Centroids94 — the map-side stage shared by q94b/q94c
+    * and q102 (exposed for ScaleProbe's skew measurement). */
+  private[graft] def assignCells(e: DataFrame): DataFrame = {
+    val cents = Centroids94.table.take(adaptiveCells(e.count()))
+    val sims = array(cents.map(c =>
+      VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
+    e.select(col("vec_id"), col("embedding"),
+      (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+  }
+
+  /** Within-cell candidate pairs (vec_a < vec_b, embeddings aboard)
+    * over an [[assignCells]] frame. Both self-join sides are
+    * corpus-sized: hinted away from broadcast (the q97-q99 lesson). */
+  private[graft] def cellPairs(assigned: DataFrame): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.hint("shuffle_merge").join(b.hint("shuffle_merge"), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+  }
+
   /** SemDeDup over any embeddings-shaped frame (needs `vec_id`,
     * `embedding`): adaptive-cell assignment, within-cell pair scan,
     * higher vec_id of any ≥-threshold pair dropped. Exposed for the
     * hand-corpus spec and ScaleProbe; q102 is this at t = 0.4. */
   private[graft] def semDedup(e: DataFrame, threshold: Double): DataFrame = {
-    val cents = Centroids94.table.take(adaptiveCells(e.count()))
-    val sims = array(cents.map(c =>
-      VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
-    val assigned = e.select(col("vec_id"), col("embedding"),
-      (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
-    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
-    // both self-join sides and the removed set are corpus-sized:
-    // hint them away from broadcast (the q97-q99 lesson)
-    val removed = a.hint("shuffle_merge").join(b.hint("shuffle_merge"), Seq("cell"))
-      .filter(col("vec_a") < col("vec_b") &&
-        round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6)
-          >= threshold)
+    val assigned = assignCells(e)
+    val removed = cellPairs(assigned)
+      .filter(round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6)
+        >= threshold)
       .select(col("vec_b").as("vec_id")).distinct()
     assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
       .join(removed.withColumn("rm", lit(1L)).hint("shuffle_merge"),

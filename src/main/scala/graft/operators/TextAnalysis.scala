@@ -281,6 +281,51 @@ object TextAnalysis {
     d.join(kept, Seq("doc_id"), "left_semi")
   }
 
+  /** The q80 keep-predicate oracle over relation `src` (needs only
+    * doc_id, text), yielding the kept doc_ids — the q104 composed
+    * oracle chains the clean stage from it; the q80 gate oracle stays
+    * the full-column literal over `documents` (same predicate). */
+  private[operators] def cleanKeepIdsSql(src: String): String =
+    s"""WITH ctok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t,
+       |    md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM $src),
+       |cbase AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    CAST(len(list_distinct(t)) AS BIGINT) * 1000000
+       |      // greatest(len(t), 1) AS ttr_ppm
+       |  FROM ctok),
+       |cbg AS (
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+       |        FROM ctok)),
+       |cbga AS (
+       |  SELECT doc_id, CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_bigram_ppm
+       |  FROM (SELECT doc_id, g, count(*) AS c FROM cbg GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |cg5 AS (
+       |  SELECT DISTINCT doc_id,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+       |        FROM ctok)),
+       |ccont AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM cg5 c JOIN (SELECT g FROM cg5 WHERE doc_id % 97 = 0) b ON c.g = b.g
+       |  WHERE c.doc_id % 97 <> 0),
+       |ccanon AS (
+       |  SELECT min(doc_id) AS doc_id FROM ctok GROUP BY fp)
+       |SELECT cbase.doc_id
+       |FROM cbase
+       |JOIN ccanon ON cbase.doc_id = ccanon.doc_id
+       |LEFT JOIN cbga ON cbase.doc_id = cbga.doc_id
+       |WHERE cbase.doc_id % 97 <> 0
+       |  AND cbase.doc_id NOT IN (SELECT doc_id FROM ccont)
+       |  AND n_tokens >= 12
+       |  AND ttr_ppm >= 350000
+       |  AND coalesce(top_bigram_ppm, 0) <= 80000""".stripMargin
+
   /** Parameterized oracle for the chunking stage over relation `src`
     * (needs `text` plus the pass-through `keyCols`) — q92's oracle and
     * the q93 composed oracle both come from here. */
