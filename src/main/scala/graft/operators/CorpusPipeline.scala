@@ -75,7 +75,7 @@ object CorpusPipeline {
     * scrubbed text. One new registered transform drops in and every
     * downstream stage chains unchanged — the pipeline-generality claim
     * made concrete. */
-  private val specJsonV2 =
+  private[graft] val specJsonV2 =
     """{
       |  "Main": {
       |    "load_documents": {

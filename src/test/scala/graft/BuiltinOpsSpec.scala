@@ -88,4 +88,45 @@ class BuiltinOpsSpec extends SparkSpec {
       .orderBy(col("doc_id"), col("chunk_id")).collect()
     assert(a.sameElements(b))
   }
+
+  test("q104 compiled pipeline ≡ the hand-wired scrub-first chain, row for row") {
+    import org.apache.spark.sql.functions._
+    val compiled = operators.CorpusPipeline
+      .queries("q104_corpus_prep_scrubbed")(spark, sf0001)
+    val d = Tables.load(spark, sf0001, "documents")
+    val packed = operators.Mixing.shardPack(
+      operators.Mixing.temperatureKeep(
+        operators.Dedup.dedupKeep(
+          operators.TextAnalysis.cleanKeep(
+            operators.RepeatedSpans.scrubKeep(d)))))
+    val hand = packed
+      .selectExpr("doc_id", "lang", "shard", "bin", "text",
+        "CAST(length(text) AS BIGINT) AS len")
+      .selectExpr("doc_id", "lang", "shard", "bin", "text",
+        "explode(sequence(CAST(0 AS BIGINT), (1 + (greatest(len - 200, 0) + 149) div 150) - 1)) AS chunk_id")
+      .selectExpr("doc_id", "lang", "shard", "bin", "chunk_id",
+        "substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text",
+        "CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len")
+    val key = Seq("doc_id", "chunk_id")
+    assert(compiled.count() > 0)
+    assert(compiled.join(hand, key, "left_anti").count() === 0)
+    assert(hand.join(compiled, key, "left_anti").count() === 0)
+    val a = compiled.orderBy(col("doc_id"), col("chunk_id")).collect()
+    val b = hand.select(compiled.columns.map(col): _*)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("q104 scrub stage changes the corpus the clean stage sees (not a no-op insertion)") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sf0001, "documents")
+    val scrubbed = operators.RepeatedSpans.scrubKeep(d)
+    // some docs lose tokens to repeated spans; every surviving doc
+    // keeps its language; column contract matches what clean expects
+    assert(scrubbed.columns.toSet === Set("doc_id", "text", "lang"))
+    val joined = scrubbed.select(col("doc_id"), col("text").as("scrubbed_text"))
+      .join(d.select(col("doc_id"), col("text")), "doc_id")
+    val changed = joined.filter(col("scrubbed_text") =!= col("text")).count()
+    assert(changed > 0, "no doc was altered by the scrub stage")
+  }
 }

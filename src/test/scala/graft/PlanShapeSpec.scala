@@ -222,6 +222,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length <= 4, p)
   }
 
+  test("q104: scrub-first composed pipeline keeps the q93 shapes — no cartesian, rates broadcast, single shard window") {
+    val (out, persisted) = graft.operators.CorpusPipeline.buildPipeline(
+      spark, sf0001, graft.operators.CorpusPipeline.specJsonV2)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    persisted.foreach(_.unpersist(false))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)          // temperature rate dim
+    assert(p.contains("hashpartitioning(shard"), p)     // the one pack window
+    val gi = p.indexOf("Generate")
+    val wi = p.indexOf("Window")
+    assert(gi >= 0 && wi > gi, p)
+    assert(!p.substring(gi, wi).contains("Exchange"), p) // chunk stays map-side
+  }
+
   test("q100: BM25 is inverted-index joins — term/df dims broadcast, corpus side shuffles, nothing all-pairs") {
     val p = executedPlan("q100_bm25_topk")
     assert(!p.contains("CartesianProduct"), p)
