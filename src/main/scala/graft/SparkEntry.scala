@@ -32,6 +32,7 @@ object SparkEntry {
       (CorpusStats.queries, CorpusStats.oracles),
       (Mixing.queries, Mixing.oracles),
       (Curation.queries, Curation.oracles),
+      (GraphRank.queries, GraphRank.oracles),
       (CorpusPipeline.queries, CorpusPipeline.oracles),
       (RepeatedSpans.queries, RepeatedSpans.oracles),
       (Profiling.queries, Profiling.oracles),

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over the entity co-transaction graph — the
+  * PageRank-style relevance weighting a crawl-scale curation pipeline
+  * runs over its URL/host link graph (Common Crawl publishes exactly
+  * this as its host-level ranking; the reference's analysis layer,
+  * /root/reference/src/cosmap/analysis/runner.py, has per-sample
+  * scoring but no graph pass — this extends the engine per the
+  * brief's training-data mandate, like Dedup/Similarity/Curation).
+  *
+  *  - q105 random-walk centrality with damping 0.85 over the
+  *    bipartite customer↔supplier graph (an edge per distinct
+  *    (customer, supplier) trade, both directions, so every node has
+  *    in- and out-edges and no dangling-mass correction is needed).
+  *
+  * Cross-engine exactness: the whole iteration is INTEGER arithmetic.
+  * Ranks live in micro-units (1e6 = mass 1); a node's per-edge
+  * contribution is `rank div degree` (integer floor division — one
+  * exact operation both engines state identically); the damped update
+  * is `150000 + (85 * Σ contrib) div 100`. No doubles exist anywhere,
+  * so the fixed-iteration result is bit-stable on any engine, any
+  * partitioning, any summation order. The floor losses (≤ degree-1
+  * micro-units per node per round) are part of the DEFINITION the
+  * oracle replays, not an approximation error.
+  *
+  * Scale shape (the 100 TB posture): the edge list is built once
+  * (one orders⋈lineitem shuffle + distinct), REPARTITIONED BY src and
+  * persisted — each of the K iterations then shuffles only the
+  * node-sized rank/contribution tables (the persisted edge exchange
+  * is reused; the rank table is hinted away from broadcast because
+  * nodes scale with the corpus). Each iteration = one equi-join on
+  * src + one groupBy dst + one degree re-attach join, all keyed
+  * shuffles — O(E) per round, K fixed. The iterate is
+  * localCheckpoint'd each round (house rule: lineage cut, the CC
+  * lesson) and the final top-N compiles to TakeOrderedAndProject, so
+  * driver state is N rows at any graph size.
+  */
+object GraphRank {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared engine/oracle constants: K damped iterations at damping
+    * 85/100 in micro-units, top-N output. */
+  private[graft] val PrIters = 5
+  private[graft] val PrUnit = 1000000L
+  private[graft] val PrTop = 500
+
+  val queries: Map[String, Q] = Map(
+    // -- K=5 integer-exact damped random-walk iterations over the
+    //    distinct customer↔supplier trade graph; output the top-500
+    //    nodes by final rank (mass in micro-units). --
+    "q105_graph_rank" -> { (s, dir) =>
+      val top = centrality(
+        Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem"))
+        .orderBy(col("rank_unit").desc, col("node_id"))
+        .limit(PrTop)
+      top.withColumn("rank", row_number().over(
+        Window.orderBy(col("rank_unit").desc, col("node_id"))).cast("long"))
+    },
+  )
+
+  /** Full per-node centrality frame: (node_id, is_supplier, degree,
+    * rank_unit) after [[PrIters]] damped integer iterations. Node
+    * encoding: customer c → 2c (even), supplier s → 2s+1 (odd) — the
+    * two key spaces can never collide. */
+  private[graft] def centrality(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e0 = orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .distinct()
+    // symmetric edge list, pre-partitioned by the join key once so
+    // every iteration reuses the exchange instead of reshuffling E
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+      .persist()
+    var ranks = deg.select(col("node"), col("d"), lit(PrUnit).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PrIters)
+      // localCheckpoint each round: lineage cut (the CC house rule —
+      // an un-cut iterate re-derives the whole chain per reference)
+      ranks = step(edges, deg, ranks).localCheckpoint(true)
+    edges.unpersist()
+    deg.unpersist()
+    ranks.select(col("node").as("node_id"),
+      (col("node") % 2 === 1).as("is_supplier"),
+      col("d").as("degree"), col("r").as("rank_unit"))
+  }
+
+  /** One damped update, un-checkpointed (plan-shape-testable):
+    * contribution is map-side (`r div d`); the only shuffles are the
+    * edge join on src and the dst aggregation — rank-sized tables are
+    * hinted off broadcast because nodes scale with the corpus. */
+  private[graft] def step(edges: DataFrame, deg: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = ranks.selectExpr("node", "r div d AS c")
+    val inflow = edges
+      .join(contrib.hint("shuffle_merge"), col("src") === col("node"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    inflow
+      .join(deg.hint("shuffle_merge"), col("dst") === col("node"))
+      .selectExpr("node", "d", s"150000L + (85L * s) div 100L AS r")
+  }
+
+  // ---- code-generated DuckDB oracle (same constants, unrolled) -----
+
+  private def oracle105: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""c${i - 1} AS (SELECT node, r // d AS c FROM r${i - 1}),
+         |r$i AS (
+         |  SELECT deg.node, deg.d,
+         |    CAST(150000 + (85 * s) // 100 AS BIGINT) AS r
+         |  FROM (SELECT e.dst AS node, sum(c) AS s
+         |        FROM e JOIN c${i - 1} ON e.src = c${i - 1}.node
+         |        GROUP BY e.dst) t
+         |  JOIN deg ON t.node = deg.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+       |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM e0
+       |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+       |r0 AS (SELECT node, d, CAST($PrUnit AS BIGINT) AS r FROM deg),
+       |$iters
+       |SELECT node AS node_id, node % 2 = 1 AS is_supplier,
+       |  CAST(d AS BIGINT) AS degree, rank_unit, CAST(rank AS BIGINT) AS rank
+       |FROM (
+       |  SELECT *, r AS rank_unit,
+       |    row_number() OVER (ORDER BY r DESC, node) AS rank
+       |  FROM r$PrIters)
+       |WHERE rank <= $PrTop""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q105_graph_rank" -> oracle105,
+  )
+}

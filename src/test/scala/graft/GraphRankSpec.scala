@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.GraphRank
+import org.apache.spark.sql.functions.col
+
+/** Hand-graph proofs of q105's integer random-walk centrality: the
+  * exact 5-iteration ranks recomputed driver-side with the same
+  * integer operation sequence, the node-encoding bijection, hub-vs-
+  * leaf ordering, and the iteration plan shape (both per-round joins
+  * shuffle — nothing node-sized ever broadcasts). */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side replica of the engine's damped integer update. All
+    * quantities are positive, so Long `/` is the same floor division
+    * as Spark's and DuckDB's `div`. */
+  private def replay(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var r: Map[Long, Long] = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to iters) {
+      val contrib = r.map { case (n, rv) => n -> rv / deg(n) }
+      r = sym.groupBy(_._2).map { case (n, es) =>
+        n -> (150000L + (85L * es.map(e => contrib(e._1)).sum) / 100L)
+      }
+    }
+    r
+  }
+
+  private def handFrames(trades: Seq[(Long, Long)]) = {
+    val orders = trades.zipWithIndex
+      .map { case ((c, _), i) => (i.toLong, c) }.toDF("o_orderkey", "o_custkey")
+    val lineitem = trades.zipWithIndex
+      .map { case ((_, s), i) => (i.toLong, s) }.toDF("l_orderkey", "l_suppkey")
+    (orders, lineitem)
+  }
+
+  test("q105: 5-iteration ranks are exactly the driver-side integer replay") {
+    // c1–{s10,s11}, c2–s10, plus a duplicate trade that distinct() drops
+    val trades = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 10L))
+    val (orders, lineitem) = handFrames(trades)
+    val got = GraphRank.centrality(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val enc = trades.distinct.map { case (c, s) => (2 * c, 2 * s + 1) }
+    val want = replay(enc, GraphRank.PrIters)
+    val deg = enc.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got.map(_._1).toSeq === want.keys.toSeq.sorted)
+    got.foreach { case (node, isSupp, d, rank) =>
+      assert(isSupp === (node % 2 == 1), s"node $node")
+      assert(d === deg(node), s"degree of $node")
+      assert(rank === want(node), s"rank of $node")
+    }
+  }
+
+  test("q105: a hub outranks its leaves on a star graph") {
+    // supplier 50 trades with customers 1..6; each customer only them
+    val trades = (1L to 6L).map(c => (c, 50L))
+    val (orders, lineitem) = handFrames(trades)
+    val ranks = GraphRank.centrality(orders, lineitem).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val hub = ranks(2 * 50 + 1)
+    (1L to 6L).foreach(c => assert(hub > ranks(2 * c), s"hub vs customer $c"))
+  }
+
+  test("q105: iteration step never broadcasts a node-sized table") {
+    val edges = Seq((2L, 21L), (21L, 2L)).toDF("src", "dst")
+    val deg = Seq((2L, 1L), (21L, 1L)).toDF("node", "d")
+    val ranks = deg.select(col("node"), col("d"),
+      org.apache.spark.sql.functions.lit(1000000L).as("r"))
+    val p = GraphRank.step(edges, deg, ranks).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // two joins per round (edge⋈contrib, inflow⋈deg), each listed in
+    // both the plan tree and the formatted details section
+    assert("SortMergeJoin".r.findAllIn(p).length >= 2, p)
+  }
+}

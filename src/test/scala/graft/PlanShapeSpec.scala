@@ -275,6 +275,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("q105: top-500 rank cut is TakeOrdered over the checkpointed iterate — no global sort, no residual iteration lineage") {
+    val p = executedPlan("q105_graph_rank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // every iteration was localCheckpoint'd away: the final plan reads
+    // one materialized RDD scan, with no joins left to re-derive
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q96: bloom decontamination is MAP-SIDE — no gram join, no shuffle") {
     // the corpus side must be scan → project(bloom_count_hits) →
     // filter; the benchmark gram join that q78 needs is replaced by
