@@ -33,6 +33,7 @@ object SparkEntry {
       (Mixing.queries, Mixing.oracles),
       (Curation.queries, Curation.oracles),
       (GraphRank.queries, GraphRank.oracles),
+      (Compression.queries, Compression.oracles),
       (CorpusPipeline.queries, CorpusPipeline.oracles),
       (RepeatedSpans.queries, RepeatedSpans.oracles),
       (Profiling.queries, Profiling.oracles),

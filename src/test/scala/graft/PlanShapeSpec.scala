@@ -284,6 +284,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q106: projection is the codegen kernel in the scan stage; the fixed panel broadcasts; the only shuffle is the q_id window") {
+    val p = executedPlan("q106_jl_topk")
+    assert(p.toLowerCase.contains("normsignprojectexpr"), p) // fused codegen kernel
+    assert(!p.contains("lambdafunction"), p) // no HOF loop survived in the hot path
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Broadcast"), p) // the 4-row panel dim
+    assert(p.contains("hashpartitioning(q_id"), p) // the one shuffle: the window
+
+  }
+
   test("q96: bloom decontamination is MAP-SIDE — no gram join, no shuffle") {
     // the corpus side must be scan → project(bloom_count_hits) →
     // filter; the benchmark gram join that q78 needs is replaced by
