@@ -99,6 +99,31 @@ object Mixing {
       shardPack(Tables.load(s, dir, "documents"))
         .select("doc_id", "shard", "n_tokens", "bin")
     },
+    // -- sequence-pack boundary audit: per (shard, bin) — i.e. per
+    //    training sequence — how many docs START here, their token
+    //    mass, how many straddle the next boundary (a doc crosses iff
+    //    its start bin differs from its end bin: attention-mask /
+    //    document-truncation exposure, the thing a packing config is
+    //    tuned to minimize), and the spill carried into the following
+    //    sequence. Pure integer arithmetic over q90's pack; the
+    //    groupBy needs NO new exchange — rows are already partitioned
+    //    by shard, and {shard} ⊆ {shard, bin} satisfies the clustered
+    //    distribution, so the audit rides q90's single shuffle. --
+    "q107_pack_audit" -> { (s, dir) =>
+      shardPackFull(Tables.load(s, dir, "documents"))
+        .withColumn("end_bin", expr(s"(cum - 1) div $TokenBudget"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("toks_started"),
+          sum(when(col("end_bin") =!= col("bin"), 1L).otherwise(0L))
+            .as("n_cross"),
+          max(col("cum")).as("max_cum"))
+        .withColumn("carry_out", greatest(
+          col("max_cum") - (col("bin") + 1) * lit(TokenBudget), lit(0L)))
+        .drop("max_cum")
+    },
+
     // -- exact-k-per-group sampling: the K docs with the smallest
     //    draws per language — a uniform without-replacement sample of
     //    exactly min(K, n) per group, deterministic and engine-
@@ -151,14 +176,19 @@ object Mixing {
     * the q93 pipeline keeps `text` aboard because the chunk stage
     * consumes it next — one shuffle moving the text once beats a
     * skinny pack plus a second full join shuffle to re-attach text. */
-  private[graft] def shardPack(d: DataFrame): DataFrame = {
+  private[graft] def shardPack(d: DataFrame): DataFrame =
+    shardPackFull(d).drop("cum")
+
+  /** [[shardPack]] with the running token total kept aboard — the
+    * q107 audit needs each doc's end offset to see bin boundaries. */
+  private[graft] def shardPackFull(d: DataFrame): DataFrame = {
     val u = SplitMix64.uniform(col("doc_id"), SaltPack)
     val t = d.withColumn("n_tokens", nTokens).withColumn("u", u)
       .withColumn("shard", floor(col("u") * NumShards).cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(col("u"), col("doc_id"))
     t.withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("bin", expr(s"(cum - n_tokens) div $TokenBudget"))
-      .drop("u", "cum")
+      .drop("u")
   }
 
   // ---- code-generated DuckDB oracles (the q32/q33 replay playbook) --
@@ -203,6 +233,24 @@ object Mixing {
       "d.doc_id, d.lang, CAST(floor(r.rate * 1000000.0) AS BIGINT) AS rate_ppm"),
 
     "q90_shard_pack" -> shardPackSql("documents", "doc_id, shard, n_tokens"),
+
+    "q107_pack_audit" ->
+      s"""WITH pt AS (
+         |  SELECT
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens,
+         |    ${u("doc_id", SaltPack)} AS u, doc_id
+         |  FROM documents),
+         |ps AS (SELECT *, CAST(floor(u * $NumShards) AS INTEGER) AS shard FROM pt),
+         |pc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM ps),
+         |pb AS (SELECT shard, (cum - n_tokens) // $TokenBudget AS bin,
+         |    (cum - 1) // $TokenBudget AS end_bin, n_tokens, cum FROM pc)
+         |SELECT shard, CAST(bin AS BIGINT) AS bin,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS toks_started,
+         |  CAST(sum(CASE WHEN end_bin <> bin THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+         |  CAST(greatest(max(cum) - (bin + 1) * $TokenBudget, 0) AS BIGINT) AS carry_out
+         |FROM pb GROUP BY shard, bin""".stripMargin,
 
     // the oracle ranks globally per language — deliberately NOT the
     // engine's two-phase plan, so the bucketed pre-prune is checked

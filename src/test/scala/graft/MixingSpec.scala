@@ -97,6 +97,43 @@ class MixingSpec extends SparkSpec {
     assert(out.size === toks.size)
   }
 
+  test("q107: pack-boundary audit equals a driver-side replay of the greedy pack") {
+    val out = SparkEntry.queries("q107_pack_audit")(spark, sf0001).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+    val toks = docs
+      .selectExpr("doc_id", "CAST(size(split(text, '\\\\s+')) AS BIGINT) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // replay the q90 pack, then fold the audit per (shard, bin)
+    val want = scala.collection.mutable.Map[(Int, Long), (Long, Long, Long, Long)]()
+    toks.keys.toSeq
+      .map { id =>
+        val u = SplitMix64Kernel.uniform(id, 90L * Golden)
+        (id, u, math.floor(u * 16).toInt)
+      }
+      .groupBy(_._3)
+      .foreach { case (shard, members) =>
+        var cum = 0L
+        members.sortBy { case (id, u, _) => (u, id) }.foreach { case (id, _, _) =>
+          val n = toks(id)
+          val bin = cum / 512L
+          cum += n
+          val endBin = (cum - 1) / 512L
+          val (d0, t0, c0, m0) = want.getOrElse((shard, bin), (0L, 0L, 0L, 0L))
+          want((shard, bin)) =
+            (d0 + 1, t0 + n, c0 + (if (endBin != bin) 1L else 0L), math.max(m0, cum))
+        }
+      }
+    val wantFinal = want.map { case (k @ (_, bin), (d, t, c, maxCum)) =>
+      k -> (d, t, c, math.max(maxCum - (bin + 1) * 512L, 0L))
+    }.toMap
+    assert(out === wantFinal)
+    // conservation: every doc starts in exactly one sequence bin
+    assert(out.values.map(_._1).sum === toks.size.toLong)
+  }
+
   test("q91: two-phase per-group sample equals the global ranking it short-cuts") {
     val out = SparkEntry.queries("q91_per_group_sample")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet

@@ -143,6 +143,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
   }
 
+  test("q107: the boundary audit rides q90's single shard shuffle — the (shard, bin) groupBy adds NO exchange") {
+    val p = executedPlan("q107_pack_audit")
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(p.contains("Window"), p)
+    // {shard} ⊆ {shard, bin} satisfies the aggregation's clustered
+    // distribution: same one exchange as q90 (formatted mode repeats
+    // it once in the node-detail section)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+  }
+
   test("q91: per-group sample is two-phase — bucketed pre-prune, never one partition per language") {
     val p = executedPlan("q91_per_group_sample")
     // two ranking stages: (lang, bucket) then lang-over-survivors
