@@ -34,6 +34,7 @@ object SparkEntry {
       (Curation.queries, Curation.oracles),
       (GraphRank.queries, GraphRank.oracles),
       (Compression.queries, Compression.oracles),
+      (DriftAudit.queries, DriftAudit.oracles),
       (CorpusPipeline.queries, CorpusPipeline.oracles),
       (RepeatedSpans.queries, RepeatedSpans.oracles),
       (Profiling.queries, Profiling.oracles),

@@ -50,7 +50,12 @@ object SignProjectKernel {
     * half-away-from-zero. The rounding is exact on the TRUE double
     * value (trunc + exact fraction compare — valid for |v| < 2^52),
     * which is precisely DuckDB's round() semantics. */
-  def normQuantProject(emb: ArrayData, masks: Array[Long]): ArrayData = {
+  def normQuantProject(emb: ArrayData, masks: Array[Long]): ArrayData =
+    project(new GenericArrayData(normQuant(emb)), masks)
+
+  /** The normalize+quantize half of [[normQuantProject]], exposed for
+    * operators that need the micro vector itself (q108 drift audit). */
+  def normQuant(emb: ArrayData): Array[Long] = {
     val d = emb.numElements()
     var sq = 0.0
     var i = 0
@@ -72,8 +77,11 @@ object SignProjectKernel {
       q(i) = if (v < 0) -r else r
       i += 1
     }
-    project(new GenericArrayData(q), masks)
+    q
   }
+
+  def normQuantArray(emb: ArrayData): ArrayData =
+    new GenericArrayData(normQuant(emb))
 
   def project(q: ArrayData, masks: Array[Long]): ArrayData = {
     val d = q.numElements()
@@ -158,4 +166,29 @@ object NormSignProject {
   def apply(embedding: Column, masks: Array[Long]): Column =
     graftbridge.toColumn(
       NormSignProjectExpr(graftbridge.toExpression(embedding), masks))
+}
+
+/** [[SignProjectKernel.normQuant]] as a codegen'd expression —
+  * unit-normalized micro quantization of a float embedding, norm
+  * computed once per row (same collapse-proofing as the projection). */
+case class NormQuantExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"normQuant needs array<float>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    SignProjectKernel.normQuantArray(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.functions.SignProjectKernel.normQuantArray($a);")
+  override protected def withNewChildInternal(newChild: Expression): NormQuantExpr =
+    copy(child = newChild)
+}
+
+object NormQuant {
+  def apply(embedding: Column): Column =
+    graftbridge.toColumn(NormQuantExpr(graftbridge.toExpression(embedding)))
 }

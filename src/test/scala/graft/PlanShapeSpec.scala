@@ -304,6 +304,23 @@ class PlanShapeSpec extends SparkSpec {
 
   }
 
+  test("q108: drift is one keyed shuffle — map-side explode, partial aggs, then a broadcast join of the checkpointed centroid table") {
+    val ctPlan = graft.operators.DriftAudit.centroids(
+        graft.Tables.load(spark, sf0001, "embeddings"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(ctPlan.toLowerCase.contains("normquantexpr"), ctPlan) // fused codegen kernel
+    assert(ctPlan.contains("Generate"), ctPlan) // map-side explode
+    assert(ctPlan.contains("hashpartitioning(label"), ctPlan)
+    assert("HashAggregate".r.findAllIn(ctPlan).length >= 2, ctPlan) // partial aggs
+    val p = executedPlan("q108_label_drift")
+    // the corpus job ran ONCE into the checkpoint: the final plan
+    // joins two ExistingRDD scans, with no explode or corpus agg left
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Generate") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("q96: bloom decontamination is MAP-SIDE — no gram join, no shuffle") {
     // the corpus side must be scan → project(bloom_count_hits) →
     // filter; the benchmark gram join that q78 needs is replaced by
