@@ -19,16 +19,33 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as raw long and convert to a
-    * microsecond TimestampType with integral division (`div`, not
-    * double `/` — an int64 epoch-nanos value overflows a double's
-    * 53-bit mantissa). */
+  /** Normalize `events.ts` to a microsecond TimestampType regardless
+    * of how the driver generated the file. Two generations exist:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so it
+    *    arrives as raw long (legacy nanosAsLong) — convert with
+    *    integral division (`div`, not double `/`: an int64 epoch-nanos
+    *    value overflows a double's 53-bit mantissa).
+    *  - timestamp[us] (isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ — cast to TimestampType (session tz is pinned
+    *    UTC everywhere, so the instant is unchanged and DuckDB reads
+    *    the identical value).
+    * Dispatch on the observed dtype so the same engine code runs on
+    * either generation of the corpus. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
   /** Register every corpus table as a temp view so query authors can

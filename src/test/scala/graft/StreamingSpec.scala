@@ -89,7 +89,6 @@ class IncrementalStreamSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       watch.resolve("events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = spark.readStream
       .schema(graft.streaming.EventStreams.rawSchema)
       .parquet(watch.toString)
@@ -183,12 +182,10 @@ class StreamingDedupSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       watch.resolve("events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(graft.streaming.EventStreams.rawSchema)
-      .parquet(watch.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val stream = graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(graft.streaming.EventStreams.rawSchema)
+        .parquet(watch.toString))
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
     val q = stream.writeStream.outputMode("append")
