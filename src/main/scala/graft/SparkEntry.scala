@@ -30,6 +30,7 @@ object SparkEntry {
       (ApproxAggs.queries, ApproxAggs.oracles),
       (Workloads.queries, Workloads.oracles),
       (CorpusStats.queries, CorpusStats.oracles),
+      (TextModels.queries, TextModels.oracles),
       (Mixing.queries, Mixing.oracles),
       (Curation.queries, Curation.oracles),
       (GraphRank.queries, GraphRank.oracles),

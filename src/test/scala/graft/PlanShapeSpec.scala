@@ -331,6 +331,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("bloom_count_hits"), p)
   }
 
+  test("q110: NB training and scoring are keyed joins — class/scalar dims broadcast, nothing all-pairs") {
+    val p = executedPlan("q110_naive_bayes")
+    assert(!p.contains("CartesianProduct"), p)
+    // vocab×class table and doc scoring are token-keyed SMJs
+    assert(p.contains("SortMergeJoin"), p)
+    // only the |C|-row / scalar dims ride broadcast nested loops
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4, p)
+    // the |C|-way argmax is a doc-partitioned window with a group
+    // limit, not a global sort
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q111: log-odds is one token-keyed join + broadcast dims; per-source top-k is a window group limit") {
+    val p = executedPlan("q111_logodds_terms")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin"), p) // global token counts join
+    assert(p.contains("BroadcastHashJoin"), p) // 20-row per-source totals
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p) // N,V scalar
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q112: backoff scoring joins run at distinct-trigram scale — keyed left joins, scalar broadcast, no pair joins") {
+    val p = executedPlan("q112_stupid_backoff")
+    assert(!p.contains("CartesianProduct"), p)
+    // five count-table left joins + the profile map-back join, keyed
+    assert("SortMergeJoin".r.findAllIn(p).length >= 5, p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p) // N,V scalar
+    assert(!p.contains("Window "), p) // no window at all in this shape
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.TextModels
+
+/** Hand-corpus proofs of the corpus-trained text models (q110 Naive
+  * Bayes / q111 weighted log-odds / q112 stupid backoff) — expected
+  * values recomputed driver-side with scala.math, mirroring the
+  * engine's exact IEEE operation sequence. Doc ids are chosen by
+  * their q70 md5 split: ids 1,2,4,6,7 land in 'train', id 3 in
+  * 'test' (md5("3") = 'eccbc87e...' >= 'e6666666'). */
+class TextModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(x: Double): Long = math.round(x * 1000000)
+
+  test("NB: classifies the test doc by its class's token distribution, exactly") {
+    val d = Seq(
+      (1L, "srcA", "apple apple banana"),
+      (2L, "srcB", "zebra zebra yak"),
+      (4L, "srcA", "apple banana banana"),
+      (3L, "srcA", "apple banana")) // the one test-split doc
+      .toDF("doc_id", "source", "text")
+    val got = TextModels.naiveBayesConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("srcA", "srcA", 1L)))
+    // the margin the argmax decided on, recomputed driver-side:
+    // V=4, T_A=6, T_B=3; apple|A=3, banana|A=3; apple|B=banana|B=0
+    val sA = q(math.log(2.0 / 3.0)) + q(math.log(4.0 / 10.0)) * 2
+    val sB = q(math.log(1.0 / 3.0)) + q(math.log(1.0 / 7.0)) * 2
+    assert(sA > sB)
+  }
+
+  test("NB: all-OOV test doc falls back to the prior argmax") {
+    val d = Seq(
+      (1L, "srcA", "apple banana"),
+      (2L, "srcB", "zebra yak"),
+      (4L, "srcA", "apple banana"),
+      (3L, "srcB", "unseen tokens only")) // actual srcB, all OOV
+      .toDF("doc_id", "source", "text")
+    val got = TextModels.naiveBayesConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // prior ln(2/3) > ln(1/3): predicted class is srcA
+    assert(got.toSeq === Seq(("srcB", "srcA", 1L)))
+  }
+
+  test("log-odds: a source-exclusive token tops its source, exact z_milli") {
+    val d = Seq(
+      (1L, "srcA", "x x x y"),
+      (2L, "srcB", "y y y z"))
+      .toDF("doc_id", "source", "text")
+    val rows = TextModels.logOddsTop(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // only y_sw>0 rows exist: srcA has {x,y}, srcB has {y,z}
+    assert(rows.filter(_._1 == "srcA").map(_._2).toSet === Set("x", "y"))
+    assert(rows.filter(_._1 == "srcB").map(_._2).toSet === Set("y", "z"))
+    // exact replica for (srcA, x): y_sw=3, y_w=3, n_s=4, n=8, V=3
+    val a0 = 0.01 * 3.0
+    val a = 3.0 + 0.01
+    val b = (4.0 - 3.0) + a0 - 0.01
+    val c = (3.0 - 3.0) + 0.01
+    val e = ((8.0 - 4.0) - (3.0 - 3.0)) + a0 - 0.01
+    val dl = q(math.log(a / b)) - q(math.log(c / e))
+    val z = (dl.toDouble / 1000000.0) / math.sqrt(1.0 / a + 1.0 / c)
+    val zx = math.round(z * 1000)
+    val top = rows.filter(r => r._1 == "srcA" && r._5 == 1L).head
+    assert(top._2 === "x" && top._3 === 3L && top._4 === zx)
+    assert(zx > 0) // exclusive token is positively distinctive
+  }
+
+  test("stupid backoff: trigram hit, bigram backoff, and OOV base case, exactly") {
+    val d = Seq(
+      (1L, "srcA", "a b c d"),
+      (2L, "srcA", "a b c"),
+      (4L, "srcA", "b c d"),
+      (3L, "srcA", "a b c z b c d")) // test doc
+      .toDF("doc_id", "source", "text")
+    val got = TextModels.stupidBackoff(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // train counts: c123("a b c")=2, c123("b c d")=2; c12("a b")=2,
+    // c12("b c")=3, c12("c d")=2; cu a=2 b=3 c=3 d=2; N=10, V=4.
+    // test trigrams: "a b c" hit, "b c z"/"c z b" OOV base,
+    // "z b c" bigram backoff on "b c", "b c d" hit.
+    val s1 = math.round(-math.log(2.0 / 2.0) * 1e6) // a b c
+    val s2 = math.round(-math.log(0.4 * (0.4 * (1.0 / 14.0))) * 1e6) // b c z (z OOV)
+    val s3 = math.round(-math.log(0.4 * (0.4 * (4.0 / 14.0))) * 1e6) // c z b (b seen)
+    val s4 = math.round(-math.log(0.4 * (3.0 / 3.0)) * 1e6) // z b c
+    val s5 = math.round(-math.log(2.0 / 3.0) * 1e6) // b c d
+    val ssum = s1 + s2 + s3 + s4 + s5
+    assert(got.toSeq === Seq((3L, 5L, ssum / 5L)))
+    // ordering sanity: OOV continuation is the most surprising,
+    // exact trigram hit the least
+    assert(s2 > s4 && s4 > s1)
+  }
+
+  test("stupid backoff: repeated trigrams weight the mean by occurrence count") {
+    val d = Seq(
+      (1L, "srcA", "a b c d"),
+      (2L, "srcA", "a b c"),
+      (4L, "srcA", "b c d"),
+      (3L, "srcA", "a b c a b c a")) // "a b c" twice, plus backoffs
+      .toDF("doc_id", "source", "text")
+    val got = TextModels.stupidBackoff(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(got._1 === 3L && got._2 === 5L) // 5 trigram occurrences
+  }
+}
