@@ -39,7 +39,15 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+      case TimestampType => df // already the canonical micro-second dtype
+      case other =>
+        // a new corpus generation must surface HERE at load time, not
+        // downstream as oracle hash mismatches
+        throw new IllegalArgumentException(
+          s"events.ts arrived as unsupported dtype $other — known generations: " +
+            "TIMESTAMP(NANOS) (read as long via nanosAsLong), timestamp[us] " +
+            "(read as TIMESTAMP_NTZ), or TIMESTAMP; handle the new dtype in " +
+            "Tables.normalizeEventTs")
     }
   }
 

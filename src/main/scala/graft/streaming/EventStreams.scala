@@ -22,27 +22,38 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema of the events stream as generated by the current driver
-    * corpus: `ts` is parquet timestamp[us] with isAdjustedToUTC=false,
-    * which Spark reads as TIMESTAMP_NTZ. `Tables.normalizeEventTs`
-    * converts it to a session-UTC TimestampType downstream (and also
-    * handles the older TIMESTAMP(NANOS) generation for batch reads). */
-  val rawSchema: StructType = StructType(Seq(
+  /** Raw events schema with the `ts` dtype the on-disk generation
+    * dictates: the timestamp[us] (isAdjustedToUTC=false) generation
+    * arrives as TIMESTAMP_NTZ; the legacy TIMESTAMP(NANOS) generation
+    * arrives as raw long (nanosAsLong). `Tables.normalizeEventTs`
+    * converts either to a session-UTC TimestampType downstream. */
+  def rawSchemaFor(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Schema of the current driver corpus generation (timestamp[us]). */
+  val rawSchema: StructType = rawSchemaFor(TimestampNTZType)
+
   /** File-based streaming source over a directory containing
-    * events.parquet (each new file = one micro-batch of the stream). */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    * events.parquet (each new file = one micro-batch of the stream).
+    * Streaming reads can't infer schemas, so probe the on-disk `ts`
+    * dtype with a footer-only batch read first — the corpus has shipped
+    * with two different physical timestamp types across generations,
+    * and hard-pinning one would break the reader on the other. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val observedTs = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
     graft.Tables.normalizeEventTs(
       spark.readStream
-        .schema(rawSchema)
+        .schema(rawSchemaFor(observedTs))
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
+  }
 
   /** Tumbling-window counts/sums per event type with a watermark
     * bounding late data (and state). */

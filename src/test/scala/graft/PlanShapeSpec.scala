@@ -11,6 +11,27 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf0001).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
 
+  /** FormattedMode prints the operator tree, a blank line, then a
+    * per-node details section that REPEATS every operator name — a
+    * substring count over the full string counts each node twice
+    * (round-6 lesson: three guards shipped with thresholds calibrated
+    * against PlanDump's deduplicated tree and failed at 2×). All
+    * operator counts must run on the tree section only. */
+  private def tree(p: String): String =
+    p.linesIterator.takeWhile(_.nonEmpty).mkString("\n")
+
+  private def count(p: String, pattern: String): Int =
+    pattern.r.findAllIn(tree(p)).length
+
+  /** Number of shuffle Exchanges keyed by a column prefix. The tree
+    * prints bare `Exchange (n)` with no partitioning, so the old
+    * `"Exchange hashpartitioning"` substring guards matched NOTHING
+    * (vacuously ≤ k). The details section lists each Exchange node
+    * exactly once with its partitioning on its own `Arguments:` line
+    * — count those. */
+  private def keyedExchanges(p: String, keyPrefix: String): Int =
+    ("Arguments: hashpartitioning\\(" + keyPrefix).r.findAllIn(p).length
+
   test("q01: date filter is pushed into the parquet scan") {
     val p = executedPlan("q01_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -27,7 +48,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q04: every dimension join is a broadcast hash join") {
     val p = executedPlan("q04_join_multi_broadcast")
-    assert("BroadcastHashJoin Inner BuildRight".r.findAllIn(p).length === 3, p)
+    assert(count(p, "BroadcastHashJoin Inner BuildRight") === 3, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
 
@@ -93,8 +114,10 @@ class PlanShapeSpec extends SparkSpec {
     val p = executedPlan("q65_edit_distance")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     // the pair-dedup distinct was replaced by the canonical-band join
-    // predicate: no aggregate keyed by doc_a/doc_b may reappear
-    assert(!"HashAggregate \\(keys=\\[doc_a".r.findAllIn(p).hasNext, p)
+    // predicate: no aggregate keyed by doc_a/doc_b may reappear (the
+    // details section prints aggregate keys as `Keys [n]: [doc_a…]`;
+    // the tree prints bare `HashAggregate (n)`)
+    assert(!"Keys \\[\\d+\\]: \\[doc_a".r.findAllIn(p).hasNext, p)
   }
 
   test("q85: surprisal is keyed joins + a scalar broadcast, nothing all-pairs") {
@@ -104,11 +127,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p)
     // ...and the only nested-loop is the broadcast of the 1-row total
-    // (formatted explain prints each node twice: tree + detail)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
     // per-doc aggregation is two-phase (map-side partial before the
     // exchange) — the sum is integer, so partials are exact
-    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(count(p, "HashAggregate") >= 2, p)
   }
 
   test("q86: IVF is a joinless scan with isin-cell pruning and top-k, cosine in codegen") {
@@ -138,9 +160,9 @@ class PlanShapeSpec extends SparkSpec {
     val p = executedPlan("q90_shard_pack")
     assert(p.contains("hashpartitioning(shard"), p)
     assert(p.contains("Window"), p)
-    // one exchange in the tree (formatted mode repeats it once in the
-    // node-detail section)
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+    // exactly ONE shuffle exchange in the whole plan, keyed by shard
+    assert(count(p, "(?<!Broadcast)Exchange \\(") === 1, p)
+    assert(keyedExchanges(p, "shard") === 1, p)
   }
 
   test("q107: the boundary audit rides q90's single shard shuffle — the (shard, bin) groupBy adds NO exchange") {
@@ -148,15 +170,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), p)
     assert(p.contains("Window"), p)
     // {shard} ⊆ {shard, bin} satisfies the aggregation's clustered
-    // distribution: same one exchange as q90 (formatted mode repeats
-    // it once in the node-detail section)
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+    // distribution: same ONE exchange as q90, nothing added
+    assert(count(p, "(?<!Broadcast)Exchange \\(") === 1, p)
+    assert(keyedExchanges(p, "shard") === 1, p)
   }
 
   test("q91: per-group sample is two-phase — bucketed pre-prune, never one partition per language") {
     val p = executedPlan("q91_per_group_sample")
     // two ranking stages: (lang, bucket) then lang-over-survivors
-    assert("Window".r.findAllIn(p).length >= 2, p)
+    assert(count(p, "Window \\(") >= 2, p)
     // both exchanges are keyed; nothing collapses to a single partition
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(p.contains("hashpartitioning(lang"), p)
@@ -207,7 +229,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     // islands merge: ONE doc-keyed exchange; the final groupBy
     // (doc_id, island) reuses the window's partitioning
-    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length <= 2, p)
+    assert(keyedExchanges(p, "doc_id") <= 1, p)
   }
 
   test("q98: source overlap self-join shuffles on the gram key; only the totals dim broadcasts") {
@@ -216,8 +238,7 @@ class PlanShapeSpec extends SparkSpec {
     // the vocabulary-sized self-join must NOT broadcast either side
     assert(p.contains("SortMergeJoin"), p)
     // exactly one broadcast join: the |sources|-row totals dim
-    // (formatted mode repeats the node once in the detail section)
-    assert("BroadcastHashJoin".r.findAllIn(p).length <= 2, p)
+    assert(count(p, "BroadcastHashJoin") <= 1, p)
     // sg is persisted: three plan references, one computation
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
@@ -229,7 +250,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin LeftAnti"), p)
     // the final reassembly groupBy reuses the anti-join's doc_id
     // partitioning: at most the join's own two doc-keyed exchanges
-    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length <= 4, p)
+    assert(keyedExchanges(p, "doc_id") <= 2, p)
   }
 
   test("q104: scrub-first composed pipeline keeps the q93 shapes — no cartesian, rates broadcast, single shard window") {
@@ -254,8 +275,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     // the corpus-sized doc-length join is hinted to a shuffle join
     assert(p.contains("SortMergeJoin"), p)
-    // the only nested-loop is the 1-row avgdl scalar (tree + detail)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p)
+    // the only nested-loop is the 1-row avgdl scalar
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
   }
 
   test("q101: DSIR — λ dim broadcasts, doc-weight join shuffles, global top-K is TakeOrdered") {
@@ -264,7 +285,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // never a full global sort
     assert(p.contains("BroadcastHashJoin"), p)     // the ≤1024-row λ dim
     assert(p.contains("SortMergeJoin"), p)         // the per-doc weight join
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p) // totals scalar
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p) // totals scalar
   }
 
   test("q102: SemDeDup joins are keyed equi-joins; no scale side ever broadcasts") {
@@ -273,16 +294,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // within-cell self-join + kept-flag join, both shuffled
     assert(!p.contains("BroadcastHashJoin"), p)
-    assert("SortMergeJoin".r.findAllIn(p).nonEmpty, p)
+    assert(count(p, "SortMergeJoin") >= 1, p)
   }
 
   test("q103: bigram LM is keyed joins + a scalar broadcast, nothing all-pairs") {
     val p = executedPlan("q103_bigram_lm")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("SortMergeJoin"), p) // bigram/unigram count joins
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p) // V scalar
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p) // V scalar
     // per-doc aggregation is two-phase (integer partials are exact)
-    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(count(p, "HashAggregate") >= 2, p)
   }
 
   test("q105: top-500 rank cut is TakeOrdered over the checkpointed iterate — no global sort, no residual iteration lineage") {
@@ -312,7 +333,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(ctPlan.toLowerCase.contains("normquantexpr"), ctPlan) // fused codegen kernel
     assert(ctPlan.contains("Generate"), ctPlan) // map-side explode
     assert(ctPlan.contains("hashpartitioning(label"), ctPlan)
-    assert("HashAggregate".r.findAllIn(ctPlan).length >= 2, ctPlan) // partial aggs
+    assert(count(ctPlan, "HashAggregate") >= 2, ctPlan) // partial aggs
     val p = executedPlan("q108_label_drift")
     // the corpus job ran ONCE into the checkpoint: the final plan
     // joins two ExistingRDD scans, with no explode or corpus agg left
@@ -337,7 +358,8 @@ class PlanShapeSpec extends SparkSpec {
     // vocab×class table and doc scoring are token-keyed SMJs
     assert(p.contains("SortMergeJoin"), p)
     // only the |C|-row / scalar dims ride broadcast nested loops
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4, p)
+    // (4 in the tree: priors, V scalar, N scalar, class dim)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 4, p)
     // the |C|-way argmax is a doc-partitioned window with a group
     // limit, not a global sort
     assert(p.contains("WindowGroupLimit"), p)
@@ -348,7 +370,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("SortMergeJoin"), p) // global token counts join
     assert(p.contains("BroadcastHashJoin"), p) // 20-row per-source totals
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p) // N,V scalar
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p) // N,V scalar
     assert(p.contains("WindowGroupLimit"), p)
   }
 
@@ -356,8 +378,8 @@ class PlanShapeSpec extends SparkSpec {
     val p = executedPlan("q112_stupid_backoff")
     assert(!p.contains("CartesianProduct"), p)
     // five count-table left joins + the profile map-back join, keyed
-    assert("SortMergeJoin".r.findAllIn(p).length >= 5, p)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p) // N,V scalar
+    assert(count(p, "SortMergeJoin") >= 5, p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p) // N,V scalar
     assert(!p.contains("Window "), p) // no window at all in this shape
   }
 
@@ -369,6 +391,6 @@ class PlanShapeSpec extends SparkSpec {
     assert(firstAgg >= 0 && exchange > firstAgg && lastAgg > exchange ||
       // AQE may present the plan with the final agg first textually;
       // just require two HashAggregates and one shuffle exchange
-      ("HashAggregate".r.findAllIn(p).length >= 2 && p.contains("Exchange")), p)
+      (count(p, "HashAggregate") >= 2 && p.contains("Exchange")), p)
   }
 }

@@ -199,4 +199,39 @@ class StreamingDedupSpec extends SparkSpec {
     q.stop()
     assert(spark.table("t_dedup").count() === 1000)
   }
+
+  test("readEventsStream probes the on-disk ts dtype: nanos-long generation round-trips") {
+    // simulate the TIMESTAMP(NANOS) corpus generation: with
+    // nanosAsLong set those files arrive as raw epoch-nanos longs, so
+    // a plain long ts column exercises the identical reader path — the
+    // streaming schema must adapt instead of hard-pinning NTZ
+    val tmp = java.nio.file.Files.createTempDirectory("graftnanosgen")
+    val watch = tmp.resolve("in"); java.nio.file.Files.createDirectories(watch)
+    val batch = Tables.loadEvents(spark, sf0001)
+    val stageDir = tmp.resolve("stage").toString
+    batch.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(stageDir)
+    val part = new java.io.File(stageDir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, watch.resolve("events.parquet"))
+    val stream = EventStreams.readEventsStream(spark, watch.toString)
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val q = stream.select("event_id", "ts").writeStream
+      .outputMode("append").format("memory").queryName("t_nanosgen").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_nanosgen")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val want = batch.select("event_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(got === want, "nanos-long streaming generation diverged from batch")
+  }
+
+  test("normalizeEventTs rejects an unknown ts dtype loudly") {
+    import spark.implicits._
+    val bogus = Seq((1L, "2026-01-01")).toDF("event_id", "ts")
+    val e = intercept[IllegalArgumentException](Tables.normalizeEventTs(bogus))
+    assert(e.getMessage.contains("unsupported dtype"))
+  }
 }

@@ -12,12 +12,14 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    args.foreach { n =>
+    val (flags, names) = args.partition(_.startsWith("--"))
+    val full = flags.contains("--full")
+    names.foreach { n =>
       println(s"===== $n =====")
-      println(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      val p = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        .linesIterator.takeWhile(_.nonEmpty).mkString("\n"))
+      println(if (full) p else p.linesIterator.takeWhile(_.nonEmpty).mkString("\n"))
     }
     spark.stop()
   }
