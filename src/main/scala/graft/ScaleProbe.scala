@@ -280,6 +280,106 @@ object ScaleProbe {
         f""""sec":{"q44":$tAdv44%.2f,"q97":$tAdv97%.2f}}""")
     }
 
+    // ---- round-7 probes (verdict #4): q105 / q112 / q100 -----------
+
+    // q105 graph centrality: k DISJOINT graph copies (key spaces
+    // shifted per replica — the graph analog of bijective renaming:
+    // within-replica structure exact, no cross-replica edges). The
+    // claim under test: edge count AND the 5-iteration wall both grow
+    // ~linearly because every round is O(E) keyed work over the
+    // once-partitioned edge list.
+    val orders0 = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li0 = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val g105 = scales.map { k =>
+      val ord = (0 until k).map { r =>
+        orders0.select((col("o_orderkey") + lit(r * 100000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(r * 10000000L)).as("o_custkey"))
+      }.reduce(_ unionByName _).cache()
+      val li = (0 until k).map { r =>
+        li0.select((col("l_orderkey") + lit(r * 100000000L)).as("l_orderkey"),
+          (col("l_suppkey") + lit(r * 10000000L)).as("l_suppkey"))
+      }.reduce(_ unionByName _).cache()
+      ord.count(); li.count()
+      val nEdges = 2L * ord.join(li,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct().count()
+      val (nNodes, t105) = timed(
+        graft.operators.GraphRank.centrality(ord, li).count())
+      ord.unpersist(); li.unpersist()
+      println(f"""{"metric":"q105_probe","scale":$k,"n_edges":$nEdges,"n_nodes":$nNodes,"sec":$t105%.2f}""")
+      (k, nEdges, t105)
+    }
+
+    // q112 stupid backoff: EXACT replication (no renaming — the one
+    // null model where repetition is preserved). Occurrence rows grow
+    // k× while the DISTINCT test-trigram table the five count joins
+    // run over saturates toward the fixed underlying vocabulary —
+    // measured α_distinct << α_occ is the "vocabulary-scale, not
+    // occurrence-scale" claim, quantified.
+    val g112 = scales.map { k =>
+      val docsE = (0 until k).map { r =>
+        docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _).cache()
+      docsE.count()
+      // the same deterministic q70 split rule q112 applies internally
+      val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+      val prof = docsE.filter(h >= "e6666666") // 'test' split
+        .select(col("doc_id"),
+          explode(graft.functions.NGrams.wordNGramsAll(
+            graft.functions.Text.tokens(col("text")), 3)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n_occ"))
+        .cache()
+      val nOcc = prof.agg(sum(col("n_occ"))).head.getLong(0)
+      val nDistinct = prof.select(col("g")).distinct().count()
+      prof.unpersist()
+      val (nOut, t112) = timed(
+        graft.operators.TextModels.stupidBackoff(docsE).count())
+      docsE.unpersist()
+      println(f"""{"metric":"q112_probe","scale":$k,"occ_rows":$nOcc,"distinct_trigrams":$nDistinct,"out_docs":$nOut,"sec":$t112%.2f}""")
+      (k, nOcc, nDistinct)
+    }
+
+    // q100 BM25: the inverted-index analog of the boilerplate probe —
+    // query a STOP WORD (the corpus's max-df token). Exact replication
+    // grows every posting list k×; the claim under test: matched
+    // occurrences (the only corpus-keyed shuffle's input) grow
+    // linearly — cost ∝ posting-list length, never posting-list², and
+    // the per-term skew (stop-word df / mean query-term df) stays
+    // constant rather than compounding.
+    val dfByTok = docs0
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val stopTok = dfByTok.orderBy(col("df").desc, col("t")).head.getString(0)
+    val probeQs = Seq(0 -> Seq(stopTok, "spark", "merge"))
+    val g100 = scales.map { k =>
+      val docsE = (0 until k).map { r =>
+        docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _).cache()
+      val nD = docsE.count()
+      val terms = spark.createDataFrame(
+        probeQs.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+        .toDF("query_id", "term")
+      val m = docsE.select(col("doc_id"),
+          explode(graft.functions.Text.tokens(col("text"))).as("term"))
+        .join(broadcast(terms), "term").cache()
+      val nMatch = m.count()
+      val dfs = m.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+        .agg(max(col("df")).as("mx"), avg(col("df")).as("av")).head
+      val postingSkew = dfs.getDouble(0) / dfs.getDouble(1)
+      m.unpersist()
+      val (nTop, t100) = timed(graft.operators.Curation.bm25TopK(
+        docsE, probeQs, 10).count())
+      docsE.unpersist()
+      println(f"""{"metric":"q100_probe","scale":$k,"n_docs":$nD,"stop_term":"$stopTok","match_rows":$nMatch,"posting_skew":$postingSkew%.3f,"topk_rows":$nTop,"sec":$t100%.2f}""")
+      (k, nMatch)
+    }
+
     // growth exponent α over the widest span: candidates ∝ n^α
     val (k1, base) = results.head
     val (kN, top) = results.last
@@ -290,7 +390,21 @@ object ScaleProbe {
         else math.log(top(q).toDouble / base(q)) / span
       f""""$q":$a%.2f"""
     }
+    def alphaOf(vs: Seq[(Int, Long)]): Double = {
+      val (ka, va) = vs.head; val (kb, vb) = vs.last
+      if (va == 0 || vb == 0) Double.NaN
+      else math.log(vb.toDouble / va) / math.log(kb.toDouble / ka)
+    }
+    val a105e = alphaOf(g105.map(r => (r._1, r._2)))
+    val a105t = {
+      val (ka, _, ta) = g105.head; val (kb, _, tb) = g105.last
+      math.log(tb / ta) / math.log(kb.toDouble / ka)
+    }
+    val a112o = alphaOf(g112.map(r => (r._1, r._2)))
+    val a112d = alphaOf(g112.map(r => (r._1, r._3)))
+    val a100m = alphaOf(g100)
     println(s"""{"metric":"candidate_growth_exponent","alpha":{${alphas.mkString(",")}},"note":"alpha~1 linear (bucketed), alpha~2 quadratic (all-pairs)"}""")
+    println(f"""{"metric":"r7_probe_exponents","alpha":{"q105_edges":$a105e%.2f,"q105_wall":$a105t%.2f,"q112_occ":$a112o%.2f,"q112_distinct":$a112d%.2f,"q100_match":$a100m%.2f},"note":"q105 wall/edges ~1 linear; q112 distinct << occ (vocabulary-scale scoring); q100 match ~1 (posting-list-linear, never squared)"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,7 @@ object SparkEntry {
       (DriftAudit.queries, DriftAudit.oracles),
       (CorpusPipeline.queries, CorpusPipeline.oracles),
       (RepeatedSpans.queries, RepeatedSpans.oracles),
+      (BpeTrainer.queries, BpeTrainer.oracles),
       (Profiling.queries, Profiling.oracles),
     )
 

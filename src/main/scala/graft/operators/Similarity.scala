@@ -333,6 +333,24 @@ object Similarity {
       semDedup(Tables.load(s, dir, "embeddings"), threshold = 0.4)
     },
 
+    // -- Semantic decontamination (round 7): the embedding-space
+    //    analog of q78/q96's n-gram benchmark decontamination — flag
+    //    every TRAIN-split vector that is near (cosine ≥ 0.4) a
+    //    TEST-split vector, so evaluation-contaminated training docs
+    //    can be dropped before training (the cross-split variant of
+    //    SemDeDup's within-corpus prune; modern model reports run
+    //    exactly this audit). Splits = the deterministic q70 md5 rule
+    //    on vec_id (engine/partitioning-independent). Scale shape:
+    //    cell-scoped like q102 — ONE cell-keyed train×test equi-join
+    //    (both sides corpus-scale, hinted off broadcast; the ladder
+    //    bounds occupancy so compared pairs stay ~linear), one
+    //    train-keyed agg, one left join for the flag. EXACT-gated:
+    //    the oracle replays the cell ladder from the same 3-decimal
+    //    codebook literals, the md5 split and the round-6 cosine. --
+    "q113_embedding_decontam" -> { (s, dir) =>
+      embeddingDecontam(Tables.load(s, dir, "embeddings"), threshold = 0.4)
+    },
+
     // -- ANN via sign-LSH buckets + Hamming-1 multi-probe
     //    (EXACT-gated: the oracle replays the quantized planes'
     //    bucket bits, the probe set and the round-6 re-rank;
@@ -400,6 +418,42 @@ object Similarity {
         Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         when(col("rm").isNotNull, 0L).otherwise(1L).as("kept"))
+  }
+
+  /** Semantic decontamination over any embeddings-shaped frame (needs
+    * `vec_id`, `embedding`): every q70-'train' vector with its cell,
+    * the number of q70-'test' vectors in the SAME cell at cosine ≥
+    * threshold, the max such (round-6) cosine (−1.0 when clean), and
+    * the contaminated flag. Cross-cell near-test pairs are missed by
+    * design — the same published trade q102 documents, and the reason
+    * compared pairs stay linear in the corpus. */
+  private[graft] def embeddingDecontam(e: DataFrame,
+      threshold: Double): DataFrame = {
+    val h = substring(md5(col("vec_id").cast("string")), 1, 8)
+    val assigned = assignCells(e).withColumn("grp",
+      when(h < "cccccccc", "train").when(h < "e6666666", "val")
+        .otherwise("test"))
+    val tr = assigned.filter(col("grp") === "train")
+      .select(col("cell"), col("vec_id"), col("embedding").as("emb_t"))
+    val te = assigned.filter(col("grp") === "test")
+      .select(col("cell"), col("vec_id").as("test_id"),
+        col("embedding").as("emb_b"))
+    // both join sides are corpus-sized: hinted off broadcast (the
+    // q97-q99 estimate lesson)
+    val hits = tr.hint("shuffle_merge")
+      .join(te.hint("shuffle_merge"), Seq("cell"))
+      .select(col("vec_id"),
+        round(VectorExprs.cosineFast(col("emb_t"), col("emb_b")), 6).as("cs"))
+      .filter(col("cs") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_test_hits"), max(col("cs")).as("mx"))
+    tr.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(hits.hint("shuffle_merge"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_test_hits"), lit(0L)).as("n_test_hits"),
+        coalesce(col("mx"), lit(-1.0)).as("max_cos"),
+        when(col("n_test_hits").isNotNull, 1L).otherwise(0L)
+          .as("contaminated"))
   }
 
   /** √-scaled probe budget for the adaptive ladder (round-5 verdict
@@ -774,6 +828,51 @@ object Similarity {
        |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id""".stripMargin
   }
 
+  /** q113's oracle: the q102 cell machinery (same Centroids94
+    * literals + count(*) ladder) with the q70 md5 split rule, the
+    * within-cell train×test containment scan and the per-train-vector
+    * hit stats — pure relational algebra over the round-6 cosine. */
+  private def oracle113: String = {
+    def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def sumsq(a: String) =
+      s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def cosE(a: String, b: String) =
+      s"(${dotE(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
+    val simList = Centroids94.table.map(c => cosE("embedding", lst(c)))
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH cc AS (
+       |  SELECT CASE WHEN count(*) <= 512 THEN 16
+       |              WHEN count(*) <= 1024 THEN 32
+       |              ELSE 64 END AS ncells
+       |  FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_position(lc, list_max(lc)) - 1 AS BIGINT) AS cell,
+       |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < 'cccccccc'
+       |           THEN 'train'
+       |         WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < 'e6666666'
+       |           THEN 'val'
+       |         ELSE 'test' END AS grp
+       |  FROM (SELECT vec_id, embedding, ($simList)[1:ncells] AS lc
+       |        FROM embeddings, cc)),
+       |hits AS (
+       |  SELECT t.vec_id, count(*) AS n_test_hits,
+       |    max(round(${cosE("t.embedding", "b.embedding")}, 6)) AS mx
+       |  FROM assigned t JOIN assigned b
+       |    ON t.cell = b.cell AND t.grp = 'train' AND b.grp = 'test'
+       |  WHERE round(${cosE("t.embedding", "b.embedding")}, 6) >= 0.4
+       |  GROUP BY t.vec_id)
+       |SELECT t.vec_id, t.cell,
+       |  CAST(coalesce(n_test_hits, 0) AS BIGINT) AS n_test_hits,
+       |  coalesce(mx, -1.0) AS max_cos,
+       |  CAST(CASE WHEN h.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |    AS contaminated
+       |FROM assigned t LEFT JOIN hits h ON t.vec_id = h.vec_id
+       |WHERE t.grp = 'train'""".stripMargin
+  }
+
   /** q49's oracle: bucket bits from the same quantized planes, the
     * query's Hamming-1 probe set, exact-cosine re-rank — the oracle83
     * bucket machinery composed with the q47 top-10 select. */
@@ -811,6 +910,7 @@ object Similarity {
     "q94b_knn_join_adaptive" -> oracle94Adaptive("6"),
     "q94c_knn_join_nprobe" -> oracle94Adaptive(nprobeLadderSql),
     "q102_semdedup" -> oracle102,
+    "q113_embedding_decontam" -> oracle113,
     "q49_ann_lsh" -> oracle49,
     "q47_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

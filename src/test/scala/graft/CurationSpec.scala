@@ -105,4 +105,55 @@ class CurationSpec extends SparkSpec {
     assert(kept === embs.keySet -- removed)
     assert(removed.nonEmpty, "corpus should contain within-cell near-dups")
   }
+
+  test("q113 decontamination: flags match a driver-side within-cell train×test brute force") {
+    val out = Similarity.queries("q113_embedding_decontam")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val embs = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // the deterministic q70 split rule, recomputed independently
+    def grp(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      if (h < "cccccccc") "train" else if (h < "e6666666") "val" else "test"
+    }
+    val train = embs.keySet.filter(grp(_) == "train")
+    val test_ = embs.keySet.filter(grp(_) == "test")
+    assert(out.keySet === train, "exactly the train split, each once")
+    // cells from the engine's own assignment (already brute-force
+    // cross-checked by the q102 spec above)
+    val cells = Similarity.assignCells(
+        Tables.load(spark, sf0001, "embeddings"))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var anyHit = false
+    for (t <- train) {
+      val hits = test_.toSeq
+        .filter(b => cells(b) == cells(t))
+        .map(b => r6(cos(embs(t), embs(b))))
+        .filter(_ >= 0.4)
+      val (cell, n, mx, flag) = out(t)
+      assert(cell === cells(t), s"cell mismatch for $t")
+      assert(n === hits.size.toLong, s"hit count mismatch for $t")
+      assert(flag === (if (hits.nonEmpty) 1L else 0L))
+      assert(mx === (if (hits.isEmpty) -1.0 else hits.max),
+        s"max_cos mismatch for $t")
+      anyHit ||= hits.nonEmpty
+    }
+    assert(anyHit, "corpus should contain at least one train×test near pair")
+  }
 }

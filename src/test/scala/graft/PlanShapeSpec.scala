@@ -297,6 +297,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") >= 1, p)
   }
 
+  test("q113: decontamination joins are keyed equi-joins; no scale side ever broadcasts") {
+    val p = executedPlan("q113_embedding_decontam")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // train, test AND the hit table all scale with the corpus: every
+    // join is a shuffled equi-join (the q102 posture)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(count(p, "SortMergeJoin") >= 2, p) // cell join + flag join
+  }
+
   test("q103: bigram LM is keyed joins + a scalar broadcast, nothing all-pairs") {
     val p = executedPlan("q103_bigram_lm")
     assert(!p.contains("CartesianProduct"), p)
