@@ -58,6 +58,14 @@ object BpeTrainer {
     "q114_bpe_merges" -> { (s, dir) =>
       bpeMerges(Tables.load(s, dir, "documents"))
     },
+
+    // -- the ENCODE step: apply the learned merges corpus-wide and
+    //    report per-source segmentation stats — the token-budget
+    //    accounting a pretraining mix is planned against (symbols per
+    //    word / compression vs raw characters, integer ppm). --
+    "q115_bpe_segment" -> { (s, dir) =>
+      segmentStats(Tables.load(s, dir, "documents"))
+    },
   )
 
   /** Adjacent-pair counts (overlapping, word-frequency-weighted) over
@@ -102,9 +110,10 @@ object BpeTrainer {
           |  x -> x.e), x -> x IS NOT NULL)""".stripMargin).as("sym"))
   }
 
-  /** The first k merge rules over any documents-shaped frame (needs
-    * `text`): (step, pair, merged, cnt). */
-  private[graft] def bpeMerges(d: DataFrame, k: Int = Merges): DataFrame = {
+  /** Shared train loop: the k per-round 1-row merge frames plus the
+    * FINAL (w, c, sym) segmentation of the vocabulary. */
+  private[graft] def train(d: DataFrame,
+      k: Int = Merges): (Seq[DataFrame], DataFrame) = {
     val words = d.select(explode(Text.tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -122,13 +131,43 @@ object BpeTrainer {
       seqs = mergeRound(seqs, best).localCheckpoint(true)
       best
     }
+    (steps, seqs)
+  }
+
+  /** The first k merge rules over any documents-shaped frame (needs
+    * `text`): (step, pair, merged, cnt). */
+  private[graft] def bpeMerges(d: DataFrame, k: Int = Merges): DataFrame = {
+    val (steps, _) = train(d, k)
     steps.reduce(_ unionByName _).orderBy(col("step"))
       .select(col("step"), col("pair"), col("merged"), col("cnt"))
   }
 
+  /** Per-source segmentation stats after the k learned merges: word/
+    * symbol/char totals and symbols-per-char in integer ppm. The
+    * corpus-scale occurrence stream joins the VOCABULARY-sized
+    * segmentation on the token key — the standard inverted-index
+    * family shape (vocab side hinted off broadcast: it grows with the
+    * corpus). */
+  private[graft] def segmentStats(d: DataFrame, k: Int = Merges): DataFrame = {
+    val (_, seqs) = train(d, k)
+    val occ = d.select(col("source"),
+        explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+    occ.join(seqs.select(col("w"), size(col("sym")).cast("long").as("nseg"),
+        length(col("w")).cast("long").as("nchar")).hint("shuffle_merge"), "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nseg")).as("n_symbols"),
+        sum(col("nchar")).as("n_chars"))
+      .selectExpr("source", "n_words", "n_symbols", "n_chars",
+        "(1000000L * n_symbols) div n_chars AS compression_ppm")
+      .orderBy(col("source"))
+  }
+
   // ---- code-generated DuckDB oracle (same constants, unrolled) -----
 
-  private def oracle114: String = {
+  /** The WITH-chain (words → seq0 → k unrolled train rounds) shared
+    * by the q114 and q115 oracles. */
+  private def chainSql: String = {
     val rounds = (1 to Merges).map { r =>
       s"""p$r AS (
          |  SELECT pair, sum(c) AS cnt FROM (
@@ -168,8 +207,6 @@ object BpeTrainer {
          |  SELECT w, c, array_agg(e ORDER BY pos) FILTER (WHERE e IS NOT NULL) AS sym
          |  FROM em$r GROUP BY w, c)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to Merges).map(r => s"SELECT * FROM m$r")
-      .mkString(" UNION ALL ")
     s"""WITH words AS (
        |  SELECT w, count(*) AS c FROM (
        |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
@@ -179,14 +216,38 @@ object BpeTrainer {
        |  SELECT w, c,
        |    list_transform(generate_series(1, len(w)), i -> w[i]) AS sym
        |  FROM words),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def oracle114: String = {
+    val union = (1 to Merges).map(r => s"SELECT * FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""$chainSql
        |SELECT CAST(step AS BIGINT) AS step, pair, merged,
        |  CAST(cnt AS BIGINT) AS cnt
        |FROM ($union)
        |ORDER BY step""".stripMargin
   }
 
+  private def oracle115: String =
+    s"""$chainSql,
+       |occ AS (
+       |  SELECT source, w FROM (
+       |    SELECT source, unnest(string_split_regex(text, '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z0-9]+$$'))
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(sym)) AS BIGINT) AS n_symbols,
+       |  CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       |  CAST((1000000 * sum(len(sym))) // sum(len(w)) AS BIGINT)
+       |    AS compression_ppm
+       |FROM occ JOIN seq$Merges USING (w)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q114_bpe_merges" -> oracle114,
+    "q115_bpe_segment" -> oracle115,
   )
 }

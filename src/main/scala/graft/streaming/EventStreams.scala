@@ -92,6 +92,34 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: each click-like event joined to the
+    * same user's view-like events in the preceding `window`. Both
+    * sides carry watermarks, so Spark bounds the join state on BOTH
+    * streams (the state-cleanup condition is the time-interval
+    * predicate + watermarks — without them a stream-stream join
+    * buffers forever; with them state is dropped once the watermark
+    * passes the interval bound). At scale the join is keyed by
+    * user_id: state and matching are partitioned across executors
+    * like any keyed shuffle. */
+  def intervalJoin(clicks: DataFrame, views: DataFrame,
+      window_ : String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $window_") &&
+        col("view_ts") < col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   // ---- custom state: running per-user aggregate with timeout ------
 
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -70,6 +70,21 @@ class BpeTrainerSpec extends SparkSpec {
     assert(!mr.contains("SortMergeJoin") && !mr.contains("CartesianProduct"), mr)
   }
 
+  test("q115 segmentation stats replay the hand corpus exactly") {
+    val d = Seq((1L, "low low lower", "s1"), (2L, "low", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = BpeTrainer.segmentStats(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // merges (same chain as above): l o → lo, lo w → low, then the
+    // "e r"/"low e" tie broken to "e r": low → [low], lower → [low, er]
+    // s1: words {low, low, lower}: symbols 1+1+2 = 4, chars 3+3+5 = 11
+    // s2: words {low}: symbols 1, chars 3
+    assert(out.toSeq === Seq(
+      ("s1", 3L, 4L, 11L, 1000000L * 4 / 11),
+      ("s2", 1L, 1L, 3L, 1000000L / 3)))
+  }
+
   test("pair exhaustion degrades to fewer rows, deterministically") {
     val d = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val out = BpeTrainer.bpeMerges(d).collect()

@@ -228,6 +228,30 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got === want, "nanos-long streaming generation diverged from batch")
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    // split the events corpus into two deterministic halves — the
+    // "click" stream (odd event_id) and the "view" stream (even) —
+    // and join each click to the same user's views in the prior 30
+    // minutes, streamed vs batch
+    val batch = Tables.loadEvents(spark, sf0001)
+    val clicksB = batch.filter(col("event_id") % 2 === 1)
+    val viewsB = batch.filter(col("event_id") % 2 === 0)
+    val clicksS = EventStreams.readEventsStream(spark, sf0001)
+      .filter(col("event_id") % 2 === 1)
+    val viewsS = EventStreams.readEventsStream(spark, sf0001)
+      .filter(col("event_id") % 2 === 0)
+    val q = EventStreams.intervalJoin(clicksS, viewsS)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_ssjoin").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_ssjoin")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val want = EventStreams.intervalJoin(clicksB, viewsB)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "stream-stream join diverged from batch")
+    assert(want.nonEmpty, "corpus should contain joinable click/view pairs")
+  }
+
   test("normalizeEventTs rejects an unknown ts dtype loudly") {
     import spark.implicits._
     val bogus = Seq((1L, "2026-01-01")).toDF("event_id", "ts")
