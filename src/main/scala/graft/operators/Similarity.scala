@@ -351,6 +351,20 @@ object Similarity {
       embeddingDecontam(Tables.load(s, dir, "embeddings"), threshold = 0.4)
     },
 
+    // -- In-batch negative sampling (round 7): the contrastive-
+    //    training data-prep step (DPR/CLIP-style in-batch negatives,
+    //    made deterministic): assign every vector to a pseudo-random
+    //    "batch" (splitmix64 shard), order the batch by its draw, and
+    //    pair each anchor with its next K batch neighbors — EXCLUDING
+    //    neighbors in the anchor's IVF cell (semantic false-negative
+    //    guard, the SemDeDup ladder reused). ONE shard-keyed shuffle;
+    //    all K leads ride the same window; no joins at all. At 100 TB
+    //    the shard count is the parallelism knob (q90's argument) and
+    //    state per shard is the batch, exactly as in training. --
+    "q116_inbatch_negatives" -> { (s, dir) =>
+      inBatchNegatives(Tables.load(s, dir, "embeddings"))
+    },
+
     // -- ANN via sign-LSH buckets + Hamming-1 multi-probe
     //    (EXACT-gated: the oracle replays the quantized planes'
     //    bucket bits, the probe set and the round-6 re-rank;
@@ -454,6 +468,36 @@ object Similarity {
         coalesce(col("mx"), lit(-1.0)).as("max_cos"),
         when(col("n_test_hits").isNotNull, 1L).otherwise(0L)
           .as("contaminated"))
+  }
+
+  // ---- q116 in-batch negatives constants (shared with the oracle) --
+  private[operators] val NegSalt = 116L
+  private[operators] val NegShards = 16
+  private[operators] val NegK = 4
+
+  /** Deterministic in-batch negatives over any embeddings-shaped
+    * frame: (vec_id, shard, slot, neg_id). Each anchor's negatives
+    * are the next [[NegK]] vectors in its shard's draw order whose
+    * IVF cell differs from the anchor's; tail anchors and same-cell
+    * neighbors yield fewer slots — identically on both engines. */
+  private[graft] def inBatchNegatives(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = graft.functions.SplitMix64.uniform(col("vec_id"), NegSalt)
+    val sh = assignCells(e)
+      .select(col("vec_id"), col("cell"), u.as("u"))
+      .withColumn("shard", floor(col("u") * NegShards).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("u"), col("vec_id"))
+    val led = sh.select(
+      (Seq(col("vec_id"), col("cell"), col("shard")) ++
+        (1 to NegK).flatMap(j => Seq(
+          lead(col("vec_id"), j).over(w).as(s"n$j"),
+          lead(col("cell"), j).over(w).as(s"c$j")))): _*)
+    val stackArgs = (1 to NegK)
+      .map(j => s"${j}L, n$j, c$j").mkString(", ")
+    led.selectExpr("vec_id", "shard",
+        s"stack($NegK, $stackArgs) AS (slot, neg_id, neg_cell)", "cell")
+      .filter(col("neg_id").isNotNull && col("neg_cell") =!= col("cell"))
+      .select(col("vec_id"), col("shard"), col("slot"), col("neg_id"))
   }
 
   /** √-scaled probe budget for the adaptive ladder (round-5 verdict
@@ -873,6 +917,48 @@ object Similarity {
        |WHERE t.grp = 'train'""".stripMargin
   }
 
+  /** q116's oracle: the shared cell-assignment CTEs, the splitmix64
+    * draw replayed bit-exactly, one shard window with K leads, and
+    * the per-slot UNION — pure relational algebra. */
+  private def oracle116: String = {
+    def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def sumsq(a: String) =
+      s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def cosE(a: String, b: String) =
+      s"(${dotE(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
+    val simList = Centroids94.table.map(c => cosE("embedding", lst(c)))
+      .mkString("[\n      ", ",\n      ", "]")
+    val uSql = graft.functions.SplitMix64.uniformSql("vec_id", NegSalt)
+    val leads = (1 to NegK).map(j =>
+      s"lead(vec_id, $j) OVER w AS n$j, lead(cell, $j) OVER w AS c$j")
+      .mkString(",\n    ")
+    val slots = (1 to NegK).map(j =>
+      s"""SELECT vec_id, shard, CAST($j AS BIGINT) AS slot, n$j AS neg_id
+         |FROM led WHERE n$j IS NOT NULL AND c$j <> cell""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH cc AS (
+       |  SELECT CASE WHEN count(*) <= 512 THEN 16
+       |              WHEN count(*) <= 1024 THEN 32
+       |              ELSE 64 END AS ncells
+       |  FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_position(lc, list_max(lc)) - 1 AS BIGINT) AS cell
+       |  FROM (SELECT vec_id, embedding, ($simList)[1:ncells] AS lc
+       |        FROM embeddings, cc)),
+       |sh AS (
+       |  SELECT vec_id, cell, u,
+       |    CAST(floor(u * $NegShards) AS BIGINT) AS shard
+       |  FROM (SELECT vec_id, cell, $uSql AS u FROM assigned)),
+       |led AS (
+       |  SELECT vec_id, cell, shard,
+       |    $leads
+       |  FROM sh WINDOW w AS (PARTITION BY shard ORDER BY u, vec_id))
+       |$slots""".stripMargin
+  }
+
   /** q49's oracle: bucket bits from the same quantized planes, the
     * query's Hamming-1 probe set, exact-cosine re-rank — the oracle83
     * bucket machinery composed with the q47 top-10 select. */
@@ -911,6 +997,7 @@ object Similarity {
     "q94c_knn_join_nprobe" -> oracle94Adaptive(nprobeLadderSql),
     "q102_semdedup" -> oracle102,
     "q113_embedding_decontam" -> oracle113,
+    "q116_inbatch_negatives" -> oracle116,
     "q49_ann_lsh" -> oracle49,
     "q47_cosine_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

@@ -156,4 +156,38 @@ class CurationSpec extends SparkSpec {
     }
     assert(anyHit, "corpus should contain at least one train×test near pair")
   }
+
+  test("q116 in-batch negatives match a driver-side shard/lead replay") {
+    val out = Similarity.queries("q116_inbatch_negatives")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val cells = Similarity.assignCells(
+        Tables.load(spark, sf0001, "embeddings"))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // replay: the same splitmix64 draw, shard = floor(u*16), shard
+    // order (u, vec_id), next-4 leads, same-cell exclusion
+    val rows = cells.keys.toSeq.map { id =>
+      val u = graft.functions.SplitMix64Kernel.uniform(
+        id, 116L * graft.functions.SplitMix64Kernel.Golden)
+      (id, u, math.floor(u * 16).toLong)
+    }
+    val expected = rows.groupBy(_._3).flatMap { case (shard, members) =>
+      val ordered = members.sortBy(m => (m._2, m._1)).map(_._1)
+      ordered.zipWithIndex.flatMap { case (anchor, i) =>
+        (1 to 4).flatMap { j =>
+          ordered.lift(i + j).collect {
+            case neg if cells(neg) != cells(anchor) =>
+              (anchor, shard, j.toLong, neg)
+          }
+        }
+      }
+    }.toSet
+    assert(out === expected)
+    assert(out.nonEmpty, "corpus should produce negatives")
+    // no anchor ever pairs with a same-cell vector (the semantic
+    // false-negative guard)
+    assert(out.forall { case (a, _, _, n) => cells(a) != cells(n) })
+  }
 }

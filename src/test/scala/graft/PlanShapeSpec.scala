@@ -307,6 +307,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") >= 2, p) // cell join + flag join
   }
 
+  test("q116: in-batch negatives are joinless — one shard-keyed shuffle, K leads on one window") {
+    val p = executedPlan("q116_inbatch_negatives")
+    assert(!p.contains("Join"), p) // no join of any kind
+    // the K leads and the stack all ride ONE shard-keyed exchange
+    assert(count(p, "(?<!Broadcast)Exchange \\(") === 1, p)
+    assert(keyedExchanges(p, "shard") === 1, p)
+    assert(count(p, "Window \\(") === 1, p)
+  }
+
   test("q103: bigram LM is keyed joins + a scalar broadcast, nothing all-pairs") {
     val p = executedPlan("q103_bigram_lm")
     assert(!p.contains("CartesianProduct"), p)
