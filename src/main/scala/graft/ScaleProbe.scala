@@ -380,6 +380,53 @@ object ScaleProbe {
       (k, nMatch)
     }
 
+    // q114 BPE training: EXACT replication (repetition preserved) —
+    // after the token explode, the ONLY scale-bearing tables are the
+    // vocabulary and its pair table, which must SATURATE: distinct
+    // alnum words α ≈ 0 while token occurrences grow α = 1. The wall
+    // should track the vocabulary, not the corpus.
+    val g114 = scales.map { k =>
+      val docsE = (0 until k).map { r =>
+        docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _).cache()
+      docsE.count()
+      val words = docsE.select(
+          explode(graft.functions.Text.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$")).cache()
+      val nOcc = words.count()
+      val nVocab = words.distinct().count()
+      words.unpersist()
+      val (_, t114) = timed(
+        graft.operators.BpeTrainer.bpeMerges(docsE).count())
+      docsE.unpersist()
+      println(f"""{"metric":"q114_probe","scale":$k,"occ_tokens":$nOcc,"distinct_words":$nVocab,"sec":$t114%.2f}""")
+      (k, nOcc, nVocab)
+    }
+
+    // q116 in-batch negatives: output is ≤ K per anchor (α = 1 by
+    // construction); the reading that matters is SHARD BALANCE — the
+    // per-shard batch is the window state, and a runaway shard would
+    // serialize the window. Fixed 16 shards here (the corpus-scale
+    // knob grows at 100 TB, q90's argument), so occupancy grows n/16
+    // and max/mean must stay ~1.
+    val g116 = scales.map { k =>
+      val emb = replicatedEmbeddings(emb0, k).cache()
+      emb.count()
+      val (nOut, t116) = timed(
+        graft.operators.Similarity.inBatchNegatives(emb).count())
+      val bal = emb.select(floor(
+          graft.functions.SplitMix64.uniform(col("vec_id"), 116L) * 16)
+          .as("shard"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("av"))
+        .head
+      val skew = bal.getDouble(0) / bal.getDouble(1)
+      emb.unpersist()
+      println(f"""{"metric":"q116_probe","scale":$k,"out_rows":$nOut,"shard_skew":$skew%.3f,"sec":$t116%.2f}""")
+      (k, nOut)
+    }
+
     // growth exponent α over the widest span: candidates ∝ n^α
     val (k1, base) = results.head
     val (kN, top) = results.last
@@ -403,8 +450,11 @@ object ScaleProbe {
     val a112o = alphaOf(g112.map(r => (r._1, r._2)))
     val a112d = alphaOf(g112.map(r => (r._1, r._3)))
     val a100m = alphaOf(g100)
+    val a114o = alphaOf(g114.map(r => (r._1, r._2)))
+    val a114v = alphaOf(g114.map(r => (r._1, r._3)))
+    val a116o = alphaOf(g116)
     println(s"""{"metric":"candidate_growth_exponent","alpha":{${alphas.mkString(",")}},"note":"alpha~1 linear (bucketed), alpha~2 quadratic (all-pairs)"}""")
-    println(f"""{"metric":"r7_probe_exponents","alpha":{"q105_edges":$a105e%.2f,"q105_wall":$a105t%.2f,"q112_occ":$a112o%.2f,"q112_distinct":$a112d%.2f,"q100_match":$a100m%.2f},"note":"q105 wall/edges ~1 linear; q112 distinct << occ (vocabulary-scale scoring); q100 match ~1 (posting-list-linear, never squared)"}""")
+    println(f"""{"metric":"r7_probe_exponents","alpha":{"q105_edges":$a105e%.2f,"q105_wall":$a105t%.2f,"q112_occ":$a112o%.2f,"q112_distinct":$a112d%.2f,"q100_match":$a100m%.2f,"q114_occ":$a114o%.2f,"q114_vocab":$a114v%.2f,"q116_out":$a116o%.2f},"note":"q105 wall/edges ~1 linear; q112 distinct << occ and q114 vocab << occ (vocabulary-scale); q100 match ~1 (posting-list-linear); q116 out ~1 joinless"}""")
     spark.stop()
   }
 }
