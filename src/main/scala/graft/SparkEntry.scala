@@ -39,6 +39,7 @@ object SparkEntry {
       (CorpusPipeline.queries, CorpusPipeline.oracles),
       (RepeatedSpans.queries, RepeatedSpans.oracles),
       (BpeTrainer.queries, BpeTrainer.oracles),
+      (Winnow.queries, Winnow.oracles),
       (Profiling.queries, Profiling.oracles),
     )
 

@@ -307,6 +307,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") >= 2, p) // cell join + flag join
   }
 
+  test("q117: winnow selection is one doc-keyed window pass; profile joins never broadcast a corpus side") {
+    // the selection subplan (pre-checkpoint): all 2(w-1) frame minima
+    // ride ONE doc-keyed exchange — no self-join, no explode-join
+    val selP = graft.operators.Winnow.selected(
+      Tables.load(spark, sf0001, "documents"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!selP.contains("Join"), selP)
+    assert(count(selP, "(?<!Broadcast)Exchange \\(") === 1, selP)
+    assert(keyedExchanges(selP, "doc_id") === 1, selP)
+    // the assembled profile: per-doc aggregates scale with the corpus
+    // — left joins must stay shuffled merges, nothing nested-loop
+    val p = executedPlan("q117_winnow_fingerprints")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(count(p, "SortMergeJoin LeftOuter") === 2, p)
+    // document frequency is a window on the distinct set, not a join
+    assert(count(p, "Window \\(") === 1, p)
+  }
+
   test("q116: in-batch negatives are joinless — one shard-keyed shuffle, K leads on one window") {
     val p = executedPlan("q116_inbatch_negatives")
     assert(!p.contains("Join"), p) // no join of any kind

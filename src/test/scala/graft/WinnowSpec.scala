@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.SplitMix64Kernel
+import graft.operators.Winnow
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing fingerprint proofs (q117): the engine's window-frame
+  * selection must equal the textbook algorithm — slide every w-gram
+  * window, pick the rightmost minimal hash, dedup (pos, hash) — on
+  * arbitrary corpora, plus the paper's coverage/guarantee
+  * properties. */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 8
+  private val W = 4
+
+  /** Reference implementation, straight from Schleimer et al. 2003
+    * §4 (winnowing, rightmost-min tie rule), over the same
+    * normalization and splitmix64 k-gram hash as the engine. */
+  private def brute(text: String): Seq[(Int, Long)] = {
+    val nm = text.toLowerCase.filter(c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+    val n = nm.length - K + 1
+    if (n < W) return Seq.empty
+    val fp = (0 until n).map(p =>
+      SplitMix64Kernel.strHash(
+        UTF8String.fromString(nm.substring(p, p + K))) >>> 11)
+    val sel = scala.collection.mutable.LinkedHashSet[(Int, Long)]()
+    for (i <- 0 to n - W) {
+      val m = (i until i + W).map(fp).min
+      val pSel = (i until i + W).filter(j => fp(j) == m).max
+      sel += ((pSel + 1, fp(pSel)))
+    }
+    sel.toSeq
+  }
+
+  private def engineSelected(docs: Seq[(Long, String)]): Map[Long, Seq[(Int, Long)]] = {
+    val d = docs.toDF("doc_id", "text")
+    Winnow.selected(d).collect()
+      .map(r => (r.getLong(0), (r.getInt(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq.sorted }
+  }
+
+  test("selection equals the textbook algorithm on a varied corpus") {
+    // deterministic pseudo-random corpus: repeated motifs force hash
+    // ties and adjacent-window re-selections
+    val rnd = new scala.util.Random(117)
+    val motifs = Seq("the quick brown fox", "aaaabbbb", "lorem ipsum dolor")
+    val docs = (1L to 20L).map { id =>
+      val parts = (0 until rnd.nextInt(8) + 1).map(_ =>
+        if (rnd.nextBoolean()) motifs(rnd.nextInt(motifs.size))
+        else rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+      (id, parts.mkString(" "))
+    }
+    val got = engineSelected(docs)
+    docs.foreach { case (id, text) =>
+      val exp = brute(text).sorted
+      assert(got.getOrElse(id, Seq.empty) === exp, s"doc $id: '$text'")
+    }
+  }
+
+  test("guarantee: docs sharing a >= K+W-1 char substring share a fingerprint") {
+    // 11 normalized chars is the winnowing guarantee threshold t
+    val common = "xyzzyplugh42" // 12 normalized chars
+    val docs = Seq(
+      (1L, s"first document containing $common inside it"),
+      (2L, s"totally different text but also $common appears"),
+      (3L, "nothing in common with the others at all qqq"))
+    val fps = engineSelected(docs).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // and the profile's shared counter sees it
+    val prof = Winnow.fingerprintProfile(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(prof(1L) > 0 && prof(2L) > 0)
+  }
+
+  test("uniform-hash run: every window selects its rightmost gram") {
+    // all k-grams of an all-'a' doc are identical => ties everywhere;
+    // the rightmost-min rule selects each window's last position
+    val n = 20 // chars
+    val ng = n - K + 1 // 13 grams, 10 windows
+    val got = engineSelected(Seq((1L, "a" * n)))(1L)
+    assert(got.map(_._1) === (W to ng))
+    assert(got.map(_._2).distinct.size === 1)
+  }
+
+  test("profile: short docs get an all-zero row, not a missing row") {
+    // doc 1: 4 chars -> 0 grams; doc 2: 11 chars -> 4 grams = exactly
+    // one window -> exactly one fingerprint
+    val rows = Winnow.fingerprintProfile(
+      Seq((1L, "tiny"), (2L, "exactly11ch")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(1L) === ((0L, 0L, 0L)))
+    assert(rows(2L)._1 === 4L)
+    assert(rows(2L)._2 === 1L)
+  }
+
+  test("corpus invariants: selections per doc bounded by window count") {
+    val prof = Winnow.fingerprintProfile(
+      Tables.load(spark, sf0001, "documents"))
+      .collect()
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      val (ng, nFp, nDist, nShared) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val nWin = math.max(ng - W + 1, 0L)
+      // every full window selects a position; a position covers at
+      // most W windows
+      assert(nFp <= nWin)
+      assert(nFp * W >= nWin)
+      assert(nDist <= nFp && nShared <= nDist)
+    }
+  }
+}

@@ -45,7 +45,7 @@ def approx_eq(a, b):
         return a == b
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only_present=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -54,6 +54,8 @@ def main(sf_dir, out_dir):
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            if only_present:  # dev: partial Verify sweep (see Verify args 3+)
+                continue
             results[name] = "NO_SPARK_OUTPUT"
             continue
         try:
@@ -80,7 +82,7 @@ def main(sf_dir, out_dir):
                 ex = next((a, b) for a, b in bad
                           if not all(approx_eq(x, y) for x, y in zip(a, b)))
                 results[name] = f"VALUE_MISMATCH {len(bad)} rows, e.g. spark={ex[0]} duck={ex[1]}"
-    width = max(len(n) for n in results)
+    width = max((len(n) for n in results), default=0)
     nbad = 0
     for name, r in sorted(results.items()):
         flag = "OK " if r == "EXACT" else ("~  " if r.startswith("APPROX") else "BAD")
@@ -92,4 +94,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    sys.exit(1 if main(sys.argv[1], sys.argv[2],
+                       "--only-present" in sys.argv[3:]) else 0)
