@@ -40,6 +40,7 @@ object SparkEntry {
       (RepeatedSpans.queries, RepeatedSpans.oracles),
       (BpeTrainer.queries, BpeTrainer.oracles),
       (Winnow.queries, Winnow.oracles),
+      (KMeansTrain.queries, KMeansTrain.oracles),
       (Profiling.queries, Profiling.oracles),
     )
 

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.SignProjectKernel
+import graft.operators.KMeansTrain
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** Proofs for q118 distributed k-means training: an exact
+  * driver-side Lloyd replay (same quantization, same integer
+  * distances and tie-breaks, same shifted floor-division means, same
+  * empty-cluster carry) on the real sf0.001 corpus, plus structural
+  * properties on synthetic corpora. */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 8
+  private val T = 3
+  private val Shift = 1000000L
+
+  /** Reference Lloyd implementation over quantized vectors, the
+    * engine's exact integer semantics. Returns
+    * (cluster, pos) -> (c, n). */
+  private def replay(vecs: Seq[(Long, Seq[Float])]): Map[(Int, Int), (Long, Long)] = {
+    val qv = vecs.sortBy(_._1).map { case (id, v) =>
+      id -> SignProjectKernel.normQuant(new GenericArrayData(v.toArray))
+    }
+    val dim = qv.head._2.length
+    var cent: Array[Array[Long]] = qv.take(K).map(_._2.clone()).toArray
+    var ns: Array[Long] = Array.fill(K)(0L)
+    for (_ <- 1 to T) {
+      val asg = qv.map { case (id, q) =>
+        val dists = cent.map(c =>
+          (0 until dim).map { p => val d = q(p) - c(p); d * d }.sum)
+        id -> dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      }
+      val next = Array.tabulate(K) { k =>
+        val members = asg.collect { case (id, `k`) => id }.toSet
+        val qs = qv.collect { case (id, q) if members(id) => q }
+        if (qs.isEmpty) (cent(k), 0L)
+        else (Array.tabulate(dim) { p =>
+          qs.map(q => q(p) + Shift).sum / qs.length - Shift
+        }, qs.length.toLong)
+      }
+      cent = next.map(_._1)
+      ns = next.map(_._2)
+    }
+    (for (k <- 0 until K; p <- 0 until dim)
+      yield (k, p) -> (cent(k)(p), ns(k))).toMap
+  }
+
+  private def engine(vecs: Seq[(Long, Seq[Float])]): Map[(Int, Int), (Long, Long)] =
+    KMeansTrain.train(vecs.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("q118: codebook equals the driver-side Lloyd replay on the real corpus") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    assert(engine(vecs) === replay(vecs))
+  }
+
+  test("q118: well-separated axis groups recover their members and means") {
+    // 8 orthogonal direction groups, 4 vectors each; init ids 0..7
+    // are one vector from each group, so Lloyd must keep each group
+    // intact (orthogonal axes: cross-group distance always larger)
+    val vecs = (for (g <- 0 until 8; j <- 0 until 4) yield {
+      val v = Array.fill(16)(0.01f * (j + 1))
+      v(g) = 1.0f
+      // ids 0..7 = the j=0 representative of each group
+      ((j * 8 + g).toLong, v.toSeq)
+    }).sortBy(_._1)
+    val got = engine(vecs)
+    assert(got === replay(vecs))
+    // every cluster kept exactly its 4 group members
+    (0 until 8).foreach { k => assert(got((k, 0))._2 === 4L, s"cluster $k") }
+  }
+
+  test("q118: clusters that lose every member carry their previous centroid") {
+    // ids 6 and 7 duplicate id 0's vector: the argmin tie-break
+    // (dist, cluster) sends all three to cluster 0, so clusters 6
+    // and 7 go empty and must keep their init centroid with n=0
+    val base = (0 until 6).map { i =>
+      val v = Array.fill(16)(0.05f); v(i) = 1.0f; v.toSeq
+    }
+    val vecs = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      Seq((6L, base(0)), (7L, base(0))) ++
+      (8 until 20).map { i => (i.toLong, base(i % 6)) }
+    val got = engine(vecs)
+    assert(got === replay(vecs))
+    assert(got((6, 0))._2 === 0L)
+    assert(got((7, 0))._2 === 0L)
+    // carried centroid = the quantized init vector (same as cluster 0's init)
+    val q0 = SignProjectKernel.normQuant(
+      new GenericArrayData(base(0).toArray))
+    (0 until 16).foreach { p => assert(got((6, p))._1 === q0(p)) }
+  }
+}

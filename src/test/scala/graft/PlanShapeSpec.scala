@@ -328,6 +328,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Window \\(") === 1, p)
   }
 
+  test("q118: a Lloyd round broadcasts only the codebook; assignment rides the persisted vec_id partitioning") {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, posexplode, row_number}
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val qv = e.select(col("vec_id"),
+        posexplode(graft.functions.NormQuant(col("embedding"))))
+      .select(col("vec_id"), col("pos"), col("col").as("q"))
+      .repartition(col("vec_id")).persist()
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id")).limit(8)
+      .withColumn("cluster", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+        .cast("int"))
+    val cent = qv.join(broadcast(ids), "vec_id")
+      .select(col("cluster"), col("pos"), col("q").as("c"), lit(0L).as("n"))
+      .localCheckpoint(true)
+    val p = graft.operators.KMeansTrain.round(qv, cent)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    qv.unpersist()
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the ONLY broadcast is the K·d codebook into the coordinate scan
+    assert(count(p, "BroadcastHashJoin") === 1, p)
+    // per-vector argmin is a rank-pushdown window, no global sort
+    assert(count(p, "WindowGroupLimit") === 1, p)
+    // assignment re-attach is a shuffled merge riding the persisted
+    // vec_id partitioning; the update + carry shuffle by (cluster,pos)
+    assert(count(p, "SortMergeJoin Inner") === 1, p)
+    assert(count(p, "SortMergeJoin LeftOuter") === 1, p)
+    assert(keyedExchanges(p, "cluster") === 2, p)
+    // the gate query's final frame is the checkpointed codebook —
+    // no iteration lineage survives (the q105 posture)
+    val g = executedPlan("q118_kmeans_train")
+    assert(g.contains("Scan ExistingRDD"), g)
+    assert(!g.contains("Join"), g)
+  }
+
   test("q116: in-batch negatives are joinless — one shard-keyed shuffle, K leads on one window") {
     val p = executedPlan("q116_inbatch_negatives")
     assert(!p.contains("Join"), p) // no join of any kind
