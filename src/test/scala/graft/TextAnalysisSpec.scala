@@ -158,4 +158,39 @@ class TextAnalysisSpec extends SparkSpec {
       assert(fp < 0.05, s"$dir: bloom false-positive doc rate $fp")
     }
   }
+
+  test("q119 vocab coverage: equals the explicit sorted-vocabulary computation") {
+    import spark.implicits._
+    // frequency ties straddle the k=10 cutoff on purpose: 12 types
+    // with count 3 around rank 10 — coverage must not depend on which
+    // of them "rank" inside the cutoff
+    val words =
+      Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+        (0 until 12).flatMap(i => Seq.fill(3)(s"tie$i")) ++
+        (0 until 30).map(i => s"rare$i")
+    val docs = words.grouped(7).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val row = graft.operators.CorpusStats.vocabCoverage(docs).collect().head
+    // explicit replay: sort types by count desc (ties arbitrary — the
+    // claim is the result is identical for ANY tie order)
+    val counts = words.groupBy(identity).map(_._2.size.toLong).toSeq
+      .sorted(Ordering[Long].reverse)
+    val total = counts.sum
+    def covPpm(k: Int): Long = counts.take(k).sum * 1000000L / total
+    def typesTo(target: Long): Long = {
+      var acc = 0L; var n = 0L
+      while (acc < target) { acc += counts(n.toInt); n += 1 }
+      n
+    }
+    assert(row.getAs[Long]("n_types") === counts.size.toLong)
+    assert(row.getAs[Long]("n_tokens") === total)
+    assert(row.getAs[Long]("cov10_ppm") === covPpm(10))
+    assert(row.getAs[Long]("cov100_ppm") === covPpm(100))
+    assert(row.getAs[Long]("types_p50") === typesTo((total + 1) / 2))
+    assert(row.getAs[Long]("types_p90") === typesTo((9 * total + 9) / 10))
+    // cutoffs beyond the vocabulary saturate at full coverage
+    assert(row.getAs[Long]("cov1000_ppm") === 1000000L)
+    assert(row.getAs[Long]("cov10000_ppm") === 1000000L)
+  }
 }
