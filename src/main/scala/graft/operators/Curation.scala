@@ -100,7 +100,47 @@ object Curation {
     "q103_bigram_lm" -> { (s, dir) =>
       bigramSurprisal(Tables.load(s, dir, "documents"))
     },
+
+    // -- q120 DoReMi-style domain reweighting (Xie et al. 2023,
+    //    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    //    Pretraining", made integer-exact and single-pass): each
+    //    source's mixture weight is a uniform floor plus its CLIPPED
+    //    EXCESS surprisal over the corpus mean — domains the corpus
+    //    LM finds hard get upweighted, easy/boilerplate domains decay
+    //    to the floor. The q103 bigram LM stands in for DoReMi's
+    //    proxy-vs-reference loss gap. --
+    "q120_domain_reweight" -> { (s, dir) =>
+      domainReweight(Tables.load(s, dir, "documents"))
+    },
   )
+
+  /** q120: the uniform-mixing floor, in micro-nats (0.1 nat). */
+  private[graft] val ReweightBase = 100000L
+
+  /** DoReMi-lite mixture weights over any documents-shaped frame
+    * (needs `doc_id`, `text`, `source`). Scale shape: rides the q103
+    * surprisal machinery (corpus-scale keyed groupBys), ONE
+    * doc-keyed join attaching sources to scores (both sides corpus-
+    * scale — hinted off broadcast), then everything else lives on the
+    * ≤|sources|-row table: the global mean is derived from the
+    * per-source sums (no second corpus pass), and the weight
+    * normalization is an unpartitioned window over that tiny frame. */
+  private[graft] def domainReweight(d: DataFrame): DataFrame = {
+    val per = bigramSurprisal(d)
+      .select(col("doc_id"), col("mean_surprisal_unats").as("su"))
+    val bySrc = d.select(col("doc_id"), col("source"))
+      .join(per.hint("shuffle_merge"), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("su")).as("ssum"))
+    bySrc
+      .withColumn("mean_unats", expr("ssum div n_docs"))
+      .withColumn("gm", expr("sum(ssum) OVER () div sum(n_docs) OVER ()"))
+      .withColumn("excess_unats", expr("greatest(mean_unats - gm, 0L)"))
+      .withColumn("wraw", col("excess_unats") + lit(ReweightBase))
+      .withColumn("wsum", expr("sum(wraw) OVER ()"))
+      .selectExpr("source", "n_docs", "mean_unats", "excess_unats",
+        "wraw * 1000000 div wsum AS weight_ppm")
+  }
 
   // ---- composable forms (hand-corpus spec seams) -------------------
 
@@ -317,9 +357,50 @@ object Curation {
       |  CAST(sum(s) AS BIGINT) // count(*) AS mean_surprisal_unats
       |FROM per GROUP BY doc_id""".stripMargin
 
+  /** q120: the q103 per-doc chain + source aggregation; the global
+    * mean comes from the per-source sums, exactly as in the engine. */
+  private val oracle120: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |un AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+       |uni AS (SELECT tok, count(*) AS c1 FROM un GROUP BY tok),
+       |vv AS (SELECT count(DISTINCT tok) AS v FROM un),
+       |gi AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+       |  FROM tok),
+       |occ AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS g FROM gi),
+       |big AS (SELECT g, count(*) AS c12 FROM occ GROUP BY g),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(round(ln(CAST(c1 + v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE))
+       |      * 1000000) AS BIGINT) AS s
+       |  FROM occ JOIN big USING (g) JOIN uni ON occ.w1 = uni.tok CROSS JOIN vv),
+       |du AS (
+       |  SELECT doc_id, CAST(sum(s) AS BIGINT) // count(*) AS su
+       |  FROM per GROUP BY doc_id),
+       |bysrc AS (
+       |  SELECT d.source, count(*) AS n_docs, sum(su) AS ssum
+       |  FROM documents d JOIN du USING (doc_id) GROUP BY d.source),
+       |fin AS (
+       |  SELECT source, n_docs, ssum // n_docs AS mean_unats,
+       |    sum(ssum) OVER () // sum(n_docs) OVER () AS gm
+       |  FROM bysrc),
+       |fw AS (
+       |  SELECT source, n_docs, mean_unats,
+       |    greatest(mean_unats - gm, 0) AS excess_unats,
+       |    greatest(mean_unats - gm, 0) + $ReweightBase AS wraw
+       |  FROM fin)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(mean_unats AS BIGINT) AS mean_unats,
+       |  CAST(excess_unats AS BIGINT) AS excess_unats,
+       |  CAST(wraw * 1000000 // sum(wraw) OVER () AS BIGINT) AS weight_ppm
+       |FROM fw""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q100_bm25_topk" -> oracle100,
     "q101_dsir_resample" -> oracle101,
     "q103_bigram_lm" -> oracle103,
+    "q120_domain_reweight" -> oracle120,
   )
 }

@@ -190,4 +190,44 @@ class CurationSpec extends SparkSpec {
     // false-negative guard)
     assert(out.forall { case (a, _, _, n) => cells(a) != cells(n) })
   }
+
+  test("q120 reweighting: identical sources get exactly uniform weights") {
+    import spark.implicits._
+    // four sources with the SAME text multiset: every excess is 0 and
+    // every weight is exactly floor(1e6 / 4)
+    val texts = Seq("alpha beta gamma", "beta gamma delta", "gamma delta alpha")
+    val d = (for (s <- 0 until 4; (t, j) <- texts.zipWithIndex)
+      yield ((s * 10 + j).toLong, s"src$s", t))
+      .toDF("doc_id", "source", "text")
+    val rows = graft.operators.Curation.domainReweight(d).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("src0", "src1", "src2", "src3"))
+    assert(rows.forall(_._2 === 0L), rows.mkString(","))
+    assert(rows.forall(_._3 === 250000L), rows.mkString(","))
+  }
+
+  test("q120 reweighting: the hard domain carries the excess; weights sum to ~1e6") {
+    import spark.implicits._
+    // srcEasy repeats one bigram pattern (high bigram counts -> low
+    // surprisal); srcHard is all unique continuations (every bigram
+    // count 1 -> high surprisal)
+    val easy = (0 until 6).map(i =>
+      (i.toLong, "srcEasy", "the cat sat on the mat the cat sat"))
+    val hard = (0 until 6).map(i =>
+      (100L + i, "srcHard", (0 until 9).map(j => s"w${i}_$j").mkString(" ")))
+    val rows = graft.operators.Curation.domainReweight(
+      (easy ++ hard).toDF("doc_id", "source", "text")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (_, _, exEasy, wEasy) = rows("srcEasy")
+    val (_, _, exHard, wHard) = rows("srcHard")
+    assert(exEasy === 0L) // below the mean: clipped to the floor
+    assert(exHard > 0L)
+    assert(wHard > wEasy)
+    // floors: each weight loses < 1 ppm, so the sum is within n_src
+    val wsum = rows.values.map(_._4).sum
+    assert(wsum <= 1000000L && wsum >= 1000000L - rows.size)
+    // the floor keeps the easy domain in the mix (never zeroed)
+    assert(wEasy > 0L)
+  }
 }

@@ -328,6 +328,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Window \\(") === 1, p)
   }
 
+  test("q120: reweighting rides the q103 joins; windows run on the source-sized table only") {
+    val p = executedPlan("q120_domain_reweight")
+    assert(!p.contains("CartesianProduct"), p)
+    // the one nested loop is the V vocabulary scalar (the q103 guard)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+    // count-table joins + the doc-keyed source attach are all merges
+    assert(count(p, "SortMergeJoin") >= 3, p)
+    // global mean + weight normalization: two windows AFTER the
+    // source groupBy — they see <= |sources| rows, never the corpus
+    assert(count(p, "Window \\(") === 2, p)
+  }
+
   test("q118: a Lloyd round broadcasts only the codebook; assignment rides the persisted vec_id partitioning") {
     import org.apache.spark.sql.functions.{broadcast, col, lit, posexplode, row_number}
     val e = Tables.load(spark, sf0001, "embeddings")
