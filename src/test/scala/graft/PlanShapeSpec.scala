@@ -328,6 +328,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Window \\(") === 1, p)
   }
 
+  test("q121: divergence pair join is the token-keyed merge; count table computed once; dims broadcast") {
+    val p = executedPlan("q121_source_divergence")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly ONE corpus-scale join: the token-keyed pair merge whose
+    // per-key fan-out is <= |sources| (the q98 argument)
+    assert(count(p, "SortMergeJoin") === 1, p)
+    // the (source, token) table is persisted — one aggregation job
+    // feeds all three references
+    assert(p.contains("InMemoryRelation"), p)
+    // totals + entropy dims are |sources|-row broadcasts
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+  }
+
   test("q120: reweighting rides the q103 joins; windows run on the source-sized table only") {
     val p = executedPlan("q120_domain_reweight")
     assert(!p.contains("CartesianProduct"), p)
