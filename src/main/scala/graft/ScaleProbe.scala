@@ -89,6 +89,29 @@ object ScaleProbe {
       }
     }.reduce(_ unionByName _)
 
+  /** Full-text char-bijection null model for CHARACTER-level
+    * fingerprinting (q117/q122): replica r translates the whole text
+    * through a seeded alphabet permutation. A bijective char map
+    * preserves every within-replica shared-substring relation (if A
+    * and B share s, their images share perm(s) — the winnow guarantee
+    * fires identically), while cross-replica 8-gram equality is
+    * destroyed almost surely. Fingerprint hashes change, so per-pair
+    * shared COUNTS can wobble a little — the structure, not the exact
+    * counts, is the invariant. */
+  def permutedDocs(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      val base = docs.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"), col("text"))
+      if (r == 0) base
+      else {
+        val alphabet = "abcdefghijklmnopqrstuvwxyz" +
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + "0123456789"
+        val rng = new scala.util.Random(3000 + r)
+        val perm = rng.shuffle(alphabet.toList).mkString
+        base.withColumn("text", translate(col("text"), alphabet, perm))
+      }
+    }.reduce(_ unionByName _)
+
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -427,6 +450,31 @@ object ScaleProbe {
       (k, nOut)
     }
 
+    // q122 winnow clone candidates (round 7): the pair-join size
+    // AFTER the DfCap hot-fingerprint drop is the real shuffle cost —
+    // it must grow ~linearly because per-key fan-out is capped. Also
+    // recorded: the hot fraction the cap removes (the boilerplate
+    // mass that would otherwise go quadratic).
+    val g122 = scales.map { k =>
+      val docs = permutedDocs(docs0, k).cache()
+      docs.count()
+      val sd = graft.operators.Winnow.selected(docs)
+        .select(col("doc_id"), col("fp")).distinct()
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .cache()
+      val nFp = sd.count()
+      val hot = sd.where(col("df") > graft.operators.Winnow.DfCap).count()
+      val keep = sd.where(col("df") <= graft.operators.Winnow.DfCap)
+      val (cands, t122) = timed(
+        keep.select(col("fp"), col("doc_id").as("a"))
+          .join(keep.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
+          .where(col("a") < col("b")).count())
+      sd.unpersist(); docs.unpersist()
+      println(f"""{"metric":"q122_probe","scale":$k,"distinct_fps":$nFp,"hot_dropped":$hot,"cand_pairs":$cands,"sec":$t122%.2f}""")
+      (k, cands)
+    }
+
     // growth exponent α over the widest span: candidates ∝ n^α
     val (k1, base) = results.head
     val (kN, top) = results.last
@@ -453,8 +501,9 @@ object ScaleProbe {
     val a114o = alphaOf(g114.map(r => (r._1, r._2)))
     val a114v = alphaOf(g114.map(r => (r._1, r._3)))
     val a116o = alphaOf(g116)
+    val a122c = alphaOf(g122)
     println(s"""{"metric":"candidate_growth_exponent","alpha":{${alphas.mkString(",")}},"note":"alpha~1 linear (bucketed), alpha~2 quadratic (all-pairs)"}""")
-    println(f"""{"metric":"r7_probe_exponents","alpha":{"q105_edges":$a105e%.2f,"q105_wall":$a105t%.2f,"q112_occ":$a112o%.2f,"q112_distinct":$a112d%.2f,"q100_match":$a100m%.2f,"q114_occ":$a114o%.2f,"q114_vocab":$a114v%.2f,"q116_out":$a116o%.2f},"note":"q105 wall/edges ~1 linear; q112 distinct << occ and q114 vocab << occ (vocabulary-scale); q100 match ~1 (posting-list-linear); q116 out ~1 joinless"}""")
+    println(f"""{"metric":"r7_probe_exponents","alpha":{"q105_edges":$a105e%.2f,"q105_wall":$a105t%.2f,"q112_occ":$a112o%.2f,"q112_distinct":$a112d%.2f,"q100_match":$a100m%.2f,"q114_occ":$a114o%.2f,"q114_vocab":$a114v%.2f,"q116_out":$a116o%.2f,"q122_cand":$a122c%.2f},"note":"q105 wall/edges ~1 linear; q112 distinct << occ and q114 vocab << occ (vocabulary-scale); q100 match ~1 (posting-list-linear); q116 out ~1 joinless; q122 cand ~1 (DfCap-bounded fan-out)"}""")
     spark.stop()
   }
 }

@@ -112,7 +112,48 @@ object Curation {
     "q120_domain_reweight" -> { (s, dir) =>
       domainReweight(Tables.load(s, dir, "documents"))
     },
+
+    // -- q123 CCNet head/middle/tail perplexity bucketing (Wenzek et
+    //    al. 2020): split the corpus into LM-surprisal terciles —
+    //    'head' (most fluent third) is what CCNet keeps for
+    //    pretraining. Terciles are computed at MILLI-NAT BIN
+    //    granularity: per-doc surprisals collapse onto a bounded bin
+    //    table (≤ ~20k bins for any corpus — the q119 argument), so
+    //    the global-order step never touches a corpus-sized table
+    //    and every doc in a bin gets the same bucket — deterministic
+    //    on any engine and partitioning by construction. --
+    "q123_perplexity_buckets" -> { (s, dir) =>
+      perplexityBuckets(Tables.load(s, dir, "documents"))
+    },
   )
+
+  /** q123: milli-nat bucket width for the tercile bins. */
+  private[graft] val PplBinUnats = 1000L
+
+  /** Head/middle/tail assignment over any documents-shaped frame
+    * (needs `doc_id`, `text`). Docs with < 2 tokens have no bigrams
+    * and drop, exactly as in q103. Scale shape: the q103 chain runs
+    * ONCE into a checkpoint (referenced by the bin table and the
+    * assignment); bins are a tiny groupBy + one ordered cumsum
+    * window; thresholds broadcast as a 1-row dim. */
+  private[graft] def perplexityBuckets(d: DataFrame): DataFrame = {
+    val per = bigramSurprisal(d)
+      .select(col("doc_id"), col("mean_surprisal_unats").as("su"))
+      .localCheckpoint(true)
+    val bins = per.groupBy(expr(s"su div $PplBinUnats").as("b"))
+      .agg(count(lit(1)).as("nb"))
+    val thr = bins
+      .withColumn("cum", expr("sum(nb) OVER (ORDER BY b)"))
+      .withColumn("tot", expr("sum(nb) OVER ()"))
+      .agg(
+        expr("min(CASE WHEN cum >= (tot + 2) div 3 THEN b END)").as("t1"),
+        expr("min(CASE WHEN cum >= (2 * tot + 2) div 3 THEN b END)").as("t2"))
+    per.crossJoin(broadcast(thr))
+      .selectExpr("doc_id", "su AS mean_surprisal_unats",
+        s"CASE WHEN su div $PplBinUnats <= t1 THEN 'head' " +
+          s"WHEN su div $PplBinUnats <= t2 THEN 'middle' " +
+          "ELSE 'tail' END AS ppl_bucket")
+  }
 
   /** q120: the uniform-mixing floor, in micro-nats (0.1 nat). */
   private[graft] val ReweightBase = 100000L
@@ -397,10 +438,46 @@ object Curation {
        |  CAST(wraw * 1000000 // sum(wraw) OVER () AS BIGINT) AS weight_ppm
        |FROM fw""".stripMargin
 
+  /** q123: the q103 per-doc chain + binned tercile thresholds. */
+  private val oracle123: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |un AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+       |uni AS (SELECT tok, count(*) AS c1 FROM un GROUP BY tok),
+       |vv AS (SELECT count(DISTINCT tok) AS v FROM un),
+       |gi AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+       |  FROM tok),
+       |occ AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS g FROM gi),
+       |big AS (SELECT g, count(*) AS c12 FROM occ GROUP BY g),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(round(ln(CAST(c1 + v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE))
+       |      * 1000000) AS BIGINT) AS s
+       |  FROM occ JOIN big USING (g) JOIN uni ON occ.w1 = uni.tok CROSS JOIN vv),
+       |du AS (
+       |  SELECT doc_id, CAST(sum(s) AS BIGINT) // count(*) AS su
+       |  FROM per GROUP BY doc_id),
+       |bins AS (SELECT su // $PplBinUnats AS b, count(*) AS nb FROM du GROUP BY 1),
+       |cw AS (
+       |  SELECT b, sum(nb) OVER (ORDER BY b) AS cum, sum(nb) OVER () AS tot
+       |  FROM bins),
+       |thr AS (
+       |  SELECT min(CASE WHEN cum >= (tot + 2) // 3 THEN b END) AS t1,
+       |    min(CASE WHEN cum >= (2 * tot + 2) // 3 THEN b END) AS t2
+       |  FROM cw)
+       |SELECT doc_id, CAST(su AS BIGINT) AS mean_surprisal_unats,
+       |  CASE WHEN su // $PplBinUnats <= t1 THEN 'head'
+       |    WHEN su // $PplBinUnats <= t2 THEN 'middle'
+       |    ELSE 'tail' END AS ppl_bucket
+       |FROM du, thr""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q100_bm25_topk" -> oracle100,
     "q101_dsir_resample" -> oracle101,
     "q103_bigram_lm" -> oracle103,
     "q120_domain_reweight" -> oracle120,
+    "q123_perplexity_buckets" -> oracle123,
   )
 }

@@ -61,7 +61,56 @@ object Winnow {
     "q117_winnow_fingerprints" -> { (s, dir) =>
       fingerprintProfile(Tables.load(s, dir, "documents"))
     },
+
+    // -- q122 clone-pair extraction, the MOSS match step: document
+    //    pairs sharing >= MinShared winnowed fingerprints, scored by
+    //    fingerprint containment. Fingerprints hotter than DfCap
+    //    documents are dropped BEFORE the pair join (they are
+    //    boilerplate, not clone evidence — and q97/q99 already handle
+    //    boilerplate as spans), which bounds the per-key fan-out so
+    //    candidate pairs stay <= DfCap x corpus — linear, never the
+    //    10M^2 a shared header would otherwise pay. --
+    "q122_winnow_clones" -> { (s, dir) =>
+      clonePairs(Tables.load(s, dir, "documents"))
+    },
   )
+
+  /** q122: document-frequency cap for pair-join fingerprints and the
+    * minimum shared-fingerprint evidence, shared with the oracle. */
+  private[graft] val DfCap = 32
+
+  /** Minimum shared fingerprints to call a pair clone evidence.
+    * Calibrated on the corpus's measured sharing distribution: at
+    * sf0.1 the n_shared quantiles are p50=2, p99=4, p99.9=19 — the
+    * cliff between incidental 11-char phrase sharing and true
+    * near-duplication sits well below 8. */
+  private[graft] val MinShared = 8
+
+  /** Clone pairs over any documents-shaped frame: (doc_a, doc_b,
+    * n_shared, n_a, n_b, containment_ppm). */
+  private[graft] def clonePairs(d: DataFrame): DataFrame = {
+    // distinct fingerprint sets with document frequency, materialized
+    // once (referenced by the per-doc sizes and BOTH pair-join sides)
+    val sdw = selected(d).select(col("doc_id"), col("fp")).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .localCheckpoint(true)
+    val perDoc = sdw.groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+    val keep = sdw.where(col("df") <= DfCap)
+    val pairs = keep.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(keep.select(col("fp"), col("doc_id").as("doc_b"))
+        .hint("shuffle_merge"), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= MinShared)
+    pairs
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("nd").as("n_a"))
+        .hint("shuffle_merge"), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("nd").as("n_b"))
+        .hint("shuffle_merge"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "n_shared", "n_a", "n_b",
+        "n_shared * 1000000 div least(n_a, n_b) AS containment_ppm")
+  }
 
   /** MOSS-style normalization: case-folded alphanumerics only. */
   private def normText(c: Column): Column =
@@ -129,7 +178,9 @@ object Winnow {
   // ---- generated oracle (code-built from the same K/W constants —
   //      the q83/q105 playbook) --------------------------------------
 
-  private def oracle117: String = {
+  /** The shared selection CTE chain (normalize → grams → hashes →
+    * window minima → winnow selection), reused by both oracles. */
+  private def selCtes: String = {
     val lcols = (1 until WinnowW).map(o =>
       s"    min(fp) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN " +
         s"$o PRECEDING AND 1 PRECEDING) AS l$o").mkString(",\n")
@@ -160,7 +211,11 @@ object Winnow {
        |  FROM fps),
        |sel AS (
        |  SELECT doc_id, p, fp FROM wn
-       |  WHERE $conds),
+       |  WHERE $conds)""".stripMargin
+  }
+
+  private def oracle117: String =
+    s"""$selCtes,
        |sd AS (SELECT DISTINCT doc_id, fp FROM sel),
        |dfq AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM sd),
        |per AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id),
@@ -178,9 +233,27 @@ object Winnow {
        |FROM bs b
        |LEFT JOIN per USING (doc_id)
        |LEFT JOIN ds USING (doc_id)""".stripMargin
-  }
+
+  private def oracle122: String =
+    s"""$selCtes,
+       |sd AS (SELECT DISTINCT doc_id, fp FROM sel),
+       |dfq AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM sd),
+       |perd AS (SELECT doc_id, count(*) AS nd FROM sd GROUP BY doc_id),
+       |keep AS (SELECT doc_id, fp FROM dfq WHERE df <= $DfCap),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |fl AS (SELECT * FROM pr WHERE n_shared >= $MinShared)
+       |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       |  CAST(na.nd AS BIGINT) AS n_a, CAST(nb.nd AS BIGINT) AS n_b,
+       |  CAST(n_shared * 1000000 // least(na.nd, nb.nd) AS BIGINT) AS containment_ppm
+       |FROM fl
+       |JOIN perd na ON na.doc_id = fl.doc_a
+       |JOIN perd nb ON nb.doc_id = fl.doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q117_winnow_fingerprints" -> oracle117,
+    "q122_winnow_clones" -> oracle122,
   )
 }

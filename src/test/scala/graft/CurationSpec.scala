@@ -191,6 +191,53 @@ class CurationSpec extends SparkSpec {
     assert(out.forall { case (a, _, _, n) => cells(a) != cells(n) })
   }
 
+  test("q123 bucketing: well-separated surprisal levels split into exact terciles") {
+    import spark.implicits._
+    // three fluency levels, three docs each: repetitive (low
+    // surprisal), mixed, all-unique continuations (high)
+    val docs =
+      (0 until 3).map(i => (i.toLong, "a b a b a b a b a b")) ++
+      (0 until 3).map(i => (10L + i, s"c$i d e f g c$i d e")) ++
+      (0 until 3).map(i => (20L + i, (0 until 8).map(j => s"u${i}_$j").mkString(" ")))
+    val rows = graft.operators.Curation.perplexityBuckets(
+      docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket("head") === Set(0L, 1L, 2L))
+    assert(byBucket("middle") === Set(10L, 11L, 12L))
+    assert(byBucket("tail") === Set(20L, 21L, 22L))
+    // bucket order tracks surprisal order
+    val su = rows.map(r => r._1 -> r._2).toMap
+    assert(su(0L) < su(10L) && su(10L) < su(20L))
+  }
+
+  test("q123 bucketing: docs in the same bin share a bucket even across the n/3 boundary") {
+    import spark.implicits._
+    // four identical docs (one bin) + two harder docs: ceil(6/3) = 2
+    // would split the identical four, but bin-granularity terciles
+    // keep them together in 'head'
+    val docs =
+      (0 until 4).map(i => (i.toLong, "x y x y x y")) ++
+      Seq((10L, "p0 q0 r0 s0 t0"), (11L, "p1 q1 r1 s1 t1"))
+    val rows = graft.operators.Curation.perplexityBuckets(
+      docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((0 until 4).forall(i => rows(i.toLong) === "head"), rows)
+  }
+
+  test("q123 bucketing: real corpus terciles are populated and ordered") {
+    val rows = SparkEntry.queries("q123_perplexity_buckets")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    val grouped = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(grouped.keySet === Set("head", "middle", "tail"))
+    def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    assert(mean(grouped("head")) < mean(grouped("middle")))
+    assert(mean(grouped("middle")) < mean(grouped("tail")))
+    // tercile balance at bin granularity: head holds at least a third
+    val n = rows.length
+    assert(grouped("head").size >= (n + 2) / 3 - 1)
+  }
+
   test("q120 reweighting: identical sources get exactly uniform weights") {
     import spark.implicits._
     // four sources with the SAME text multiset: every excess is 0 and

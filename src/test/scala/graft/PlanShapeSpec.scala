@@ -328,6 +328,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Window \\(") === 1, p)
   }
 
+  test("q123: bucketing reads the checkpointed surprisal table; thresholds are a 1-row broadcast dim") {
+    val p = executedPlan("q123_perplexity_buckets")
+    // the q103 chain ran once into the checkpoint; assignment is the
+    // corpus scan x the broadcast threshold scalar
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    // the tercile windows run after the bin groupBy — tiny table
+    assert(count(p, "Window \\(") === 2, p)
+  }
+
+  test("q122: clone pair join reads the checkpointed fingerprint table; nothing corpus-scale broadcasts") {
+    val p = executedPlan("q122_winnow_clones")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // the winnow selection + df window ran ONCE into the checkpoint;
+    // the plan holds only the fp-keyed pair merge (fan-out <= DfCap)
+    // and the two per-doc size attaches
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(count(p, "SortMergeJoin Inner") === 3, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q121: divergence pair join is the token-keyed merge; count table computed once; dims broadcast") {
     val p = executedPlan("q121_source_divergence")
     assert(!p.contains("CartesianProduct"), p)

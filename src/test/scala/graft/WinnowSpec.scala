@@ -97,6 +97,48 @@ class WinnowSpec extends SparkSpec {
     assert(rows(2L)._2 === 1L)
   }
 
+  test("q122: clone pairs equal a brute-force set-intersection replay") {
+    val rnd = new scala.util.Random(122)
+    val sharedBlock = rnd.alphanumeric.take(300).mkString
+    val docs = (1L to 12L).map { id =>
+      // docs 1-4 are near-clones (same big block + tiny unique tail);
+      // 5-12 are unrelated random text
+      if (id <= 4) (id, s"$sharedBlock tail$id ${rnd.alphanumeric.take(20).mkString}")
+      else (id, rnd.alphanumeric.take(320).mkString)
+    }
+    val got = Winnow.clonePairs(docs.toSeq.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // brute replay with the same cap + threshold
+    val sets = docs.map { case (id, t) => id -> brute(t).map(_._2).toSet }.toMap
+    val dfc = sets.values.toSeq.flatMap(_.toSeq).groupBy(identity)
+      .map { case (f, o) => f -> o.size }
+    val kept = sets.map { case (id, s) =>
+      id -> s.filter(f => dfc(f) <= Winnow.DfCap) }
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      sh = (kept(a) & kept(b)).size if sh >= Winnow.MinShared
+    } yield (a, b) -> (sh.toLong, sets(a).size.toLong, sets(b).size.toLong,
+      sh.toLong * 1000000L / math.min(sets(a).size, sets(b).size))).toMap
+    assert(got === want)
+    // the clone cluster is fully detected, nothing else
+    assert(got.keySet === (for (a <- 1L to 4L; b <- 1L to 4L if a < b)
+      yield (a, b)).toSet)
+    got.values.foreach { case (_, _, _, cont) => assert(cont > 500000L) }
+  }
+
+  test("q122: fingerprints hotter than DfCap never create pairs") {
+    val rnd = new scala.util.Random(1222)
+    val boiler = rnd.alphanumeric.take(40).mkString
+    // DfCap+4 docs share ONE boilerplate chunk; each body is unique
+    // noise, so the only shared fingerprints are boilerplate-hot and
+    // must be dropped before the pair join
+    val docs = (1L to (Winnow.DfCap + 4).toLong).map(id =>
+      (id, s"${rnd.alphanumeric.take(200).mkString} $boiler"))
+    val got = Winnow.clonePairs(docs.toSeq.toDF("doc_id", "text")).collect()
+    assert(got.isEmpty, got.mkString(","))
+  }
+
   test("corpus invariants: selections per doc bounded by window count") {
     val prof = Winnow.fingerprintProfile(
       Tables.load(spark, sf0001, "documents"))
