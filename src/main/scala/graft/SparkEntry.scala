@@ -42,6 +42,7 @@ object SparkEntry {
       (Winnow.queries, Winnow.oracles),
       (KMeansTrain.queries, KMeansTrain.oracles),
       (Profiling.queries, Profiling.oracles),
+      (DupCoverage.queries, DupCoverage.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

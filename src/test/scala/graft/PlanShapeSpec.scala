@@ -509,6 +509,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window "), p) // no window at all in this shape
   }
 
+  test("q124: coverage is all doc-keyed — window counts (no gram-keyed join), merge joins, zero broadcasts") {
+    val p = executedPlan("q124_dup_ngram_coverage")
+    assert(!p.contains("CartesianProduct"), p)
+    // every join side is corpus-scale and hinted off broadcast
+    assert(count(p, "BroadcastHashJoin") === 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, p)
+    // within-doc gram counting is a WINDOW riding the doc_id exchange
+    // (one per n) — a hot boilerplate gram never becomes a shuffle key
+    assert(count(p, "Window \\(") === 2, p)
+    // all shuffles are doc_id-prefixed (window reuse + length joins +
+    // coverage aggs + base agg)
+    assert(keyedExchanges(p, "doc_id") <= 9, p)
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")
