@@ -43,6 +43,7 @@ object SparkEntry {
       (KMeansTrain.queries, KMeansTrain.oracles),
       (Profiling.queries, Profiling.oracles),
       (DupCoverage.queries, DupCoverage.oracles),
+      (LexicalStats.queries, LexicalStats.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

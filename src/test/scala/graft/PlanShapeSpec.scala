@@ -523,6 +523,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(keyedExchanges(p, "doc_id") <= 9, p)
   }
 
+  test("q126: vocab-keyed count joins, scalar broadcasts, top-100 is TakeOrdered") {
+    val p = executedPlan("q126_pmi_collocations")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort
+    assert(count(p, "SortMergeJoin") === 2, p)     // the two unigram attaches
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p) // N, Nb scalars
+  }
+
+  test("q128: regression runs on the strip explode — one class-table window, no vocab sort, no joins") {
+    val p = executedPlan("q128_zipf_fit")
+    assert(count(p, "Window \\(") === 1, p)  // √-sized class offsets only
+    assert(count(p, "Sort \\(") <= 1, p)     // its sort — never the vocabulary
+    assert(count(p, "SortMergeJoin") === 0, p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p) // n_tokens scalar
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")
