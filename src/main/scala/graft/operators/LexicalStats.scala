@@ -35,6 +35,12 @@ object LexicalStats {
   private[graft] val SlopeShift = 10000000L   // |slope| < 10
   private[graft] val InterceptShift = 1000000000L
 
+  /** q125 constants: checkpoint count. Checkpoints are doc-id
+    * thresholds at fraction j²/C² of the id range — quadratic spacing
+    * is denser early, where the log-log growth curve bends, and needs
+    * only integer multiply/divide (no cross-engine shift operators). */
+  private[graft] val HeapsC = 12
+
   val queries: Map[String, Q] = Map(
     // -- q126: top-100 adjacent-bigram collocations by pointwise
     //    mutual information, count floor 5. PMI compares the bigram's
@@ -50,6 +56,18 @@ object LexicalStats {
     //    (driver state bounded at any corpus size). --
     "q126_pmi_collocations" -> { (s, dir) =>
       pmi(Tables.load(s, dir, "documents"))
+    },
+    // -- q125: Heaps'-law vocabulary-growth fit, V(N) ≈ K·N^β — the
+    //    companion diagnostic to q128 (natural text: β ≈ 0.4–0.6;
+    //    templated/duplicated corpora flatten sharply). Growth is
+    //    measured at C=12 bounded checkpoints, so there is NO global
+    //    prefix scan and NO corpus-wide sort anywhere: each
+    //    checkpoint's token count and new-type count are conditional
+    //    aggregations against a 12-row broadcast dim, and the j=C
+    //    checkpoint (fraction exactly 1) doubles as the corpus-total
+    //    row for free. --
+    "q125_heaps_fit" -> { (s, dir) =>
+      heaps(Tables.load(s, dir, "documents"))
     },
     "q128_zipf_fit" -> { (s, dir) =>
       zipf(Tables.load(s, dir, "documents"))
@@ -89,6 +107,69 @@ object LexicalStats {
       top.withColumn("rank", row_number().over(
         Window.orderBy(col("pmi_unats").desc, col("w1"), col("w2")))
         .cast("long"))
+  }
+
+  /** q125 over any (doc_id, text) frame — exposed for the spec's
+    * replay. Scale shape: one doc-keyed groupBy (per-doc token
+    * counts), one token-keyed groupBy (first-seen doc per type) —
+    * the only corpus-scale shuffles; the checkpoint dim is 12 rows
+    * broadcast into both (the ≤-join is a bounded-fan-out BNLJ by
+    * construction), each groupBy(j) collapses map-side to ≤ 12 rows,
+    * and the regression runs on ≤ 12 points. Growth points are
+    * DISTINCT (x, y): duplicate thresholds (tiny id ranges) collapse
+    * instead of over-weighting the fit, identically on both engines.
+    * A degenerate single-point corpus yields a 0 denominator →
+    * nullif makes both engines return NULL rather than one erroring. */
+  private[graft] def heaps(d: DataFrame): DataFrame = {
+      val toks = d.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      val perdoc = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nt"))
+      val firstdoc = toks.groupBy(col("tok"))
+        .agg(min(col("doc_id")).as("fd"))
+      // bounds read ONLY doc_id from the raw table — no tokenize scan
+      // (perdoc/firstdoc each then scan the corpus exactly once)
+      val cps = d
+        .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+        .selectExpr(s"explode(sequence(1L, ${HeapsC}L)) AS j",
+          "dmin", "dmax")
+        .selectExpr("j",
+          s"dmin + ((dmax - dmin) * j * j) div ${HeapsC.toLong * HeapsC} AS thr")
+      val nj = perdoc.join(broadcast(cps), col("doc_id") <= col("thr"))
+        .groupBy(col("j"))
+        .agg(sum(col("nt")).as("n"), count(lit(1)).as("dd"))
+      val vj = firstdoc.join(
+          broadcast(cps).select(col("j").as("j2"), col("thr").as("t2")),
+          col("fd") <= col("t2"))
+        .groupBy(col("j2")).agg(count(lit(1)).as("v"))
+      // ≤ C rows, referenced by BOTH pts and the totals row — the
+      // checkpoint stops the plan re-deriving the two corpus scans
+      // for the totals branch (house rule: cut multiply-referenced
+      // expensive lineage)
+      val joined = nj.join(vj, col("j") === col("j2"))
+        .filter(col("n") > 0 && col("v") > 0)
+        .localCheckpoint(true)
+      val pts = joined.selectExpr(
+        "CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS x",
+        "CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS y")
+        .distinct()
+      val ag = pts.agg(
+        count(lit(1)).cast("decimal(38,0)").as("np"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"))
+      val tot = joined.filter(col("j") === HeapsC)
+        .selectExpr("CAST(dd AS BIGINT) AS d_docs",
+          "CAST(n AS BIGINT) AS n_tokens", "CAST(v AS BIGINT) AS v_types")
+      ag.crossJoin(broadcast(tot))
+        .selectExpr("np", "sx", "sy", "d_docs", "n_tokens", "v_types",
+          s"""((np * sxy - sx * sy) * 1000000 + $SlopeShift * nullif(np * sxx - sx * sx, 0))
+             |  div nullif(np * sxx - sx * sx, 0) - $SlopeShift AS heaps_beta_micro""".stripMargin)
+        .selectExpr("CAST(np AS BIGINT) AS n_points",
+          "d_docs", "n_tokens", "v_types", "heaps_beta_micro",
+          s"""((sy * 1000000 - heaps_beta_micro * sx) + $InterceptShift * (np * 1000000))
+             |  div (np * 1000000) - $InterceptShift AS heaps_lnk_unats""".stripMargin)
   }
 
     // -- q128: least-squares fit of ln(freq) on ln(rank) over the
@@ -171,6 +252,54 @@ object LexicalStats {
        |        ORDER BY pmi_unats DESC, w1, w2) AS rank FROM p)
        |WHERE rank <= $PmiTop""".stripMargin
 
+  private def oracle125: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |  FROM documents),
+       |perdoc AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+       |firstdoc AS (SELECT tok, min(doc_id) AS fd FROM tok GROUP BY tok),
+       |bounds AS (
+       |  SELECT min(doc_id) AS dmin, max(doc_id) AS dmax FROM documents),
+       |cps AS (
+       |  SELECT j, dmin + ((dmax - dmin) * j * j) // ${HeapsC.toLong * HeapsC} AS thr
+       |  FROM (SELECT unnest(generate_series(CAST(1 AS BIGINT),
+       |          CAST($HeapsC AS BIGINT))) AS j)
+       |  CROSS JOIN bounds),
+       |nj AS (
+       |  SELECT j, CAST(sum(nt) AS BIGINT) AS n, count(*) AS dd
+       |  FROM perdoc JOIN cps ON doc_id <= thr GROUP BY j),
+       |vj AS (
+       |  SELECT j AS j2, count(*) AS v
+       |  FROM firstdoc JOIN cps ON fd <= thr GROUP BY j),
+       |joined AS (
+       |  SELECT * FROM nj JOIN vj ON nj.j = vj.j2
+       |  WHERE n > 0 AND v > 0),
+       |pts AS (
+       |  SELECT DISTINCT
+       |    CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+       |    CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS y
+       |  FROM joined),
+       |ag AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS np,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+       |  FROM pts),
+       |tot AS (
+       |  SELECT CAST(dd AS BIGINT) AS d_docs, CAST(n AS BIGINT) AS n_tokens,
+       |    CAST(v AS BIGINT) AS v_types
+       |  FROM joined WHERE j = $HeapsC),
+       |sl AS (
+       |  SELECT np, sx, sy, d_docs, n_tokens, v_types,
+       |    ((np * sxy - sx * sy) * 1000000 + $SlopeShift * nullif(np * sxx - sx * sx, 0))
+       |      // nullif(np * sxx - sx * sx, 0) - $SlopeShift AS beta
+       |  FROM ag CROSS JOIN tot)
+       |SELECT CAST(np AS BIGINT) AS n_points, d_docs, n_tokens, v_types,
+       |  CAST(beta AS BIGINT) AS heaps_beta_micro,
+       |  CAST(((sy * 1000000 - beta * sx) + $InterceptShift * (np * 1000000))
+       |    // (np * 1000000) - $InterceptShift AS BIGINT) AS heaps_lnk_unats
+       |FROM sl""".stripMargin
+
   private def oracle128: String =
     s"""WITH tokx AS (
        |  SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
@@ -212,6 +341,7 @@ object LexicalStats {
        |FROM sl""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q125_heaps_fit" -> oracle125,
     "q126_pmi_collocations" -> oracle126,
     "q128_zipf_fit" -> oracle128,
   )

@@ -99,4 +99,89 @@ class LexicalStatsSpec extends SparkSpec {
     assert(got === bruteZipf(texts))
     assert(got._1 === 65601L) // 65600 hapax + 1 repeated type
   }
+
+  // ---- q125 ---------------------------------------------------------
+
+  /** BigInt replay of the growth fit: quadratic doc-id thresholds,
+    * conditional N/V counts, DISTINCT quantized points, shift-guarded
+    * closed-form regression (None when the denominator degenerates). */
+  private def bruteHeaps(docs: Seq[(Long, String)])
+      : (Long, Long, Long, Long, Option[Long], Option[Long]) = {
+    val C = LexicalStats.HeapsC.toLong
+    val tok = docs.map { case (id, t) => (id, t.split("\\s+").toSeq) }
+    val dmin = docs.map(_._1).min
+    val dmax = docs.map(_._1).max
+    val thr = (1L to C).map(j => dmin + ((dmax - dmin) * j * j) / (C * C))
+    val first = tok.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1).map { case (_, o) => o.map(_._2).min }.toSeq
+    val raw = thr.map { th =>
+      (tok.filter(_._1 <= th).map(_._2.size.toLong).sum,
+        first.count(_ <= th).toLong)
+    }.filter(p => p._1 > 0 && p._2 > 0)
+    val pts = raw.map { case (n, v) =>
+      (math.round(math.log(n.toDouble) * 1000000),
+        math.round(math.log(v.toDouble) * 1000000))
+    }.distinct
+    val np = BigInt(pts.size)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val den = np * sxx - sx * sx
+    val beta =
+      if (den == 0) None
+      else Some((((np * sxy - sx * sy) * 1000000 +
+        BigInt(LexicalStats.SlopeShift) * den) / den -
+        LexicalStats.SlopeShift).toLong)
+    val lnk = beta.map(b => ((sy * 1000000 - BigInt(b) * sx +
+      BigInt(LexicalStats.InterceptShift) * (np * 1000000)) /
+      (np * 1000000) - LexicalStats.InterceptShift).toLong)
+    (pts.size.toLong, docs.size.toLong,
+      tok.map(_._2.size.toLong).sum, first.size.toLong, beta, lnk)
+  }
+
+  private def heapsRow(docs: Seq[(Long, String)])
+      : (Long, Long, Long, Long, Option[Long], Option[Long]) = {
+    import spark.implicits._
+    val r = LexicalStats.heaps(docs.toDF("doc_id", "text")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)),
+      if (r.isNullAt(5)) None else Some(r.getLong(5)))
+  }
+
+  test("q125 matches the BigInt replay on a growing-vocabulary corpus, with positive beta") {
+    // each doc re-uses a small core and introduces 3 fresh types —
+    // sublinear but genuinely growing vocabulary (Heaps regime)
+    val core = Seq("the", "of", "and", "data", "spark")
+    val docs = (0L until 40L).map { i =>
+      val fresh = (0 until 3).map(k => s"u${i}_$k")
+      val pad = (0 until 8).map(j => core(((i + j) % core.size).toInt))
+      (i, (pad ++ fresh ++ pad).mkString(" "))
+    }
+    val got = heapsRow(docs)
+    assert(got === bruteHeaps(docs))
+    assert(got._5.get > 0, "vocabulary must grow: beta > 0")
+    assert(got._2 === 40L && got._4 === 5L + 40L * 3)
+  }
+
+  test("q125 sparse/shuffled doc ids: thresholds follow the id range, not ordinals") {
+    val docs = Seq(7L, 900L, 13L, 512L, 8191L, 4096L, 77L, 2048L).zipWithIndex
+      .map { case (id, i) => (id, (0 to i).map(k => s"w${id}_$k").mkString(" ")) }
+    assert(heapsRow(docs) === bruteHeaps(docs))
+  }
+
+  test("q125 constant-vocabulary corpus fits beta = 0") {
+    val docs = (0L until 20L).map(i => (i, "alpha beta gamma alpha"))
+    val got = heapsRow(docs)
+    assert(got === bruteHeaps(docs))
+    assert(got._5 === Some(0L))
+    assert(got._4 === 3L)
+  }
+
+  test("q125 single-doc corpus degenerates to one point and NULL fit on both engines") {
+    val docs = Seq((5L, "a b c a"))
+    val got = heapsRow(docs)
+    assert(got === bruteHeaps(docs))
+    assert(got._1 === 1L && got._5 === None && got._6 === None)
+  }
 }

@@ -523,6 +523,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(keyedExchanges(p, "doc_id") <= 9, p)
   }
 
+  test("q125: regression rides the 12-row checkpoint — no corpus operator in the final plan") {
+    val p = executedPlan("q125_heaps_fit")
+    // growth points + totals both derive from the localCheckpoint'd
+    // ≤C-row joined table (the corpus is tokenized exactly twice, at
+    // construction); the final plan is regression + one broadcast cross
+    assert(!p.contains("Scan parquet"), p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 1, p) // totals row
+    assert(count(p, "SortMergeJoin") === 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q126: vocab-keyed count joins, scalar broadcasts, top-100 is TakeOrdered") {
     val p = executedPlan("q126_pmi_collocations")
     assert(!p.contains("CartesianProduct"), p)
