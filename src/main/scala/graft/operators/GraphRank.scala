@@ -62,6 +62,11 @@ object GraphRank {
   private[graft] val PrUnit = 1000000L
   private[graft] val PrTop = 500
 
+  /** q127 constants: K HITS iterations, micro-unit scale, top-N per
+    * role. */
+  private[graft] val HitsIters = 4
+  private[graft] val HitsTop = 100
+
   val queries: Map[String, Q] = Map(
     // -- K=5 integer-exact damped random-walk iterations over the
     //    distinct customer↔supplier trade graph; output the top-500
@@ -73,6 +78,18 @@ object GraphRank {
         .limit(PrTop)
       top.withColumn("rank", row_number().over(
         Window.orderBy(col("rank_unit").desc, col("node_id"))).cast("long"))
+    },
+    // -- q127: HITS hubs & authorities (Kleinberg 1999) on the
+    //    DIRECTED customer→supplier trade graph — hubs are the big
+    //    diversified buyers, authorities the widely-bought-from
+    //    suppliers (the link-graph quality signal crawl curation
+    //    uses beside PageRank; OPIC/harmonic variants ship in every
+    //    crawl frontier). Integer-exact: scores in micro-units,
+    //    re-normalized each half-step by the exact MAX (all values
+    //    positive, so truncating and flooring division agree) — no
+    //    doubles, bit-stable on any partitioning. Top-100 per role. --
+    "q127_hits_rank" -> { (s, dir) =>
+      hits(Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem"))
     },
   )
 
@@ -125,6 +142,63 @@ object GraphRank {
       .selectExpr("node", "d", s"150000L + (85L * s) div 100L AS r")
   }
 
+  /** q127 full frame: (role, entity_id, score_unit, rank ≤ HitsTop).
+    *
+    * Scale shape: the distinct edge list is built once and persisted
+    * TWICE — partitioned by customer (feeds the authority half-step's
+    * hub-contribution join) and by supplier (feeds the hub
+    * half-step's authority join) — so each of the K iterations
+    * shuffles only node-sized score tables against a reused edge
+    * exchange: one equi-join + one keyed groupBy per half-step,
+    * O(E) per round. The per-step max is a 1-row broadcast dim; both
+    * role tops compile to TakeOrderedAndProject (driver state 2·N
+    * rows bounded at 2·HitsTop). The RAW half-step sums are
+    * localCheckpoint'd (house rule: cut the iterate's lineage) and
+    * the max-normalization is derived off the checkpoint — the max
+    * is a node-sized scan, not a second run of the edge join. */
+  private[graft] def hits(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e0 = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        col("l_suppkey").cast("long").as("s"))
+      .distinct()
+    val eByC = e0.repartition(col("c")).persist()
+    val eByS = e0.repartition(col("s")).persist()
+    var hubs = eByC.select(col("c")).distinct()
+      .select(col("c"), lit(PrUnit).as("h"))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      // checkpoint the RAW sums, then normalize off the checkpoint:
+      // the un-normalized ar subtree feeds both the max aggregate and
+      // the output, so without the cut the edge join would execute
+      // TWICE per half-step (measured: 9.3 s → 5 s at sf0.1)
+      val ar = eByC.join(hubs.hint("shuffle_merge"), "c")
+        .groupBy(col("s")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint(true)
+      auths = ar.crossJoin(broadcast(ar.agg(max(col("ar")).as("amax"))))
+        .selectExpr("s", s"(ar * $PrUnit) div amax AS a")
+      val hr = eByS.join(auths.hint("shuffle_merge"), "s")
+        .groupBy(col("c")).agg(sum(col("a")).as("hr"))
+        .localCheckpoint(true)
+      hubs = hr.crossJoin(broadcast(hr.agg(max(col("hr")).as("hmax"))))
+        .selectExpr("c", s"(hr * $PrUnit) div hmax AS h")
+    }
+    eByC.unpersist()
+    eByS.unpersist()
+    val aTop = auths
+      .select(lit("authority").as("role"), col("s").as("entity_id"),
+        col("a").as("score_unit"))
+      .orderBy(col("score_unit").desc, col("entity_id")).limit(HitsTop)
+    val hTop = hubs
+      .select(lit("hub").as("role"), col("c").as("entity_id"),
+        col("h").as("score_unit"))
+      .orderBy(col("score_unit").desc, col("entity_id")).limit(HitsTop)
+    aTop.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_unit").desc, col("entity_id"))).cast("long"))
+      .unionAll(hTop.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_unit").desc, col("entity_id"))).cast("long")))
+  }
+
   // ---- code-generated DuckDB oracle (same constants, unrolled) -----
 
   private def oracle105: String = {
@@ -156,7 +230,46 @@ object GraphRank {
        |WHERE rank <= $PrTop""".stripMargin
   }
 
+  private def oracle127: String = {
+    // Each half-step CTE is referenced twice (its max's scalar
+    // subquery + the next step's join): MATERIALIZED, or DuckDB's
+    // inliner doubles the tree per half-step — 8 half-steps deep it
+    // never returns (the q104 CTE-materialization lesson again).
+    val iters = (1 to HitsIters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT s, CAST(sum(h) AS BIGINT) AS ar
+         |  FROM e JOIN h${i - 1} USING (c) GROUP BY s),
+         |a$i AS MATERIALIZED (
+         |  SELECT s, CAST((ar * $PrUnit) // (SELECT max(ar) FROM ar$i) AS BIGINT) AS a
+         |  FROM ar$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT c, CAST(sum(a) AS BIGINT) AS hr
+         |  FROM e JOIN a$i USING (s) GROUP BY c),
+         |h$i AS MATERIALIZED (
+         |  SELECT c, CAST((hr * $PrUnit) // (SELECT max(hr) FROM hr$i) AS BIGINT) AS h
+         |  FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+       |    CAST(l_suppkey AS BIGINT) AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT c, CAST($PrUnit AS BIGINT) AS h FROM e),
+       |$iters
+       |SELECT role, entity_id, score_unit, CAST(rank AS BIGINT) AS rank
+       |FROM (
+       |  SELECT 'authority' AS role, s AS entity_id, a AS score_unit,
+       |    row_number() OVER (ORDER BY a DESC, s) AS rank FROM a$HitsIters)
+       |WHERE rank <= $HitsTop
+       |UNION ALL
+       |SELECT role, entity_id, score_unit, CAST(rank AS BIGINT) AS rank
+       |FROM (
+       |  SELECT 'hub' AS role, c AS entity_id, h AS score_unit,
+       |    row_number() OVER (ORDER BY h DESC, c) AS rank FROM h$HitsIters)
+       |WHERE rank <= $HitsTop""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q105_graph_rank" -> oracle105,
+    "q127_hits_rank" -> oracle127,
   )
 }

@@ -64,6 +64,54 @@ class GraphRankSpec extends SparkSpec {
     (1L to 6L).foreach(c => assert(hub > ranks(2 * c), s"hub vs customer $c"))
   }
 
+  /** Driver-side replica of q127's integer HITS half-steps: sum the
+    * opposite role's score over the distinct edge list, then
+    * re-normalize by the exact max in micro-units (all positive, so
+    * Long `/` is the same floor division both engines use). */
+  private def replayHits(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val e = edges.distinct
+    var h: Map[Long, Long] = e.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var a: Map[Long, Long] = Map.empty
+    for (_ <- 1 to iters) {
+      val ar = e.groupBy(_._2).map { case (s, es) =>
+        s -> es.map(x => h(x._1)).sum
+      }
+      val amax = ar.values.max
+      a = ar.map { case (s, v) => s -> (v * 1000000L) / amax }
+      val hr = e.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(x => a(x._2)).sum
+      }
+      val hmax = hr.values.max
+      h = hr.map { case (c, v) => c -> (v * 1000000L) / hmax }
+    }
+    (h, a)
+  }
+
+  test("q127: HITS scores are exactly the driver-side integer replay") {
+    // c1 buys from s10,s11,s12; c2 from s10; c3 from s10,s11 — plus a
+    // duplicate trade that distinct() must drop
+    val trades = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L),
+      (3L, 10L), (3L, 11L), (3L, 11L))
+    val (orders, lineitem) = handFrames(trades)
+    val got = GraphRank.hits(orders, lineitem).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (h, a) = replayHits(trades, GraphRank.HitsIters)
+    val gotA = got.filter(_._1 == "authority").map(r => r._2 -> r._3).toMap
+    val gotH = got.filter(_._1 == "hub").map(r => r._2 -> r._3).toMap
+    assert(gotA === a)
+    assert(gotH === h)
+    // ranks are dense 1..N per role, ordered by (score desc, id)
+    val aRanks = got.filter(_._1 == "authority")
+      .sortBy(r => (-r._3, r._2)).map(_._4)
+    assert(aRanks.toSeq === (1L to aRanks.length))
+    // the widely-bought supplier is the top authority at max scale
+    assert(got.filter(_._1 == "authority").minBy(_._4)._2 === 10L)
+    assert(gotA(10L) === 1000000L)
+    // the most diversified buyer is the top hub
+    assert(got.filter(_._1 == "hub").minBy(_._4)._2 === 1L)
+  }
+
   test("q105: iteration step never broadcasts a node-sized table") {
     val edges = Seq((2L, 21L), (21L, 2L)).toDF("src", "dst")
     val deg = Seq((2L, 1L), (21L, 1L)).toDF("node", "d")

@@ -441,6 +441,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q127: both role tops are TakeOrdered over the checkpointed half-step scores — no residual iteration lineage") {
+    val p = executedPlan("q127_hits_rank")
+    assert(count(p, "TakeOrderedAndProject") === 2, p) // one per role
+    assert(p.contains("Scan ExistingRDD"), p) // the localCheckpoint'd iterates
+    assert(p.contains("Union"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q106: projection is the codegen kernel in the scan stage; the fixed panel broadcasts; the only shuffle is the q_id window") {
     val p = executedPlan("q106_jl_topk")
     assert(p.toLowerCase.contains("normsignprojectexpr"), p) // fused codegen kernel
