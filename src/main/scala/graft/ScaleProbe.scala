@@ -330,9 +330,16 @@ object ScaleProbe {
         .select(col("o_custkey"), col("l_suppkey")).distinct().count()
       val (nNodes, t105) = timed(
         graft.operators.GraphRank.centrality(ord, li).count())
+      // q127 HITS on the same replicated frames: same claim (O(E) per
+      // half-step over the twice-partitioned edge list), same
+      // disjoint-copy null model — replica max-normalization is
+      // per-copy identical, so scores replicate exactly too.
+      val (nHits, t127) = timed(
+        graft.operators.GraphRank.hits(ord, li).count())
       ord.unpersist(); li.unpersist()
       println(f"""{"metric":"q105_probe","scale":$k,"n_edges":$nEdges,"n_nodes":$nNodes,"sec":$t105%.2f}""")
-      (k, nEdges, t105)
+      println(f"""{"metric":"q127_probe","scale":$k,"n_edges":$nEdges,"out_rows":$nHits,"sec":$t127%.2f}""")
+      (k, nEdges, t105, t127)
     }
 
     // q112 stupid backoff: EXACT replication (no renaming — the one
@@ -492,7 +499,11 @@ object ScaleProbe {
     }
     val a105e = alphaOf(g105.map(r => (r._1, r._2)))
     val a105t = {
-      val (ka, _, ta) = g105.head; val (kb, _, tb) = g105.last
+      val (ka, _, ta, _) = g105.head; val (kb, _, tb, _) = g105.last
+      math.log(tb / ta) / math.log(kb.toDouble / ka)
+    }
+    val a127t = {
+      val (ka, _, _, ta) = g105.head; val (kb, _, _, tb) = g105.last
       math.log(tb / ta) / math.log(kb.toDouble / ka)
     }
     val a112o = alphaOf(g112.map(r => (r._1, r._2)))
@@ -503,7 +514,7 @@ object ScaleProbe {
     val a116o = alphaOf(g116)
     val a122c = alphaOf(g122)
     println(s"""{"metric":"candidate_growth_exponent","alpha":{${alphas.mkString(",")}},"note":"alpha~1 linear (bucketed), alpha~2 quadratic (all-pairs)"}""")
-    println(f"""{"metric":"r7_probe_exponents","alpha":{"q105_edges":$a105e%.2f,"q105_wall":$a105t%.2f,"q112_occ":$a112o%.2f,"q112_distinct":$a112d%.2f,"q100_match":$a100m%.2f,"q114_occ":$a114o%.2f,"q114_vocab":$a114v%.2f,"q116_out":$a116o%.2f,"q122_cand":$a122c%.2f},"note":"q105 wall/edges ~1 linear; q112 distinct << occ and q114 vocab << occ (vocabulary-scale); q100 match ~1 (posting-list-linear); q116 out ~1 joinless; q122 cand ~1 (DfCap-bounded fan-out)"}""")
+    println(f"""{"metric":"r7_probe_exponents","alpha":{"q105_edges":$a105e%.2f,"q105_wall":$a105t%.2f,"q127_wall":$a127t%.2f,"q112_occ":$a112o%.2f,"q112_distinct":$a112d%.2f,"q100_match":$a100m%.2f,"q114_occ":$a114o%.2f,"q114_vocab":$a114v%.2f,"q116_out":$a116o%.2f,"q122_cand":$a122c%.2f},"note":"q105/q127 wall and edges ~1 linear; q112 distinct << occ and q114 vocab << occ (vocabulary-scale); q100 match ~1 (posting-list-linear); q116 out ~1 joinless; q122 cand ~1 (DfCap-bounded fan-out)"}""")
     spark.stop()
   }
 }

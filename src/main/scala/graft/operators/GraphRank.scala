@@ -67,6 +67,11 @@ object GraphRank {
   private[graft] val HitsIters = 4
   private[graft] val HitsTop = 100
 
+  /** q130 constants: K full label-propagation iterations, top-N
+    * communities. */
+  private[graft] val LpIters = 3
+  private[graft] val LpTop = 100
+
   val queries: Map[String, Q] = Map(
     // -- K=5 integer-exact damped random-walk iterations over the
     //    distinct customer↔supplier trade graph; output the top-500
@@ -90,6 +95,32 @@ object GraphRank {
     //    doubles, bit-stable on any partitioning. Top-100 per role. --
     "q127_hits_rank" -> { (s, dir) =>
       hits(Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem"))
+    },
+    // -- q130: label-propagation communities (Raghavan, Albert &
+    //    Kumara 2007) on the bipartite trade graph — the linear-time
+    //    community detector a crawl pipeline runs to group hosts/
+    //    domains before per-community quotas. SYNCHRONOUS LPA
+    //    famously oscillates on bipartite graphs, so this is the
+    //    published coloring-schedule fix (Cordasco & Gargano 2012):
+    //    the bipartition IS a 2-coloring, so each iteration updates
+    //    suppliers from customer labels, then customers from the NEW
+    //    supplier labels — deterministic half-steps, no oscillation.
+    //    Majority vote with ties to the smallest label; labels seed
+    //    from customer ids, all-integer throughout. --
+    "q130_label_propagation" -> { (s, dir) =>
+      labelProp(Tables.load(s, dir, "orders"), Tables.load(s, dir, "lineitem"))
+    },
+    // -- q131: degree assortativity (Newman 2002) of the bipartite
+    //    trade graph — the Pearson correlation of (customer degree,
+    //    supplier degree) across distinct edges. The one-number graph
+    //    diagnostic beside q105/q127/q130: disassortative link
+    //    structure (hubs attaching to leaves, r < 0) is the web-graph
+    //    norm, and a crawl pipeline reads it before trusting any
+    //    degree-based quality prior. One O(E) pass: two degree
+    //    groupBys, two keyed joins, one global aggregate. --
+    "q131_degree_assortativity" -> { (s, dir) =>
+      assortativity(Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "lineitem"))
     },
   )
 
@@ -199,6 +230,103 @@ object GraphRank {
         Window.orderBy(col("score_unit").desc, col("entity_id"))).cast("long")))
   }
 
+  /** q130 full frame: (community, n_cust, n_supp, total, rank ≤
+    * LpTop) — communities keyed by their seed customer id.
+    *
+    * Scale shape: the q127 posture — the distinct edge list persisted
+    * TWICE (by c and by s); each half-step is one equi-join of a
+    * node-sized label table against a reused edge exchange, an
+    * explicit repartition on the UPDATED side, and a count groupBy +
+    * majority-argmin window that both ride that one exchange by
+    * subset-clustering ({s} ⊆ {s, lbl} — the q118 trick, so the vote
+    * costs ONE edge-sized shuffle, not two). Votes are integer
+    * counts with ties to the smallest label — bit-stable on any
+    * partitioning. Labels are localCheckpoint'd per half-step; the
+    * census is two label-keyed groupBys + a full outer join of
+    * community-sized tables, top-LpTop = TakeOrderedAndProject. */
+  private[graft] def labelProp(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e0 = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        col("l_suppkey").cast("long").as("s"))
+      .distinct()
+    val eByC = e0.repartition(col("c")).persist()
+    val eByS = e0.repartition(col("s")).persist()
+    var labC = eByC.select(col("c")).distinct()
+      .select(col("c"), col("c").as("lbl"))
+      .localCheckpoint(true)
+    var labS: DataFrame = null
+    def vote(half: DataFrame, key: String): DataFrame = half
+      .repartition(col(key))
+      .groupBy(col(key), col("lbl")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col("cnt").desc, col("lbl"))))
+      .where(col("rk") === 1)
+      .select(col(key), col("lbl"))
+    for (_ <- 1 to LpIters) {
+      labS = vote(eByC.join(labC.hint("shuffle_merge"), "c"), "s")
+        .localCheckpoint(true)
+      labC = vote(eByS.join(labS.hint("shuffle_merge"), "s"), "c")
+        .localCheckpoint(true)
+    }
+    eByC.unpersist()
+    eByS.unpersist()
+    val cc = labC.groupBy(col("lbl")).agg(count(lit(1)).as("n_cust"))
+    val cs = labS.groupBy(col("lbl")).agg(count(lit(1)).as("n_supp"))
+    cc.join(cs, Seq("lbl"), "full")
+      .select(col("lbl").as("community"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .withColumn("total", col("n_cust") + col("n_supp"))
+      .orderBy(col("total").desc, col("community")).limit(LpTop)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("total").desc, col("community"))).cast("long"))
+  }
+
+  /** q131 full frame: ONE row (n_edges, sx, sy, r_micro) — the edge
+    * count, the two degree sums, and the Pearson degree correlation
+    * in signed micro-units.
+    *
+    * Cross-engine exactness: every sum (Σx, Σy, Σx², Σy², Σxy and
+    * their n-scaled combinations) rides DECIMAL(38,0)/HUGEINT — at
+    * 1e9 edges n·Sxy reaches ~1e30, far past BIGINT (the q128
+    * lesson). The finish is the ONE place doubles appear:
+    * cov/√(varx·vary), where the decimal→double casts round
+    * identically (IEEE nearest), and sqrt/multiply/divide are
+    * IEEE-exact cross-engine (the house sqrt+division exemption),
+    * then quantized to micro-units. The denominator is
+    * nullif-guarded: a degree-regular side has zero variance and
+    * yields NULL on both engines, never an error (the q125
+    * contract).
+    *
+    * Scale shape: degree tables are node-sized keyed groupBys; they
+    * re-attach to the edge list via two keyed merge joins (hinted off
+    * broadcast — node count scales with the corpus); the moment
+    * aggregation is map-side partial into ONE 1-row result. O(E), one
+    * pass, no iteration. */
+  private[graft] def assortativity(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val e0 = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        col("l_suppkey").cast("long").as("s"))
+      .distinct()
+    val degC = e0.groupBy(col("c")).agg(count(lit(1)).as("x"))
+    val degS = e0.groupBy(col("s")).agg(count(lit(1)).as("y"))
+    e0.join(degC.hint("shuffle_merge"), "c")
+      .join(degS.hint("shuffle_merge"), "s")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .selectExpr("n_edges",
+        "CAST(sx AS BIGINT) AS sx", "CAST(sy AS BIGINT) AS sy",
+        """CAST(round(
+           |  CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+           |  nullif(sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) *
+           |         sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE)), 0.0)
+           |  * 1000000.0) AS BIGINT) AS r_micro""".stripMargin)
+  }
+
   // ---- code-generated DuckDB oracle (same constants, unrolled) -----
 
   private def oracle105: String = {
@@ -268,8 +396,74 @@ object GraphRank {
        |WHERE rank <= $HitsTop""".stripMargin
   }
 
+  private def oracle130: String = {
+    // lc$i / ls$i are each referenced twice (next half-step + census
+    // or chain): MATERIALIZED (the q127 inliner lesson)
+    val iters = (1 to LpIters).map { i =>
+      s"""ls$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.s AS node, l.lbl, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY e.s
+         |        ORDER BY count(*) DESC, l.lbl) AS rk
+         |    FROM e JOIN lc${i - 1} l ON e.c = l.node
+         |    GROUP BY e.s, l.lbl)
+         |  WHERE rk = 1),
+         |lc$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT e.c AS node, l.lbl, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY e.c
+         |        ORDER BY count(*) DESC, l.lbl) AS rk
+         |    FROM e JOIN ls$i l ON e.s = l.node
+         |    GROUP BY e.c, l.lbl)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+       |    CAST(l_suppkey AS BIGINT) AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |lc0 AS (SELECT DISTINCT c AS node, c AS lbl FROM e),
+       |$iters,
+       |cen AS (
+       |  SELECT coalesce(cc.lbl, cs.lbl) AS community,
+       |    coalesce(cc.n, 0) AS n_cust, coalesce(cs.n, 0) AS n_supp
+       |  FROM (SELECT lbl, CAST(count(*) AS BIGINT) AS n
+       |        FROM lc$LpIters GROUP BY lbl) cc
+       |  FULL JOIN (SELECT lbl, CAST(count(*) AS BIGINT) AS n
+       |             FROM ls$LpIters GROUP BY lbl) cs
+       |    ON cc.lbl = cs.lbl)
+       |SELECT community, n_cust, n_supp, n_cust + n_supp AS total,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM (
+       |  SELECT community, n_cust, n_supp,
+       |    row_number() OVER (ORDER BY n_cust + n_supp DESC, community) AS rank
+       |  FROM cen)
+       |WHERE rank <= $LpTop""".stripMargin
+  }
+
+  private def oracle131: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+       |    CAST(l_suppkey AS BIGINT) AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |dc AS (SELECT c, count(*) AS x FROM e GROUP BY c),
+       |ds AS (SELECT s, count(*) AS y FROM e GROUP BY s),
+       |m AS (
+       |  SELECT count(*) AS n_edges, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       |  FROM e JOIN dc USING (c) JOIN ds USING (s))
+       |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       |  CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       |  CAST(round(
+       |    CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+       |    nullif(sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) *
+       |           sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE)), 0.0)
+       |    * 1000000.0) AS BIGINT) AS r_micro
+       |FROM m""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q105_graph_rank" -> oracle105,
     "q127_hits_rank" -> oracle127,
+    "q130_label_propagation" -> oracle130,
+    "q131_degree_assortativity" -> oracle131,
   )
 }

@@ -52,12 +52,31 @@ object KMeansTrain {
   private[graft] val Dim = 64
   private[graft] val Shift = 1000000L
 
+  /** q129 constants: M subspaces of PqSub dims each (M·PqSub = Dim),
+    * PqK codes per subspace, PqIters Lloyd rounds. */
+  private[graft] val PqM = 4
+  private[graft] val PqSub = 16
+  private[graft] val PqK = 8
+  private[graft] val PqIters = 2
+
   val queries: Map[String, Q] = Map(
     // -- T=3 integer-exact Lloyd rounds from the K smallest vec_ids;
     //    output the final codebook, one row per (cluster, pos), with
     //    the final membership counts. --
     "q118_kmeans_train" -> { (s, dir) =>
       train(Tables.load(s, dir, "embeddings"))
+    },
+    // -- q129: product-quantization codebook (Jégou, Douze & Schmid
+    //    2011) — the memory-scale path of billion-vector ANN (IVF-PQ
+    //    stores M byte codes per vector instead of d floats; q86/q94
+    //    coarse-quantize, THIS is the fine quantizer). M independent
+    //    k-means trained JOINTLY as one keyed plan (subspace is just
+    //    another group key), then every vector is encoded and the
+    //    gate output is the (sub, code) cell census: occupancy + mean
+    //    squared distortion — the two numbers that grade a codebook
+    //    (dead codes / unbalanced cells / reconstruction error). --
+    "q129_pq_codebook" -> { (s, dir) =>
+      pq(Tables.load(s, dir, "embeddings"))
     },
   )
 
@@ -105,6 +124,70 @@ object KMeansTrain {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** q129 full frame: (sub, code, n, mean_dist) — M·PqK rows.
+    *
+    * Scale shape: identical posture to q118 with `sub` folded into
+    * every key — the quantized coordinate table is exploded ONCE,
+    * vec_id-partitioned and persisted; per round the M·PqK·PqSub-row
+    * codebook BROADCASTS into it, the per-(vector, subspace, code)
+    * distance groupBy and the (vec_id, sub) argmin window both ride
+    * the vec_id partitioning (subset-clustering — no new exchange),
+    * and the mean update shuffles only codebook-sized map-side
+    * partials plus the assignment table. Distortion totals ride
+    * DECIMAL(38,0)/HUGEINT (a BIGINT sum of ≤6.4e13-per-cell terms
+    * overflows near 1e5 vectors·cell — the q128 lesson), floored to
+    * a per-cell integer mean both engines state identically. */
+  private[graft] def pq(e: DataFrame): DataFrame = {
+    val qv = e.select(col("vec_id"), posexplode(NormQuant(col("embedding"))))
+      .select(col("vec_id"), expr(s"CAST(pos div $PqSub AS INT)").as("sub"),
+        expr(s"CAST(pos % $PqSub AS INT)").as("spos"), col("col").as("q"))
+      .repartition(col("vec_id"))
+      .persist()
+    // deterministic init: the PqK smallest vec_ids seed code = rank
+    // in EVERY subspace (TakeOrdered — K rows of driver state)
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id")).limit(PqK)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+    var cent = qv.join(broadcast(ids), "vec_id")
+      .select(col("sub"), col("code"), col("spos"), col("q").as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PqIters)
+      cent = pqRound(qv, cent).localCheckpoint(true)
+    val census = pqAssign(qv, cent)
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(38,0)")).as("sd"))
+      .select(col("sub"), col("code"), col("n"),
+        expr("CAST(sd div n AS BIGINT)").as("mean_dist"))
+      .localCheckpoint(true)
+    qv.unpersist()
+    census
+  }
+
+  /** Nearest-code assignment per (vector, subspace): the argmin over
+    * PqK integer squared-L2 distances, ties to the smaller code. */
+  private[graft] def pqAssign(qv: DataFrame, cent: DataFrame): DataFrame =
+    qv.join(broadcast(cent), Seq("sub", "spos"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("dist"), col("code"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"), col("dist"))
+
+  /** One joint Lloyd round over all M subspaces; empty cells carry
+    * their previous centroid (same LEFT JOIN contract as q118). */
+  private[graft] def pqRound(qv: DataFrame, prev: DataFrame): DataFrame = {
+    val asg = pqAssign(qv, prev).select(col("vec_id"), col("sub"), col("code"))
+    val sums = qv.join(asg.hint("shuffle_merge"), Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("code"), col("spos"))
+      .agg(sum(col("q") + lit(Shift)).as("sq"), count(lit(1)).as("n"))
+    prev.join(sums, Seq("sub", "code", "spos"), "left")
+      .select(col("sub"), col("code"), col("spos"),
+        coalesce(expr(s"(sq div n) - $Shift"), col("c")).as("c"))
+  }
+
   // ---- code-generated DuckDB oracle (same constants, unrolled —
   //      the q105/q114 playbook) ------------------------------------
 
@@ -149,7 +232,68 @@ object KMeansTrain {
        |FROM c$KmIters""".stripMargin
   }
 
+  private def oracle129: String = {
+    val nrm = "sqrt(" + (1 to Dim).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)")
+      .mkString(" + ") + ")"
+    // qv / each c$i are referenced more than once: MATERIALIZED, or
+    // the inliner re-expands the whole training chain per reference
+    // (the q127 lesson; q118's 3-round chain survived by luck of
+    // depth)
+    val iters = (1 to PqIters).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT qv.vec_id, qv.sub, cc.code, sum((q - c) * (q - c)) AS dist
+         |  FROM qv JOIN c${i - 1} cc ON qv.sub = cc.sub AND qv.spos = cc.spos
+         |  GROUP BY qv.vec_id, qv.sub, cc.code),
+         |a$i AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY dist, code) AS rk
+         |    FROM d$i)
+         |  WHERE rk = 1),
+         |s$i AS (
+         |  SELECT a.sub, code, spos, sum(q + $Shift) AS sq, count(*) AS n
+         |  FROM qv JOIN a$i a ON qv.vec_id = a.vec_id AND qv.sub = a.sub
+         |  GROUP BY a.sub, code, spos),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.sub, p.code, p.spos, coalesce((sq // s.n) - $Shift, p.c) AS c
+         |  FROM c${i - 1} p
+         |  LEFT JOIN s$i s
+         |    ON p.sub = s.sub AND p.code = s.code AND p.spos = s.spos)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id, CAST((i - 1) // $PqSub AS INTEGER) AS sub,
+       |    CAST((i - 1) % $PqSub AS INTEGER) AS spos,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) / nrm * 1000000.0) AS BIGINT) AS q
+       |  FROM nn, (SELECT unnest(generate_series(1, $Dim)) AS i) ii),
+       |ids AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+       |  FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |c0 AS MATERIALIZED (
+       |  SELECT sub, code, spos, q AS c FROM ids JOIN qv USING (vec_id)),
+       |$iters,
+       |dF AS (
+       |  SELECT qv.vec_id, qv.sub, cc.code, sum((q - c) * (q - c)) AS dist
+       |  FROM qv JOIN c$PqIters cc ON qv.sub = cc.sub AND qv.spos = cc.spos
+       |  GROUP BY qv.vec_id, qv.sub, cc.code),
+       |aF AS (
+       |  SELECT vec_id, sub, code, dist FROM (
+       |    SELECT vec_id, sub, code, dist,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY dist, code) AS rk
+       |    FROM dF)
+       |  WHERE rk = 1)
+       |SELECT sub, code, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(dist AS HUGEINT)) // count(*) AS BIGINT) AS mean_dist
+       |FROM aF GROUP BY sub, code""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q118_kmeans_train" -> oracle118,
+    "q129_pq_codebook" -> oracle129,
   )
 }

@@ -112,6 +112,99 @@ class GraphRankSpec extends SparkSpec {
     assert(got.filter(_._1 == "hub").minBy(_._4)._2 === 1L)
   }
 
+  /** Driver-side replica of q130's coloring-schedule label
+    * propagation: suppliers vote from customer labels, customers from
+    * the NEW supplier labels; majority with ties to smallest label. */
+  private def replayLp(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val e = edges.distinct
+    var lc: Map[Long, Long] = e.map(_._1).distinct.map(c => c -> c).toMap
+    var ls: Map[Long, Long] = Map.empty
+    def vote(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      pairs.groupBy(_._1).map { case (n, xs) =>
+        n -> xs.groupBy(_._2).toSeq
+          .map { case (l, ys) => (l, ys.size) }
+          .minBy { case (l, cnt) => (-cnt, l) }._1
+      }
+    for (_ <- 1 to iters) {
+      ls = vote(e.map { case (c, s) => (s, lc(c)) })
+      lc = vote(e.map { case (c, s) => (c, ls(s)) })
+    }
+    (lc, ls)
+  }
+
+  test("q130: census equals the replay; planted blocks resolve to their seed communities") {
+    // two dense blocks ({1,2}×{10,11}, {3,4}×{20,21}) + one bridge
+    // edge (2,20) + a duplicate trade distinct() must drop
+    val trades = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 20L), (3L, 21L), (4L, 20L), (4L, 21L),
+      (2L, 20L), (2L, 20L))
+    val (orders, lineitem) = handFrames(trades)
+    val got = GraphRank.labelProp(orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (lc, ls) = replayLp(trades, GraphRank.LpIters)
+    val wantCen = (lc.values ++ ls.values).toSeq.groupBy(identity).map {
+      case (l, xs) => l -> (lc.values.count(_ == l).toLong,
+        ls.values.count(_ == l).toLong)
+    }
+    val gotCen = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(gotCen === wantCen)
+    got.foreach { case (_, nc, nsup, total, _) => assert(total === nc + nsup) }
+    // ranks dense by (total desc, community)
+    assert(got.sortBy(r => (-r._4, r._1)).map(_._5).toSeq ===
+      (1L to got.length))
+    // the two blocks keep distinct communities (the bridge does not
+    // merge them under majority voting)
+    assert(lc(1L) === lc(2L))
+    assert(lc(3L) === lc(4L))
+    assert(lc(1L) !== lc(3L))
+  }
+
+  /** Driver-side replica of q131: BigInt moment sums, the identical
+    * decimal→double→sqrt→divide finish. */
+  private def replayAssort(edges: Seq[(Long, Long)]): (Long, Long, Long, Option[Long]) = {
+    val e = edges.distinct
+    val dc = e.groupBy(_._1).map { case (c, xs) => c -> xs.size.toLong }
+    val ds = e.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
+    val xy = e.map { case (c, s) => (BigInt(dc(c)), BigInt(ds(s))) }
+    val n = BigInt(e.size)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(t => t._1 * t._1).sum
+    val syy = xy.map(t => t._2 * t._2).sum
+    val sxy = xy.map(t => t._1 * t._2).sum
+    val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+      math.sqrt((n * syy - sy * sy).toDouble)
+    val r = if (den == 0.0) None
+      else Some(math.round((n * sxy - sx * sy).toDouble / den * 1000000.0))
+    (e.size.toLong, sx.toLong, sy.toLong, r)
+  }
+
+  test("q131: moments and correlation equal the replay; hub-leaf structure is disassortative") {
+    // supplier 50 is a hub (5 customers), supplier 51 a leaf; customer
+    // 1 buys from both (high-degree c on low-degree s ⇒ r < 0), plus
+    // a duplicate trade
+    val trades = Seq((1L, 50L), (2L, 50L), (3L, 50L), (4L, 50L),
+      (5L, 50L), (1L, 51L), (1L, 51L))
+    val (orders, lineitem) = handFrames(trades)
+    val row = GraphRank.assortativity(orders, lineitem).collect().head
+    val (n, sx, sy, r) = replayAssort(trades)
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === sx)
+    assert(row.getLong(2) === sy)
+    assert(!row.isNullAt(3) && Some(row.getLong(3)) === r)
+    assert(row.getLong(3) < 0L, "hub-leaf graph must be disassortative")
+  }
+
+  test("q131: a degree-regular graph has zero variance and yields NULL, not an error") {
+    // complete 2×2 bipartite block: every degree is 2 on both sides
+    val trades = Seq((1L, 50L), (1L, 51L), (2L, 50L), (2L, 51L))
+    val (orders, lineitem) = handFrames(trades)
+    val row = GraphRank.assortativity(orders, lineitem).collect().head
+    assert(row.getLong(0) === 4L)
+    assert(row.isNullAt(3))
+  }
+
   test("q105: iteration step never broadcasts a node-sized table") {
     val edges = Seq((2L, 21L), (21L, 2L)).toDF("src", "dst")
     val deg = Seq((2L, 1L), (21L, 1L)).toDF("node", "d")

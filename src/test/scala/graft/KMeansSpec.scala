@@ -75,6 +75,87 @@ class KMeansSpec extends SparkSpec {
     (0 until 8).foreach { k => assert(got((k, 0))._2 === 4L, s"cluster $k") }
   }
 
+  // ---- q129 product quantization ------------------------------------
+
+  private val M = 4
+  private val Sub = 16
+  private val PT = 2
+
+  /** Reference PQ implementation: M independent Lloyd trainings over
+    * the subvector slices, then the final (sub, code) cell census.
+    * Returns (sub, code) -> (n, mean_dist); empty cells absent. */
+  private def replayPq(vecs: Seq[(Long, Seq[Float])]): Map[(Int, Int), (Long, Long)] = {
+    val qv = vecs.sortBy(_._1).map { case (id, v) =>
+      id -> SignProjectKernel.normQuant(new GenericArrayData(v.toArray))
+    }
+    def slice(q: Array[Long], m: Int) = q.slice(m * Sub, (m + 1) * Sub)
+    var cent: Array[Array[Array[Long]]] =
+      Array.tabulate(M)(m => qv.take(K).map(x => slice(x._2, m)).toArray)
+    def assign(): Seq[(Long, Array[(Long, Int)])] = qv.map { case (id, q) =>
+      id -> Array.tabulate(M) { m =>
+        val s = slice(q, m)
+        val dists = cent(m).map(c =>
+          (0 until Sub).map { p => val d = s(p) - c(p); d * d }.sum)
+        dists.zipWithIndex.minBy { case (d, i) => (d, i) }
+      }
+    }
+    for (_ <- 1 to PT) {
+      val asg = assign()
+      cent = Array.tabulate(M) { m =>
+        Array.tabulate(K) { k =>
+          val members = asg.collect {
+            case (id, arr) if arr(m)._2 == k => id
+          }.toSet
+          val qs = qv.collect { case (id, q) if members(id) => slice(q, m) }
+          if (qs.isEmpty) cent(m)(k)
+          else Array.tabulate(Sub)(p =>
+            qs.map(s => s(p) + Shift).sum / qs.length - Shift)
+        }
+      }
+    }
+    val fin = assign()
+    (for (m <- 0 until M; k <- 0 until K) yield {
+      val cell = fin.collect { case (_, arr) if arr(m)._2 == k => arr(m)._1 }
+      if (cell.isEmpty) None
+      else Some((m, k) ->
+        (cell.length.toLong, (cell.map(BigInt(_)).sum / cell.length).toLong))
+    }).flatten.toMap
+  }
+
+  private def enginePq(vecs: Seq[(Long, Seq[Float])]): Map[(Int, Int), (Long, Long)] =
+    KMeansTrain.pq(vecs.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("q129: cell census equals the driver-side PQ replay on the real corpus") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val got = enginePq(vecs)
+    assert(got === replayPq(vecs))
+    // every subspace assigned every vector to exactly one cell
+    (0 until M).foreach { m =>
+      assert(got.collect { case ((`m`, _), (n, _)) => n }.sum === vecs.length.toLong, s"sub $m")
+    }
+  }
+
+  test("q129: subspace codebooks are independent — a vector duplicated in one subspace only still splits per-subspace") {
+    // 24 vectors: subspace 0 has three well-separated direction
+    // groups, the OTHER subspaces are identical constants across all
+    // vectors — so sub 0's census splits while subs 1..3 collapse
+    // onto the init-seeded cells deterministically
+    val vecs = (0 until 24).map { i =>
+      val v = Array.fill(64)(0.05f)
+      v(i % 3) = 1.0f // subspace 0: group by i % 3
+      (i.toLong, v.toSeq)
+    }
+    val got = enginePq(vecs)
+    assert(got === replayPq(vecs))
+    val sub0 = got.collect { case ((0, _), (n, _)) => n }.toSeq.sorted
+    assert(sub0.sum === 24L)
+    assert(sub0.count(_ > 0) >= 3, s"sub0 cells: $sub0") // the 3 groups stay split
+  }
+
   test("q118: clusters that lose every member carry their previous centroid") {
     // ids 6 and 7 duplicate id 0's vector: the argmin tie-break
     // (dist, cluster) sends all three to cluster 0, so clusters 6

@@ -414,6 +414,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!g.contains("Join"), g)
   }
 
+  test("q129: a joint PQ round broadcasts only the codebook; the gate census is the checkpointed 32-row table") {
+    import org.apache.spark.sql.functions.{broadcast, col, posexplode, row_number}
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val qv = e.select(col("vec_id"),
+        posexplode(graft.functions.NormQuant(col("embedding"))))
+      .selectExpr("vec_id", "CAST(pos div 16 AS INT) AS sub",
+        "CAST(pos % 16 AS INT) AS spos", "col AS q")
+      .repartition(col("vec_id")).persist()
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id")).limit(8)
+      .withColumn("code", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+        .cast("int"))
+    val cent = qv.join(broadcast(ids), "vec_id")
+      .select(col("sub"), col("code"), col("spos"), col("q").as("c"))
+      .localCheckpoint(true)
+    val p = graft.operators.KMeansTrain.pqRound(qv, cent)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    qv.unpersist()
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the ONLY broadcast is the M·K·dsub codebook into the scan
+    assert(count(p, "BroadcastHashJoin") === 1, p)
+    // per-(vector, subspace) argmin is a rank-pushdown window
+    assert(count(p, "WindowGroupLimit") === 1, p)
+    assert(count(p, "SortMergeJoin Inner") === 1, p)
+    assert(count(p, "SortMergeJoin LeftOuter") === 1, p)
+    // the gate query's final frame is the checkpointed census
+    val g = executedPlan("q129_pq_codebook")
+    assert(g.contains("Scan ExistingRDD"), g)
+    assert(!g.contains("Join"), g)
+  }
+
   test("q116: in-batch negatives are joinless — one shard-keyed shuffle, K leads on one window") {
     val p = executedPlan("q116_inbatch_negatives")
     assert(!p.contains("Join"), p) // no join of any kind
@@ -447,6 +480,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p) // the localCheckpoint'd iterates
     assert(p.contains("Union"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q130: census is one community-sized full-outer merge over the checkpointed labels — no residual half-step lineage") {
+    val p = executedPlan("q130_label_propagation")
+    assert(p.contains("Scan ExistingRDD"), p) // the checkpointed label tables
+    assert(count(p, "SortMergeJoin FullOuter") === 1, p) // the census join
+    assert(count(p, "SortMergeJoin") === 1, p) // ...and nothing else joins
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q131: degree attaches are keyed merges; the moment aggregate is two-phase") {
+    val p = executedPlan("q131_degree_assortativity")
+    assert(!p.contains("CartesianProduct"), p)
+    // the two node-sized degree dims never broadcast (they scale
+    // with the corpus) — hinted merge joins
+    assert(count(p, "SortMergeJoin") >= 2, p)
+    // the 1-row moment aggregate combines map-side partials
+    assert(count(p, "HashAggregate") >= 2, p)
   }
 
   test("q106: projection is the codegen kernel in the scan stage; the fixed panel broadcasts; the only shuffle is the q_id window") {
