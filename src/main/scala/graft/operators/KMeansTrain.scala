@@ -59,6 +59,11 @@ object KMeansTrain {
   private[graft] val PqK = 8
   private[graft] val PqIters = 2
 
+  /** q132 constants: the q106 fixed query panel and the per-query
+    * neighbor count. */
+  private[graft] val AdcQueryIds = Seq(0L, 5L, 11L, 17L)
+  private[graft] val AdcTop = 10
+
   val queries: Map[String, Q] = Map(
     // -- T=3 integer-exact Lloyd rounds from the K smallest vec_ids;
     //    output the final codebook, one row per (cluster, pos), with
@@ -77,6 +82,20 @@ object KMeansTrain {
     //    (dead codes / unbalanced cells / reconstruction error). --
     "q129_pq_codebook" -> { (s, dir) =>
       pq(Tables.load(s, dir, "embeddings"))
+    },
+    // -- q132: IVF-PQ asymmetric-distance retrieval (Jégou, Douze &
+    //    Schmid 2011 §IV.A, "ADC") — the SEARCH step the q129
+    //    codebook exists for, and the compressed-domain completion of
+    //    the ANN family (q94 coarse IVF → q129 fine quantizer → THIS
+    //    query answers kNN against the byte codes without ever
+    //    touching a raw vector). Distance(query, vec) = Σ_sub
+    //    LUT[sub, code(vec, sub)], where the LUT holds the exact
+    //    integer squared-L2 from the query subvector to every
+    //    centroid — M table lookups + an M-term add per candidate,
+    //    which is WHY PQ search scales to billions of vectors. Top-10
+    //    per q106 panel query, self excluded. --
+    "q132_pq_adc_topk" -> { (s, dir) =>
+      adc(Tables.load(s, dir, "embeddings"))
     },
   )
 
@@ -138,6 +157,22 @@ object KMeansTrain {
     * overflows near 1e5 vectors·cell — the q128 lesson), floored to
     * a per-cell integer mean both engines state identically. */
   private[graft] def pq(e: DataFrame): DataFrame = {
+    val (qv, cent) = pqModel(e)
+    val census = pqAssign(qv, cent)
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(38,0)")).as("sd"))
+      .select(col("sub"), col("code"), col("n"),
+        expr("CAST(sd div n AS BIGINT)").as("mean_dist"))
+      .localCheckpoint(true)
+    qv.unpersist()
+    census
+  }
+
+  /** The shared q129/q132 training pass: the persisted quantized
+    * coordinate table and the final checkpointed codebook. Callers
+    * own the qv.unpersist(). */
+  private[graft] def pqModel(e: DataFrame): (DataFrame, DataFrame) = {
     val qv = e.select(col("vec_id"), posexplode(NormQuant(col("embedding"))))
       .select(col("vec_id"), expr(s"CAST(pos div $PqSub AS INT)").as("sub"),
         expr(s"CAST(pos % $PqSub AS INT)").as("spos"), col("col").as("q"))
@@ -153,16 +188,58 @@ object KMeansTrain {
       .localCheckpoint(true)
     for (_ <- 1 to PqIters)
       cent = pqRound(qv, cent).localCheckpoint(true)
-    val census = pqAssign(qv, cent)
-      .groupBy(col("sub"), col("code"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("dist").cast("decimal(38,0)")).as("sd"))
-      .select(col("sub"), col("code"), col("n"),
-        expr("CAST(sd div n AS BIGINT)").as("mean_dist"))
-      .localCheckpoint(true)
-    qv.unpersist()
-    census
+    (qv, cent)
   }
+
+  /** q132 full frame: (q_id, rk, vec_id, adist) — AdcTop rows per
+    * panel query.
+    *
+    * Scale shape: the encode (pqAssign) and the per-(query, vector)
+    * distance sum BOTH ride the persisted vec_id partitioning
+    * (subset-clustering: {vec_id} ⊆ {vec_id, sub} and {vec_id} ⊆
+    * {q_id, vec_id}); model state only ever broadcasts — the 512-row
+    * codebook into the encode, the M·PqK·|panel|-row LUT (128 rows,
+    * localCheckpoint'd so the gate plan sees a materialized dim)
+    * into the code stream. The ONE new exchange is the per-query
+    * top-k window on q_id (the established q94/q106 shape; the panel
+    * is a FIXED 4-query dim — a growing query set takes the q94b
+    * cell path, the documented q106 trade). Sums stay in BIGINT by
+    * construction: a LUT entry is ≤ PqSub·(2e6)² ≈ 6.4e13 and the
+    * ADC distance adds M of them. */
+  private[graft] def adc(e: DataFrame): DataFrame = {
+    val (qv, cent) = pqModel(e)
+    val top = adcRank(qv, cent, adcLut(qv, cent)).localCheckpoint(true)
+    qv.unpersist()
+    top
+  }
+
+  /** Exact query-to-centroid lookup table: |panel|·M·PqK rows,
+    * eagerly materialized (the gate plan sees a broadcast dim). */
+  private[graft] def adcLut(qv: DataFrame, cent: DataFrame): DataFrame =
+    qv.filter(col("vec_id").isin(AdcQueryIds: _*))
+      .select(col("vec_id").as("q_id"), col("sub"), col("spos"),
+        col("q").as("qq"))
+      .join(broadcast(cent), Seq("sub", "spos"))
+      .groupBy(col("q_id"), col("sub"), col("code"))
+      .agg(sum((col("qq") - col("c")) * (col("qq") - col("c"))).as("lut"))
+      .localCheckpoint(true)
+
+  /** Encode + compressed-domain top-k, un-checkpointed
+    * (plan-shape-testable): M lookups and an M-term integer add per
+    * (query, vector), then the per-query rank window. */
+  private[graft] def adcRank(qv: DataFrame, cent: DataFrame,
+      lut: DataFrame): DataFrame =
+    pqAssign(qv, cent)
+      .select(col("vec_id"), col("sub"), col("code"))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("lut")).as("adist"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adist"), col("vec_id"))))
+      .where(col("rk") <= AdcTop)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adist"))
 
   /** Nearest-code assignment per (vector, subspace): the argmin over
     * PqK integer squared-L2 distances, ties to the smaller code. */
@@ -232,7 +309,10 @@ object KMeansTrain {
        |FROM c$KmIters""".stripMargin
   }
 
-  private def oracle129: String = {
+  /** The shared q129/q132 oracle prefix: the unrolled PQ training
+    * chain through the final assignment `aF` (vec_id, sub, code,
+    * dist). Both oracles append their own finish. */
+  private def pqChainSql: String = {
     val nrm = "sqrt(" + (1 to Dim).map(i =>
       s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)")
       .mkString(" + ") + ")"
@@ -286,14 +366,37 @@ object KMeansTrain {
        |      row_number() OVER (PARTITION BY vec_id, sub
        |        ORDER BY dist, code) AS rk
        |    FROM dF)
-       |  WHERE rk = 1)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  private def oracle129: String =
+    s"""$pqChainSql
        |SELECT sub, code, CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(CAST(dist AS HUGEINT)) // count(*) AS BIGINT) AS mean_dist
        |FROM aF GROUP BY sub, code""".stripMargin
-  }
+
+  private def oracle132: String =
+    s"""$pqChainSql,
+       |lut AS MATERIALIZED (
+       |  SELECT qq.q_id, c.sub, c.code,
+       |    CAST(sum((qq.qq - c.c) * (qq.qq - c.c)) AS BIGINT) AS lut
+       |  FROM (SELECT vec_id AS q_id, sub, spos, q AS qq FROM qv
+       |        WHERE vec_id IN (${AdcQueryIds.mkString(", ")})) qq
+       |  JOIN c$PqIters c ON qq.sub = c.sub AND qq.spos = c.spos
+       |  GROUP BY qq.q_id, c.sub, c.code),
+       |ad AS (
+       |  SELECT q_id, vec_id, CAST(sum(lut) AS BIGINT) AS adist
+       |  FROM aF JOIN lut ON aF.sub = lut.sub AND aF.code = lut.code
+       |  GROUP BY q_id, vec_id)
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id, adist FROM (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rk
+       |  FROM ad WHERE vec_id <> q_id) r
+       |WHERE rk <= $AdcTop""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q118_kmeans_train" -> oracle118,
     "q129_pq_codebook" -> oracle129,
+    "q132_pq_adc_topk" -> oracle132,
   )
 }

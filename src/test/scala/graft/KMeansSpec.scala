@@ -81,19 +81,18 @@ class KMeansSpec extends SparkSpec {
   private val Sub = 16
   private val PT = 2
 
-  /** Reference PQ implementation: M independent Lloyd trainings over
-    * the subvector slices, then the final (sub, code) cell census.
-    * Returns (sub, code) -> (n, mean_dist); empty cells absent. */
-  private def replayPq(vecs: Seq[(Long, Seq[Float])]): Map[(Int, Int), (Long, Long)] = {
-    val qv = vecs.sortBy(_._1).map { case (id, v) =>
-      id -> SignProjectKernel.normQuant(new GenericArrayData(v.toArray))
-    }
-    def slice(q: Array[Long], m: Int) = q.slice(m * Sub, (m + 1) * Sub)
+  private def pqSlice(q: Array[Long], m: Int) = q.slice(m * Sub, (m + 1) * Sub)
+
+  /** The shared q129/q132 training replay: PT joint Lloyd rounds over
+    * the subvector slices. Returns the final codebook and the final
+    * per-(vector, subspace) (dist, code) assignment. */
+  private def pqTrainReplay(qv: Seq[(Long, Array[Long])])
+      : (Array[Array[Array[Long]]], Seq[(Long, Array[(Long, Int)])]) = {
     var cent: Array[Array[Array[Long]]] =
-      Array.tabulate(M)(m => qv.take(K).map(x => slice(x._2, m)).toArray)
+      Array.tabulate(M)(m => qv.take(K).map(x => pqSlice(x._2, m)).toArray)
     def assign(): Seq[(Long, Array[(Long, Int)])] = qv.map { case (id, q) =>
       id -> Array.tabulate(M) { m =>
-        val s = slice(q, m)
+        val s = pqSlice(q, m)
         val dists = cent(m).map(c =>
           (0 until Sub).map { p => val d = s(p) - c(p); d * d }.sum)
         dists.zipWithIndex.minBy { case (d, i) => (d, i) }
@@ -106,14 +105,24 @@ class KMeansSpec extends SparkSpec {
           val members = asg.collect {
             case (id, arr) if arr(m)._2 == k => id
           }.toSet
-          val qs = qv.collect { case (id, q) if members(id) => slice(q, m) }
+          val qs = qv.collect { case (id, q) if members(id) => pqSlice(q, m) }
           if (qs.isEmpty) cent(m)(k)
           else Array.tabulate(Sub)(p =>
             qs.map(s => s(p) + Shift).sum / qs.length - Shift)
         }
       }
     }
-    val fin = assign()
+    (cent, assign())
+  }
+
+  /** Reference PQ implementation: M independent Lloyd trainings over
+    * the subvector slices, then the final (sub, code) cell census.
+    * Returns (sub, code) -> (n, mean_dist); empty cells absent. */
+  private def replayPq(vecs: Seq[(Long, Seq[Float])]): Map[(Int, Int), (Long, Long)] = {
+    val qv = vecs.sortBy(_._1).map { case (id, v) =>
+      id -> SignProjectKernel.normQuant(new GenericArrayData(v.toArray))
+    }
+    val (_, fin) = pqTrainReplay(qv)
     (for (m <- 0 until M; k <- 0 until K) yield {
       val cell = fin.collect { case (_, arr) if arr(m)._2 == k => arr(m)._1 }
       if (cell.isEmpty) None
@@ -154,6 +163,70 @@ class KMeansSpec extends SparkSpec {
     val sub0 = got.collect { case ((0, _), (n, _)) => n }.toSeq.sorted
     assert(sub0.sum === 24L)
     assert(sub0.count(_ > 0) >= 3, s"sub0 cells: $sub0") // the 3 groups stay split
+  }
+
+  // ---- q132 asymmetric-distance retrieval ---------------------------
+
+  /** Reference ADC: train PQ, encode every vector, build the exact
+    * per-query lookup tables, rank by the M-term LUT sum. Returns the
+    * (q_id, rk, vec_id, adist) rows the gate emits. */
+  private def replayAdc(vecs: Seq[(Long, Seq[Float])]): Set[(Long, Int, Long, Long)] = {
+    val qv = vecs.sortBy(_._1).map { case (id, v) =>
+      id -> SignProjectKernel.normQuant(new GenericArrayData(v.toArray))
+    }
+    val (cent, fin) = pqTrainReplay(qv)
+    val codes = fin.map { case (id, arr) => id -> arr.map(_._2) }.toMap
+    val present = qv.map(_._1).toSet
+    Seq(0L, 5L, 11L, 17L).filter(present).flatMap { qid =>
+      val q = qv.find(_._1 == qid).get._2
+      val lut = Array.tabulate(M, K) { (m, k) =>
+        val s = pqSlice(q, m)
+        (0 until Sub).map { p => val d = s(p) - cent(m)(k)(p); d * d }.sum
+      }
+      qv.filter(_._1 != qid)
+        .map { case (id, _) =>
+          (id, (0 until M).map(m => lut(m)(codes(id)(m))).sum) }
+        .sortBy { case (id, d) => (d, id) }
+        .take(10).zipWithIndex
+        .map { case ((id, d), i) => (qid, i + 1, id, d) }
+    }.toSet
+  }
+
+  private def engineAdc(vecs: Seq[(Long, Seq[Float])]): Set[(Long, Int, Long, Long)] =
+    KMeansTrain.adc(vecs.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("q132: ADC top-10 equals the driver-side replay on the real corpus") {
+    val vecs = Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val got = engineAdc(vecs)
+    assert(got === replayAdc(vecs))
+    // 4 panel queries, 10 dense ranks each, self never returned
+    assert(got.size === 40)
+    assert(got.forall { case (q, _, v, _) => q != v })
+  }
+
+  test("q132: exact duplicates of a query vector rank first with ADC distance zero") {
+    // 32 vectors, direction i % 8 — the 8 seed ids are one vector per
+    // direction, so every centroid reproduces its members exactly and
+    // the ADC distance IS the exact quantized distance; each panel
+    // query's three other copies must rank 1..3 with adist = 0
+    val vecs = (0 until 32).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(i % 8) = 1.0f
+      (i.toLong, v.toSeq)
+    }
+    val got = engineAdc(vecs)
+    assert(got === replayAdc(vecs))
+    Seq(0L, 5L, 11L, 17L).foreach { qid =>
+      val copies = (0 until 32).map(_.toLong)
+        .filter(i => i != qid && i % 8 == qid % 8)
+      val tops = got.collect { case (`qid`, rk, v, d) if rk <= 3 => (rk, v, d) }
+      assert(tops.toSeq.sortBy(_._1).map(_._2) === copies, s"query $qid")
+      assert(tops.forall(_._3 === 0L), s"query $qid")
+    }
   }
 
   test("q118: clusters that lose every member carry their previous centroid") {

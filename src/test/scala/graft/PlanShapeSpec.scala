@@ -447,6 +447,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!g.contains("Join"), g)
   }
 
+  test("q132: ADC retrieval broadcasts only model state; the one new exchange is the per-query rank window") {
+    import org.apache.spark.sql.functions.{broadcast, col, posexplode, row_number}
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val qv = e.select(col("vec_id"),
+        posexplode(graft.functions.NormQuant(col("embedding"))))
+      .selectExpr("vec_id", "CAST(pos div 16 AS INT) AS sub",
+        "CAST(pos % 16 AS INT) AS spos", "col AS q")
+      .repartition(col("vec_id")).persist()
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id")).limit(8)
+      .withColumn("code", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))) - 1)
+        .cast("int"))
+    val cent = qv.join(broadcast(ids), "vec_id")
+      .select(col("sub"), col("code"), col("spos"), col("q").as("c"))
+      .localCheckpoint(true)
+    val lut = graft.operators.KMeansTrain.adcLut(qv, cent)
+    val p = graft.operators.KMeansTrain.adcRank(qv, cent, lut)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    qv.unpersist()
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly two broadcasts: the codebook into the encode, the
+    // 128-row LUT into the code stream — the corpus never moves
+    assert(count(p, "BroadcastHashJoin") === 2, p)
+    // all rank windows push their limit: the argmin (1 node — rides
+    // the vec_id partitioning, no exchange to split across) and the
+    // per-query top-k (2 nodes — PARTIAL before the q_id exchange,
+    // so only ≤ top-k rows per input partition ever shuffle, + final)
+    assert(count(p, "WindowGroupLimit") === 3, p)
+    // the encode groupBy, the (q_id, vec_id) distance sum and the
+    // argmin window all ride the persisted vec_id partitioning —
+    // the ONLY new exchange is the 4-partition q_id rank window
+    assert(keyedExchanges(p, "q_id") === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the gate query's final frame is the checkpointed 40-row table
+    val g = executedPlan("q132_pq_adc_topk")
+    assert(g.contains("Scan ExistingRDD"), g)
+    assert(!g.contains("Join"), g)
+  }
+
   test("q116: in-batch negatives are joinless — one shard-keyed shuffle, K leads on one window") {
     val p = executedPlan("q116_inbatch_negatives")
     assert(!p.contains("Join"), p) // no join of any kind
