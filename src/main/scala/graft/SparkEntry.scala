@@ -44,6 +44,7 @@ object SparkEntry {
       (Profiling.queries, Profiling.oracles),
       (DupCoverage.queries, DupCoverage.oracles),
       (LexicalStats.queries, LexicalStats.oracles),
+      (Motifs.queries, Motifs.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -49,7 +49,49 @@ object Sessionize {
           col("session_window.end").as("session_end"),
           col("n_events"), col("session_value"))
     },
+
+    // -- q135: ordered funnel analysis (signup → click → purchase):
+    //    the sequential-conversion census every event-analytics
+    //    engine ships. Step k's timestamp is the user's EARLIEST
+    //    event of step k's type STRICTLY after step k-1's timestamp
+    //    (the standard unordered-log funnel semantics); output is the
+    //    one-row per-step reach census + the summed signup→purchase
+    //    conversion time in exact microseconds. --
+    "q135_funnel_steps" -> { (s, dir) =>
+      funnel(Tables.load(s, dir, "events"))
+    },
   )
+
+  /** One-row funnel census. Scale shape: the three step minima are
+    * conditional-min WINDOWS over the SAME user partition (each
+    * step's predicate references the previous step's column — a
+    * sequential window stack, not three join-backs), and the per-user
+    * collapse is a groupBy on the window's own partitioning key — so
+    * the whole funnel rides ONE user-keyed exchange, then a 1-row
+    * global aggregate (PlanShapeSpec pins it). Timestamps compare and
+    * subtract as exact microseconds on both engines. */
+  private[graft] def funnel(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    ev.select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+        first(col("t3")).as("t3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_signup_click"),
+        count(col("t3")).as("n_converted"),
+        sum(unix_micros(col("t3")) - unix_micros(col("t1")))
+          .as("conv_micros"))
+  }
 
   val oracles: Map[String, String] = Map(
     // the cumulative-sum window carries the SAME (ts, event_id)
@@ -105,5 +147,32 @@ object Sessionize {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
          |FROM sess
          |GROUP BY user_id, session_id""".stripMargin,
+
+    // per-user step minima as three chained conditional-min
+    // aggregates (each joins the previous step table once —
+    // group-constant, so min(t_k) is deterministic); the timestamps
+    // compare and subtract as exact microseconds
+    "q135_funnel_steps" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |u1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        |  FROM ev GROUP BY user_id),
+        |u2 AS (
+        |  SELECT e.user_id, min(t1) AS t1,
+        |    min(CASE WHEN event_type = 'click' AND e.ts > t1 THEN e.ts END) AS t2
+        |  FROM ev e JOIN u1 USING (user_id) GROUP BY e.user_id),
+        |u3 AS (
+        |  SELECT e.user_id, min(t1) AS t1, min(t2) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' AND e.ts > t2 THEN e.ts END) AS t3
+        |  FROM ev e JOIN u2 USING (user_id) GROUP BY e.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(t1) AS BIGINT) AS n_signup,
+        |  CAST(count(t2) AS BIGINT) AS n_signup_click,
+        |  CAST(count(t3) AS BIGINT) AS n_converted,
+        |  CAST(sum(CASE WHEN t3 IS NOT NULL
+        |    THEN epoch_us(t3) - epoch_us(t1) END) AS BIGINT) AS conv_micros
+        |FROM u3""".stripMargin,
   )
 }

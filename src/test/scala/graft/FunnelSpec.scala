@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Sessionize
+
+/** Semantic pins for the q135 ordered funnel: strict-after ordering,
+  * same-timestamp exclusion, out-of-order immunity, and the exact
+  * microsecond conversion sum. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Int): Timestamp = new Timestamp(sec * 1000L)
+
+  private def run(rows: Seq[(Long, String, Timestamp)]): (Long, Long, Long, Long, Option[Long]) = {
+    val r = Sessionize.funnel(rows.toDF("user_id", "event_type", "ts"))
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))
+  }
+
+  test("q135: strict ordering — a click AT the signup timestamp does not advance the funnel") {
+    // user 1: click exactly at signup time, nothing after → stuck
+    // user 2: full ordered funnel, converts in 20 s
+    // user 3: click BEFORE signup only → reaches signup, not click
+    // user 4: no signup at all → counted as a user only
+    val rows = Seq(
+      (1L, "signup", ts(100)), (1L, "click", ts(100)),
+      (2L, "signup", ts(10)), (2L, "click", ts(15)), (2L, "purchase", ts(30)),
+      (3L, "click", ts(5)), (3L, "signup", ts(50)),
+      (4L, "view", ts(1)))
+    assert(run(rows) === ((4L, 3L, 1L, 1L, Some(20000000L))))
+  }
+
+  test("q135: step k scans only events after step k-1 — early purchases are ignored") {
+    // purchase at t=12 precedes the first valid click (t=15): the
+    // conversion must land on the t=40 purchase, not the t=12 one
+    val rows = Seq(
+      (1L, "signup", ts(10)), (1L, "purchase", ts(12)),
+      (1L, "click", ts(15)), (1L, "purchase", ts(40)))
+    assert(run(rows) === ((1L, 1L, 1L, 1L, Some(30000000L))))
+    // and with no post-click purchase the user stalls at step 2
+    val stalled = rows.filterNot(_._3 == ts(40))
+    assert(run(stalled) === ((1L, 1L, 1L, 0L, None)))
+  }
+
+  test("q135: earliest qualifying event wins each step") {
+    val rows = Seq(
+      (1L, "signup", ts(100)), (1L, "signup", ts(10)),
+      (1L, "click", ts(20)), (1L, "click", ts(12)),
+      (1L, "purchase", ts(13)), (1L, "purchase", ts(25)))
+    // t1=10 (earliest signup), t2=12 (earliest later click),
+    // t3=13 (earliest purchase after t2) → conv = 3 s
+    assert(run(rows) === ((1L, 1L, 1L, 1L, Some(3000000L))))
+  }
+}

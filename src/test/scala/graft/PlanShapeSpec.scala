@@ -488,6 +488,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!g.contains("Join"), g)
   }
 
+  test("q133/q134: the wedge self-join is a merge join over E-sized keyed exchanges; only the scalar edge count broadcasts") {
+    val e = graft.operators.Motifs.edges(
+      Tables.load(spark, sf0001, "orders"),
+      Tables.load(spark, sf0001, "lineitem"))
+    val ec = e.localCheckpoint(true)
+    val p = graft.operators.Motifs.censusPlan(ec, est = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    // both self-join sides are corpus-scale: never a broadcast join
+    assert(count(p, "SortMergeJoin") === 1, p)
+    assert(count(p, "BroadcastHashJoin") === 0, p)
+    // the only BNLJ is the 1-row edge-count scalar attach
+    assert(count(p, "BroadcastNestedLoopJoin") === 1, p)
+    // the self-join pays exactly its two E-sized customer-keyed
+    // exchanges (linear); the only other keyed shuffle is the pair
+    // groupBy, map-side-combined to the distinct-pair table first
+    assert(keyedExchanges(p, "c#") === 2, p)
+    assert(keyedExchanges(p, "s#") === 1, p)
+    // the gate queries' final frames are the checkpointed 1-row
+    // census tables
+    Seq("q133_butterflies", "q134_butterflies_espar").foreach { q =>
+      val g = executedPlan(q)
+      assert(g.contains("Scan ExistingRDD"), g)
+      assert(!g.contains("Join"), g)
+    }
+  }
+
+  test("q135: the funnel rides ONE user-keyed exchange — a sequential window stack, no join-backs") {
+    val p = executedPlan("q135_funnel_steps")
+    assert(!p.contains("Join"), p)
+    // three conditional-min windows, all on the same user partition
+    assert(count(p, "Window \\(") === 3, p)
+    assert(keyedExchanges(p, "user_id") === 1, p)
+  }
+
   test("q116: in-batch negatives are joinless — one shard-keyed shuffle, K leads on one window") {
     val p = executedPlan("q116_inbatch_negatives")
     assert(!p.contains("Join"), p) // no join of any kind
