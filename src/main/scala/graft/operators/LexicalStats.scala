@@ -35,6 +35,17 @@ object LexicalStats {
   private[graft] val SlopeShift = 10000000L   // |slope| < 10
   private[graft] val InterceptShift = 1000000000L
 
+  /** q136 constants: damped-iteration count, edge-weight floor,
+    * micro-unit scale, output size. */
+  private[graft] val TrIters = 4
+  private[graft] val TrMinW = 3
+  private[graft] val TrUnit = 1000000L
+  private[graft] val TrTop = 50
+
+  /** q137 constants: occurrence floor, output size, ppm scale. */
+  private[graft] val DpMinCount = 100
+  private[graft] val DpTop = 40
+
   /** q125 constants: checkpoint count. Checkpoints are doc-id
     * thresholds at fraction j²/C² of the id range — quadratic spacing
     * is denser early, where the log-log growth curve bends, and needs
@@ -69,12 +80,143 @@ object LexicalStats {
     "q125_heaps_fit" -> { (s, dir) =>
       heaps(Tables.load(s, dir, "documents"))
     },
+    // -- q136: TextRank keyword extraction (Mihalcea & Tarau, EMNLP
+    //    2004) — weighted PageRank over the adjacent-token
+    //    co-occurrence graph, the classic unsupervised keyword
+    //    ranker. Undirected edges are the q126 bigram pairs
+    //    (self-loops dropped, both orders collapsed onto the ordered
+    //    {a,b} pair, edge-weight floor ${TrMinW} instead of a node
+    //    frequency filter — one filter, no extra joins). The
+    //    iteration is the q105 integer contract made WEIGHTED:
+    //    contribution u→v = (r_u div W_u)·w_uv (rank per unit
+    //    weight times edge weight — integer, the floor loss is part
+    //    of the definition), update = 150000 + 85·Σ div 100; K=4
+    //    rounds, micro-units, bit-stable on any partitioning. Top-50
+    //    tokens by final rank. --
+    "q136_textrank" -> { (s, dir) =>
+      textrank(Tables.load(s, dir, "documents"))
+    },
+    // -- q137: term dispersion, Gries' DP (deviation of proportions;
+    //    Gries 2008, the corpus-linguistics standard): DP(t) =
+    //    ½ Σ_i |v_i − s_i| with v_i = t's occurrence share in source
+    //    i and s_i = source i's token share. 0 = perfectly even
+    //    spread, → 1 = clumped into one source. The curation read:
+    //    high-frequency high-DP terms are source-specific
+    //    boilerplate/markers (the per-TERM lens on what q121's JS
+    //    matrix shows per-SOURCE). Top-40 most clumped terms with
+    //    occurrence floor 100. --
+    "q137_term_dispersion" -> { (s, dir) =>
+      dispersion(Tables.load(s, dir, "documents"))
+    },
     "q128_zipf_fit" -> { (s, dir) =>
       zipf(Tables.load(s, dir, "documents"))
     },
   )
 
   /** q126 over any (text) frame — exposed for the spec's replay. */
+  /** q136 full frame: (rank, node, wd, rank_unit), TrTop rows.
+    *
+    * Scale shape (the q105 posture on a VOCABULARY-scale graph): the
+    * undirected edge list is built by one bigram groupBy + one
+    * ordered-pair groupBy (both map-side-combined keyed shuffles at
+    * vocabulary scale, the q126 argument), symmetrized, repartitioned
+    * by src and persisted ONCE — each of the K iterations shuffles
+    * only node-sized rank tables (hinted off broadcast: the
+    * vocabulary scales with the corpus); per-round localCheckpoint
+    * cuts the iterate's lineage (the CC house rule); the final top-50
+    * is TakeOrderedAndProject — bounded driver state at any corpus
+    * size. All arithmetic is integer micro-units, bit-stable on any
+    * partitioning (BIGINT headroom: rpw ≤ r, m = Σ rpw·w stays far
+    * under 2⁶³ while Σw is below ~10¹² — crawl-scale safe). */
+  private[graft] def textrank(d: DataFrame): DataFrame = {
+    val und = d.select(explode(NGrams.wordNGramsAll(
+        Text.tokens(col("text")), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cw"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"), col("cw"))
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"), col("cw"))
+      .groupBy(col("a"), col("b")).agg(sum(col("cw")).as("w"))
+      .filter(col("w") >= TrMinW)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .repartition(col("src"))
+      .persist()
+    val wdeg = edges.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("wd"))
+      .persist()
+    var ranks = wdeg.select(col("node"), col("wd"), lit(TrUnit).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to TrIters)
+      ranks = trStep(edges, wdeg, ranks).localCheckpoint(true)
+    edges.unpersist()
+    wdeg.unpersist()
+    ranks.orderBy(col("r").desc, col("node")).limit(TrTop)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("r").desc, col("node"))).cast("long"))
+      .select(col("rank"), col("node"), col("wd"), col("r").as("rank_unit"))
+  }
+
+  /** One weighted damped update, un-checkpointed
+    * (plan-shape-testable): rank-per-unit-weight is map-side
+    * (`r div wd`), the only shuffles are the edge join on src and
+    * the dst aggregation — node-sized tables against the persisted
+    * edge partitioning. */
+  private[graft] def trStep(edges: DataFrame, wdeg: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = edges.join(
+        ranks.select(col("node").as("src"), expr("r div wd").as("rpw"))
+          .hint("shuffle_merge"), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("rpw") * col("w")).as("m"))
+    wdeg.join(contrib.hint("shuffle_merge"), Seq("node"), "left")
+      .select(col("node"), col("wd"),
+        expr("CAST(150000 + (85 * coalesce(m, CAST(0 AS BIGINT))) div 100 AS BIGINT)")
+          .as("r"))
+  }
+
+  /** q137 full frame: (rank, w, c, dp_ppm), DpTop rows.
+    *
+    * Cross-engine exactness: DP's absolute differences are stated
+    * over the COMMON DENOMINATOR c_t·N, so every |v_i − s_i| term is
+    * the exact integer |c_ti·N − n_i·c_t| — never a double sum —
+    * and absent (token, source) cells need no materialization: they
+    * contribute n_i·c_t exactly, folded in closed form as
+    * (N − Σ_present n_i)·c_t. One flooring division at the very end
+    * quantizes to ppm (all terms non-negative, so truncating and
+    * flooring agree). Products ride DECIMAL(38,0)/HUGEINT (c_ti·N
+    * approaches 1e24 on a 1e12-token corpus — far past BIGINT).
+    *
+    * Scale shape: one (source, token) groupBy and one token-keyed
+    * join/groupBy — both map-side-combined keyed shuffles; the
+    * source-size table (≤ sources rows) and the 1-row total are
+    * broadcast dims; the token aggregation rides the join's own
+    * w partitioning ({w} ⊆ {w}); top-40 = TakeOrderedAndProject. */
+  private[graft] def dispersion(d: DataFrame): DataFrame = {
+    val tk = d.select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+    val st = tk.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_si"))
+    val src = tk.groupBy(col("source")).agg(count(lit(1)).as("n_i"))
+    val tot = src.agg(sum(col("n_i")).as("nn"))
+    val tt = st.groupBy(col("w")).agg(sum(col("c_si")).as("c"))
+    val agg = st.join(broadcast(src), "source")
+      .join(tt.filter(col("c") >= DpMinCount).hint("shuffle_merge"), "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("w"))
+      .agg(max(col("c")).as("c"), max(col("nn")).as("nn"),
+        sum(expr("abs(CAST(c_si AS DECIMAL(38,0)) * nn - CAST(n_i AS DECIMAL(38,0)) * c)"))
+          .as("pnum"),
+        sum(col("n_i")).as("n_present"))
+    agg.selectExpr("w", "c",
+        """CAST(((pnum + CAST(nn - n_present AS DECIMAL(38,0)) * c) * 1000000)
+          |  div (2 * CAST(c AS DECIMAL(38,0)) * nn) AS BIGINT) AS dp_ppm"""
+          .stripMargin)
+      .orderBy(col("dp_ppm").desc, col("w")).limit(DpTop)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("dp_ppm").desc, col("w"))).cast("long"))
+      .select(col("rank"), col("w"), col("c"), col("dp_ppm"))
+  }
+
   private[graft] def pmi(d: DataFrame): DataFrame = {
       val toks = d.select(explode(Text.tokens(col("text"))).as("w"))
       val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -340,9 +482,82 @@ object LexicalStats {
        |    // (n * 1000000) - $InterceptShift AS BIGINT) AS zipf_intercept_unats
        |FROM sl""".stripMargin
 
+  // unrolled K-iteration chain; every multiply-referenced CTE is
+  // MATERIALIZED (the q127 inliner lesson — an un-materialized
+  // iterate doubles the tree per round)
+  private def oracle136: String = {
+    val iters = (1 to TrIters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum((r.r // r.wd) * e.w) AS m
+         |  FROM ed e JOIN r${i - 1} r ON e.src = r.node
+         |  GROUP BY e.dst),
+         |r$i AS MATERIALIZED (
+         |  SELECT wd.node, wd.wd,
+         |    CAST(150000 + (85 * coalesce(m, 0)) // 100 AS BIGINT) AS r
+         |  FROM wd LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |pc AS (
+       |  SELECT w1, w2, count(*) AS cw FROM (
+       |    SELECT t[i] AS w1, t[i+1] AS w2
+       |    FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+       |          FROM tok))
+       |  GROUP BY w1, w2),
+       |und AS MATERIALIZED (
+       |  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+       |    CAST(sum(cw) AS BIGINT) AS w
+       |  FROM pc WHERE w1 <> w2 GROUP BY 1, 2
+       |  HAVING sum(cw) >= $TrMinW),
+       |ed AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, w FROM und
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst, w FROM und),
+       |wd AS MATERIALIZED (
+       |  SELECT src AS node, CAST(sum(w) AS BIGINT) AS wd FROM ed GROUP BY src),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, wd, CAST($TrUnit AS BIGINT) AS r FROM wd),
+       |$iters
+       |SELECT CAST(rank AS BIGINT) AS rank, node, wd, r AS rank_unit FROM (
+       |  SELECT node, wd, r,
+       |    row_number() OVER (ORDER BY r DESC, node) AS rank
+       |  FROM r$TrIters)
+       |WHERE rank <= $TrTop""".stripMargin
+  }
+
+  private def oracle137: String =
+    s"""WITH tk AS (
+       |  SELECT source, unnest(string_split_regex(text, '\\s+')) AS w
+       |  FROM documents),
+       |st AS MATERIALIZED (
+       |  SELECT source, w, count(*) AS c_si FROM tk GROUP BY source, w),
+       |src AS (SELECT source, count(*) AS n_i FROM tk GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS nn FROM src),
+       |tt AS (SELECT w, CAST(sum(c_si) AS BIGINT) AS c FROM st GROUP BY w),
+       |agg AS (
+       |  SELECT st.w, max(c) AS c, max(nn) AS nn,
+       |    sum(abs(CAST(c_si AS HUGEINT) * nn - CAST(n_i AS HUGEINT) * c))
+       |      AS pnum,
+       |    CAST(sum(n_i) AS BIGINT) AS n_present
+       |  FROM st JOIN src USING (source) JOIN tt USING (w) CROSS JOIN tot
+       |  WHERE c >= $DpMinCount
+       |  GROUP BY st.w),
+       |sc AS (
+       |  SELECT w, c,
+       |    CAST(((pnum + CAST(nn - n_present AS HUGEINT) * c) * 1000000)
+       |      // (2 * CAST(c AS HUGEINT) * nn) AS BIGINT) AS dp_ppm
+       |  FROM agg)
+       |SELECT CAST(rank AS BIGINT) AS rank, w, c, dp_ppm FROM (
+       |  SELECT w, c, dp_ppm,
+       |    row_number() OVER (ORDER BY dp_ppm DESC, w) AS rank
+       |  FROM sc)
+       |WHERE rank <= $DpTop""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q125_heaps_fit" -> oracle125,
+    "q137_term_dispersion" -> oracle137,
     "q126_pmi_collocations" -> oracle126,
     "q128_zipf_fit" -> oracle128,
+    "q136_textrank" -> oracle136,
   )
 }

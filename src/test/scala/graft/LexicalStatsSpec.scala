@@ -80,6 +80,110 @@ class LexicalStatsSpec extends SparkSpec {
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
+  // ---- q136 ---------------------------------------------------------
+
+  /** Reference TextRank: the engine's exact integer semantics —
+    * bigram graph with weight floor 3, K=4 damped rounds of
+    * (r div wd)·w contributions in micro-units. */
+  private def bruteTextRank(texts: Seq[String]): Seq[(Long, String, Long, Long)] = {
+    val docs = texts.map(_.split("\\s+").toSeq)
+    val pairs = docs.flatMap(t => t.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))))
+      .filter(p => p._1 != p._2)
+      .map(p => if (p._1 <= p._2) p else (p._2, p._1))
+    val und = pairs.groupBy(identity)
+      .collect { case (p, o) if o.size >= 3 => (p, o.size.toLong) }
+    val adj: Map[String, Seq[(String, Long)]] = und.toSeq
+      .flatMap { case ((a, b), w) => Seq((a, (b, w)), (b, (a, w))) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val wd = adj.map { case (n, es) => n -> es.map(_._2).sum }
+    var r: Map[String, Long] = wd.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to 4)
+      r = adj.map { case (n, es) =>
+        n -> (150000L + 85L * es.map { case (u, w) => (r(u) / wd(u)) * w }.sum / 100L)
+      }
+    r.toSeq.map { case (n, rv) => (n, wd(n), rv) }
+      .sortBy { case (n, _, rv) => (-rv, n) }.take(50)
+      .zipWithIndex.map { case ((n, w, rv), i) => ((i + 1).toLong, n, w, rv) }
+  }
+
+  test("q136 matches the driver-side integer TextRank replay; the planted hub ranks first") {
+    import spark.implicits._
+    // "hub" is every spoke's ONLY neighbor, heavily repeated; the
+    // filler/noise pair is a separate 2-clique — hub must rank first
+    val spokes = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val texts =
+      spokes.flatMap(s => Seq.fill(4)(s"hub $s hub $s")) ++
+        Seq.fill(5)("filler noise filler noise") ++
+        Seq("rare paironce") // below the weight floor: not a node
+    val got = graft.operators.LexicalStats.textrank(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === bruteTextRank(texts))
+    assert(got.head._2 === "hub")
+    assert(!got.exists(t => t._2 == "rare" || t._2 == "paironce"))
+  }
+
+  // ---- q137 ---------------------------------------------------------
+
+  /** Reference DP: the engine's exact integer semantics — common
+    * denominator c·N, closed-form absent-cell fold, one ppm floor. */
+  private def bruteDp(rows: Seq[(String, String)]): Seq[(Long, String, Long, Long)] = {
+    val toks = rows.flatMap { case (src, t) =>
+      t.split("\\s+").toSeq.map(w => (src, w)) }
+    val ni = toks.groupBy(_._1).map { case (s, o) => s -> BigInt(o.size) }
+    val n = BigInt(toks.size)
+    val scored = toks.groupBy(_._2).collect {
+      case (w, occ) if occ.size >= 100 =>
+        val c = BigInt(occ.size)
+        val present = occ.groupBy(_._1).map { case (s, o) => s -> BigInt(o.size) }
+        val pnum = present.map { case (s, csi) => (csi * n - ni(s) * c).abs }.sum
+        // keysIterator, NOT keys.map: Set#map dedupes equal sizes
+        val num = pnum + (n - present.keysIterator.map(ni).sum) * c
+        (w, occ.size.toLong, ((num * 1000000) / (2 * c * n)).toLong)
+    }.toSeq
+    scored.sortBy { case (w, _, dp) => (-dp, w) }.take(40)
+      .zipWithIndex.map { case ((w, c, dp), i) => ((i + 1).toLong, w, c, dp) }
+  }
+
+  private def engineDp(rows: Seq[(String, String)]): Seq[(Long, String, Long, Long)] = {
+    import spark.implicits._
+    graft.operators.LexicalStats.dispersion(
+        rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+          .toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("q137 matches the driver-side DP replay on the real corpus") {
+    val rows = Tables.load(spark, sf0001, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val got = engineDp(rows)
+    assert(got === bruteDp(rows))
+    assert(got.nonEmpty)
+  }
+
+  test("q137: a term confined to one source tops the ranking; evenly spread terms score 0") {
+    // two sources of equal token mass; "marker" lives ONLY in src_a,
+    // "even" is split exactly with the mass
+    val rows =
+      Seq.fill(60)(("src_a", "even marker even marker")) ++
+        Seq.fill(60)(("src_b", "even filler even filler"))
+    val got = engineDp(rows)
+    assert(got === bruteDp(rows))
+    // marker/filler: v_own = 1, s_own = 1/2 → DP = 1/2 exactly; they
+    // tie at the top (tie broken lexicographically)
+    assert(got.take(2).map(_._2) === Seq("filler", "marker"))
+    assert(got.take(2).forall(_._4 == 500000L))
+    // "even" follows the mass exactly → DP = 0
+    assert(got.find(_._2 == "even").get._4 === 0L)
+  }
+
   test("q128 matches the BigInt regression replay on a mixed corpus") {
     val texts = Seq(
       "a a a a a a a a b b b b c c d d e f g h",

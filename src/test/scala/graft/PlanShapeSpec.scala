@@ -516,6 +516,58 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q136: a TextRank round shuffles only node-sized tables; the gate is TakeOrdered over the checkpointed iterate") {
+    import org.apache.spark.sql.functions.{col, explode, greatest, least, lit, split, sum => ssum, count => scount}
+    val d = Tables.load(spark, sf0001, "documents")
+    val und = d.select(explode(graft.functions.NGrams.wordNGramsAll(
+        graft.functions.Text.tokens(col("text")), 2)).as("g"))
+      .groupBy(col("g")).agg(scount(lit(1)).as("cw"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"), col("cw"))
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"), col("cw"))
+      .groupBy(col("a"), col("b")).agg(ssum(col("cw")).as("w"))
+      .filter(col("w") >= 3)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .repartition(col("src")).persist()
+    val wdeg = edges.groupBy(col("src").as("node"))
+      .agg(ssum(col("w")).as("wd")).persist()
+    val ranks = wdeg.select(col("node"), col("wd"), lit(1000000L).as("r"))
+      .localCheckpoint(true)
+    val p = graft.operators.LexicalStats.trStep(edges, wdeg, ranks)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    edges.unpersist(); wdeg.unpersist()
+    assert(!p.contains("CartesianProduct"), p)
+    // vocabulary scales with the corpus: nothing may broadcast
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(count(p, "BroadcastHashJoin") === 0, p)
+    // the contribution join + the left-outer update re-attach, both
+    // keyed merges against node-sized tables
+    assert(count(p, "SortMergeJoin Inner") === 1, p)
+    assert(count(p, "SortMergeJoin LeftOuter") === 1, p)
+    // the gate's final frame: top-50 off the checkpointed iterate,
+    // no iteration lineage, bounded driver state
+    val g = executedPlan("q136_textrank")
+    assert(g.contains("TakeOrderedAndProject"), g)
+    assert(g.contains("Scan ExistingRDD"), g)
+    assert(!g.contains("SortMergeJoin"), g)
+  }
+
+  test("q137: dispersion is keyed groupBys + a source broadcast dim; top-40 without a global sort") {
+    val p = executedPlan("q137_term_dispersion")
+    assert(!p.contains("CartesianProduct"), p)
+    // the vocabulary-scale token-total attach is a keyed merge join
+    assert(count(p, "SortMergeJoin Inner") === 1, p)
+    // the ≤sources-row size dim broadcasts; the 1-row total is the
+    // only nested loop
+    assert(count(p, "BroadcastHashJoin") === 1, p)
+    assert(count(p, "BroadcastNestedLoopJoin") === 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q135: the funnel rides ONE user-keyed exchange — a sequential window stack, no join-backs") {
     val p = executedPlan("q135_funnel_steps")
     assert(!p.contains("Join"), p)
