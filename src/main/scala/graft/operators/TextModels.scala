@@ -229,6 +229,122 @@ object TextModels {
         "ssum div n_trigrams AS mean_surprisal_unats")
   }
 
+  // ---- q138 interpolated Kneser-Ney ---------------------------------
+
+  /** The absolute discount, expressed exactly in binary (3/4). */
+  private val KnD = 0.75
+
+  /** Mean trigram interpolated Kneser-Ney surprisal per 'test' doc
+    * (Kneser & Ney 1995; the Chen & Goodman 1999 interpolated form —
+    * THE canonical n-gram smoothing, q112's principled sibling):
+    *
+    *   P(w3|w1w2) = max(c123−D,0)/c12 + D·N1+(w1w2•)/c12 · P(w3|w2)
+    *   P(w3|w2)   = max(N1+(•w2w3)−D,0)/N1+(•w2•)
+    *                  + D·N1+(w2•)/N1+(•w2•) · Pc(w3)
+    *   Pc(w3)     = (N1+(•w3)+1)/(N1+(••)+V)
+    *
+    * with D = 3/4 and all N1+ the continuation/follower TYPE counts.
+    * Two engine-defined regularizations, replayed verbatim by the
+    * oracle: the base continuation distribution is add-1-smoothed so
+    * OOV tokens stay defined, and a level backs off when its context
+    * has NO observed continuation type (N1+ null — e.g. a bigram
+    * seen only at end-of-text), which also keeps every used branch
+    * strictly positive.
+    *
+    * Cross-engine exactness: every N1+ is an integer TYPE-count
+    * groupBy; D = 0.75 is exact in binary; each level is ONE fixed
+    * scalar op tree (greatest / divisions / multiply / add — all
+    * IEEE-correctly-rounded on bit-identical inputs, stated in the
+    * same order in both engines), and the single ln is quantized to
+    * integer micro-nats per DISTINCT trigram before any cross-row
+    * summation (the q112 contract).
+    *
+    * Scale shape: identical to q112 — count/type tables are
+    * vocabulary-scale map-side-combined groupBys; scoring runs per
+    * DISTINCT test trigram through FIVE keyed left joins (the two
+    * per-key tables pre-merged: c12+N1+(w1w2•) on the context
+    * bigram, N1+(•w2•)+N1+(w2•) on the middle word); N1+(••) and V
+    * are the single 1-row broadcast; one keyed map-back join to the
+    * per-doc profiles. */
+  private[graft] def kneserNey(d: DataFrame): DataFrame = {
+    val ds = d.select(col("doc_id"), col("text"), splitCol.as("split"))
+    val trainT = ds.filter(col("split") === "train")
+      .select(Text.tokens(col("text")).as("t"))
+    val testT = ds.filter(col("split") === "test")
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+
+    // occurrence counts (c123, c12) and TYPE tables
+    val tri = trainT.select(explode(NGrams.wordNGramsAll(col("t"), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c123"))
+    val trityp = tri.withColumn("p", split(col("g"), " "))
+      .select(element_at(col("p"), 1).as("w1"),
+        element_at(col("p"), 2).as("w2"), element_at(col("p"), 3).as("w3"))
+    val big = trainT.select(explode(NGrams.wordNGramsAll(col("t"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c12"))
+    val bigtyp = big.withColumn("p", split(col("g"), " "))
+      .select(element_at(col("p"), 1).as("wa"), element_at(col("p"), 2).as("wb"))
+
+    // N1+(w1w2, •): distinct followers of the context bigram —
+    // pre-merged onto the c12 table (every trigram prefix is an
+    // observed bigram, so a LEFT join loses nothing)
+    val fol2 = trityp.groupBy(concat_ws(" ", col("w1"), col("w2")).as("g"))
+      .agg(count(lit(1)).as("fol2"))
+    val b12 = big.join(fol2.hint("shuffle_merge"), Seq("g"), "left")
+    // N1+(•, w2w3): distinct predecessors of the suffix bigram
+    val cont3 = trityp.groupBy(concat_ws(" ", col("w2"), col("w3")).as("g23"))
+      .agg(count(lit(1)).as("cont3"))
+    // middle-word table: N1+(•w2•) type mass + N1+(w2•) followers
+    val mid = trityp.groupBy(col("w2")).agg(count(lit(1)).as("midc"))
+    val fol1 = bigtyp.groupBy(col("wa").as("w2")).agg(count(lit(1)).as("fol1"))
+    val w2tab = mid.join(fol1.hint("shuffle_merge"), Seq("w2"), "full")
+    // unigram continuation counts and the type/vocab totals
+    val cont2 = bigtyp.groupBy(col("wb").as("w3")).agg(count(lit(1)).as("cont2"))
+    val totals = big.agg(count(lit(1)).as("nb2")).crossJoin(
+      trainT.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+
+    val prof = testT.select(col("doc_id"),
+      explode(NGrams.wordNGramsAll(col("t"), 3)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n_occ"))
+    val gs = prof.select(col("g")).distinct()
+      .withColumn("p", split(col("g"), " "))
+      .select(col("g"),
+        concat_ws(" ", element_at(col("p"), 1), element_at(col("p"), 2)).as("g12"),
+        concat_ws(" ", element_at(col("p"), 2), element_at(col("p"), 3)).as("g23"),
+        element_at(col("p"), 2).as("w2"), element_at(col("p"), 3).as("w3"))
+
+    val joined = gs
+      .join(tri.hint("shuffle_merge"), Seq("g"), "left")
+      .join(b12.select(col("g").as("g12"), col("c12"), col("fol2"))
+        .hint("shuffle_merge"), Seq("g12"), "left")
+      .join(cont3.hint("shuffle_merge"), Seq("g23"), "left")
+      .join(w2tab.hint("shuffle_merge"), Seq("w2"), "left")
+      .join(cont2.hint("shuffle_merge"), Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+    // the three levels, one fixed op tree each — mirrored verbatim
+    val pc3 = (coalesce(col("cont2"), lit(0L)) + lit(1L)).cast("double") /
+      (col("nb2") + col("v")).cast("double")
+    val pkn2 = when(col("midc").isNotNull,
+      greatest(coalesce(col("cont3"), lit(0L)).cast("double") - lit(KnD),
+        lit(0.0)) / col("midc").cast("double") +
+        (lit(KnD) * col("fol1").cast("double") / col("midc").cast("double")) * pc3)
+      .otherwise(pc3)
+    val pkn3 = when(col("fol2").isNotNull,
+      greatest(coalesce(col("c123"), lit(0L)).cast("double") - lit(KnD),
+        lit(0.0)) / col("c12").cast("double") +
+        (lit(KnD) * col("fol2").cast("double") / col("c12").cast("double")) * pkn2)
+      .otherwise(pkn2)
+    val sg = joined.select(col("g"),
+      round(-log(pkn3) * U).cast("long").as("s_unats"))
+
+    prof.join(sg.hint("shuffle_merge"), "g")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_trigrams"),
+        sum(col("n_occ") * col("s_unats")).as("ssum"))
+      .selectExpr("doc_id", "n_trigrams",
+        "ssum div n_trigrams AS mean_kn_surprisal_unats")
+  }
+
   val queries: Map[String, Q] = Map(
     "q110_naive_bayes" -> { (s, dir) =>
       naiveBayesConfusion(Tables.load(s, dir, "documents"))
@@ -238,6 +354,9 @@ object TextModels {
     },
     "q112_stupid_backoff" -> { (s, dir) =>
       stupidBackoff(Tables.load(s, dir, "documents"))
+    },
+    "q138_kneser_ney" -> { (s, dir) =>
+      kneserNey(Tables.load(s, dir, "documents"))
     },
   )
 
@@ -381,9 +500,92 @@ object TextModels {
        |    // CAST(sum(n_occ) AS BIGINT) AS BIGINT) AS mean_surprisal_unats
        |FROM sg GROUP BY doc_id""".stripMargin
 
+  private val oracle138: String =
+    s"""WITH ds AS (
+       |  SELECT doc_id, text, $splitSql AS split FROM documents),
+       |trt AS (SELECT string_split_regex(text, '\\s+') AS t
+       |        FROM ds WHERE split = 'train'),
+       |tet AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t
+       |        FROM ds WHERE split = 'test'),
+       |tri AS MATERIALIZED (
+       |  SELECT g, count(*) AS c123 FROM (
+       |    SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM (
+       |      SELECT t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+       |      FROM trt)) GROUP BY g),
+       |big AS MATERIALIZED (
+       |  SELECT g, count(*) AS c12 FROM (
+       |    SELECT t[i] || ' ' || t[i+1] AS g FROM (
+       |      SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+       |      FROM trt)) GROUP BY g),
+       |trityp AS MATERIALIZED (SELECT string_split(g, ' ') AS p FROM tri),
+       |bigtyp AS MATERIALIZED (SELECT string_split(g, ' ') AS p FROM big),
+       |fol2 AS (
+       |  SELECT p[1] || ' ' || p[2] AS g, count(*) AS fol2
+       |  FROM trityp GROUP BY 1),
+       |b12 AS (
+       |  SELECT big.g, big.c12, fol2.fol2 FROM big LEFT JOIN fol2 USING (g)),
+       |cont3 AS (
+       |  SELECT p[2] || ' ' || p[3] AS g23, count(*) AS cont3
+       |  FROM trityp GROUP BY 1),
+       |mid AS (SELECT p[2] AS w2, count(*) AS midc FROM trityp GROUP BY 1),
+       |fol1 AS (SELECT p[1] AS w2, count(*) AS fol1 FROM bigtyp GROUP BY 1),
+       |w2tab AS (
+       |  SELECT coalesce(mid.w2, fol1.w2) AS w2, midc, fol1
+       |  FROM mid FULL JOIN fol1 ON mid.w2 = fol1.w2),
+       |cont2 AS (SELECT p[2] AS w3, count(*) AS cont2 FROM bigtyp GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT count(*) FROM big) AS nb2,
+       |    (SELECT count(DISTINCT w) FROM (SELECT unnest(t) AS w FROM trt)) AS v),
+       |prof AS (
+       |  SELECT doc_id, g, w2, w3, g12, g23, count(*) AS n_occ FROM (
+       |    SELECT doc_id,
+       |      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g,
+       |      t[i] || ' ' || t[i+1] AS g12,
+       |      t[i+1] || ' ' || t[i+2] AS g23,
+       |      t[i+1] AS w2, t[i+2] AS w3
+       |    FROM (
+       |      SELECT doc_id, t,
+       |        unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+       |      FROM tet))
+       |  GROUP BY doc_id, g, w2, w3, g12, g23),
+       |sg AS (
+       |  SELECT doc_id, n_occ,
+       |    CAST(round(-ln(pkn3) * 1000000) AS BIGINT) AS s_unats
+       |  FROM (
+       |    SELECT doc_id, n_occ,
+       |      CASE WHEN fol2 IS NOT NULL
+       |        THEN greatest(CAST(coalesce(c123, 0) AS DOUBLE) - 0.75, 0.0)
+       |            / CAST(c12 AS DOUBLE)
+       |          + (0.75 * CAST(fol2 AS DOUBLE) / CAST(c12 AS DOUBLE)) * pkn2
+       |        ELSE pkn2 END AS pkn3
+       |    FROM (
+       |      SELECT doc_id, n_occ, c123, c12, fol2,
+       |        CASE WHEN midc IS NOT NULL
+       |          THEN greatest(CAST(coalesce(cont3, 0) AS DOUBLE) - 0.75, 0.0)
+       |              / CAST(midc AS DOUBLE)
+       |            + (0.75 * CAST(fol1 AS DOUBLE) / CAST(midc AS DOUBLE)) * pc3
+       |          ELSE pc3 END AS pkn2
+       |      FROM (
+       |        SELECT p.doc_id, p.n_occ, tri.c123, b.c12, b.fol2,
+       |          c3.cont3, m.midc, m.fol1,
+       |          CAST(coalesce(c2.cont2, 0) + 1 AS DOUBLE)
+       |            / CAST(nb2 + v AS DOUBLE) AS pc3
+       |        FROM prof p
+       |        LEFT JOIN tri ON tri.g = p.g
+       |        LEFT JOIN b12 b ON b.g = p.g12
+       |        LEFT JOIN cont3 c3 ON c3.g23 = p.g23
+       |        LEFT JOIN w2tab m ON m.w2 = p.w2
+       |        LEFT JOIN cont2 c2 ON c2.w3 = p.w3
+       |        CROSS JOIN tot))))
+       |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_trigrams,
+       |  CAST(CAST(sum(n_occ * s_unats) AS BIGINT)
+       |    // CAST(sum(n_occ) AS BIGINT) AS BIGINT) AS mean_kn_surprisal_unats
+       |FROM sg GROUP BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q110_naive_bayes" -> oracle110,
     "q111_logodds_terms" -> oracle111,
     "q112_stupid_backoff" -> oracle112,
+    "q138_kneser_ney" -> oracle138,
   )
 }

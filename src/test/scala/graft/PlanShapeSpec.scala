@@ -698,6 +698,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window "), p) // no window at all in this shape
   }
 
+  test("q138: KN scoring runs at distinct-trigram scale — keyed left joins, one scalar broadcast, no window") {
+    val p = executedPlan("q138_kneser_ney")
+    assert(!p.contains("CartesianProduct"), p)
+    // five scoring left joins + the two pre-merge joins (c12+fol2,
+    // mid+fol1) + the profile map-back, all keyed merges
+    assert(count(p, "SortMergeJoin") >= 7, p)
+    // two scalar nested loops: nb2 × V (1-row × 1-row), and its
+    // broadcast into the scoring frame
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p)
+    assert(!p.contains("Window "), p)
+  }
+
   test("q124: coverage is all doc-keyed — window counts (no gram-keyed join), merge joins, zero broadcasts") {
     val p = executedPlan("q124_dup_ngram_coverage")
     assert(!p.contains("CartesianProduct"), p)

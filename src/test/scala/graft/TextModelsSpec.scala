@@ -93,6 +93,56 @@ class TextModelsSpec extends SparkSpec {
     assert(s2 > s4 && s4 > s1)
   }
 
+  test("kneser-ney: trigram hit, context backoff and OOV continuation, exactly") {
+    val d = Seq(
+      (1L, "srcA", "a b c d"),
+      (2L, "srcA", "a b c"),
+      (4L, "srcA", "b c d"),
+      (3L, "srcA", "a b c z b c d")) // test doc
+      .toDF("doc_id", "source", "text")
+    val got = TextModels.kneserNey(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // train: c123(abc)=2, c123(bcd)=2; c12 ab=2 bc=3 cd=2; bigram
+    // types {ab, bc, cd} → nb2=3, V=4; type tables: fol2(ab)=1,
+    // fol2(bc)=1; cont3(bc)=1, cont3(cd)=1; mid(b)=mid(c)=1;
+    // fol1(a)=fol1(b)=fol1(c)=1; cont2(b)=cont2(c)=cont2(d)=1.
+    // Replay mirrors the engine's exact IEEE op sequence:
+    val D = 0.75
+    def pc3(cont2: Long) = (cont2 + 1).toDouble / 7.0
+    def lvl2(cont3: Long, midc: Double, fol1: Double, p: Double) =
+      math.max(cont3 - D, 0.0) / midc + (D * fol1 / midc) * p
+    def lvl3(c123: Long, c12: Double, fol2: Double, p: Double) =
+      math.max(c123 - D, 0.0) / c12 + (D * fol2 / c12) * p
+    val s1 = math.round(-math.log( // "a b c": full trigram hit
+      lvl3(2, 2.0, 1.0, lvl2(1, 1.0, 1.0, pc3(1)))) * 1e6)
+    val s2 = math.round(-math.log( // "b c z": z OOV everywhere
+      lvl3(0, 3.0, 1.0, lvl2(0, 1.0, 1.0, pc3(0)))) * 1e6)
+    val s3 = math.round(-math.log(pc3(1)) * 1e6) // "c z b": both contexts unseen
+    val s4 = math.round(-math.log( // "z b c": unseen context, middle level
+      lvl2(1, 1.0, 1.0, pc3(1))) * 1e6)
+    val s5 = math.round(-math.log( // "b c d": trigram hit, heavier context
+      lvl3(2, 3.0, 1.0, lvl2(1, 1.0, 1.0, pc3(1)))) * 1e6)
+    val ssum = s1 + s2 + s3 + s4 + s5
+    assert(got.toSeq === Seq((3L, 5L, ssum / 5L)))
+    // the discounted hit is least surprising; the OOV chain most
+    assert(s2 > s4 && s4 > s1)
+  }
+
+  test("kneser-ney: a context seen only at end-of-text backs off instead of scoring zero") {
+    // train bigram "a b" exists (c12=1) but has NO trigram
+    // continuation (fol2 null) — the level must back off, not emit
+    // ln(0); and "b" never appears mid-trigram, so the middle level
+    // backs off too, landing on the add-1 continuation: nb2=2, V=3,
+    // cont2(z)=0 → p = 1/5
+    val d = Seq(
+      (1L, "srcA", "z a b"),
+      (3L, "srcA", "a b z")) // test doc
+      .toDF("doc_id", "source", "text")
+    val got = TextModels.kneserNey(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((3L, 1L, math.round(-math.log(0.2) * 1e6))))
+  }
+
   test("stupid backoff: repeated trigrams weight the mean by occurrence count") {
     val d = Seq(
       (1L, "srcA", "a b c d"),
