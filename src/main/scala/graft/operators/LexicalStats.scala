@@ -128,8 +128,12 @@ object LexicalStats {
     * size. All arithmetic is integer micro-units, bit-stable on any
     * partitioning (BIGINT headroom: rpw ≤ r, m = Σ rpw·w stays far
     * under 2⁶³ while Σw is below ~10¹² — crawl-scale safe). */
-  private[graft] def textrank(d: DataFrame): DataFrame = {
-    val und = d.select(explode(NGrams.wordNGramsAll(
+  /** The undirected adjacent-token co-occurrence graph (a, b, w) with
+    * a < b, self-loops dropped, both orders collapsed, edge-weight
+    * floor `minW` — the q136 graph, shared with q139's triangle
+    * census. Two vocabulary-scale map-side-combined keyed groupBys. */
+  private[graft] def undirectedEdges(d: DataFrame, minW: Long): DataFrame =
+    d.select(explode(NGrams.wordNGramsAll(
         Text.tokens(col("text")), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cw"))
       .select(split(col("g"), " ").getItem(0).as("w1"),
@@ -138,7 +142,10 @@ object LexicalStats {
       .select(least(col("w1"), col("w2")).as("a"),
         greatest(col("w1"), col("w2")).as("b"), col("cw"))
       .groupBy(col("a"), col("b")).agg(sum(col("cw")).as("w"))
-      .filter(col("w") >= TrMinW)
+      .filter(col("w") >= minW)
+
+  private[graft] def textrank(d: DataFrame): DataFrame = {
+    val und = undirectedEdges(d, TrMinW)
     val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .repartition(col("src"))
@@ -366,6 +373,23 @@ object LexicalStats {
 
   // ---- DuckDB oracles (same constants and op trees) ----------------
 
+  /** The tok/pc/und oracle CTE prefix replaying [[undirectedEdges]] —
+    * shared by oracle136 and Motifs' oracle139. */
+  private[operators] def undEdgeSql(minW: Long): String =
+    s"""tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |pc AS (
+       |  SELECT w1, w2, count(*) AS cw FROM (
+       |    SELECT t[i] AS w1, t[i+1] AS w2
+       |    FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+       |          FROM tok))
+       |  GROUP BY w1, w2),
+       |und AS MATERIALIZED (
+       |  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+       |    CAST(sum(cw) AS BIGINT) AS w
+       |  FROM pc WHERE w1 <> w2 GROUP BY 1, 2
+       |  HAVING sum(cw) >= $minW)""".stripMargin
+
   private def oracle126: String =
     s"""WITH tok AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
@@ -496,19 +520,7 @@ object LexicalStats {
          |    CAST(150000 + (85 * coalesce(m, 0)) // 100 AS BIGINT) AS r
          |  FROM wd LEFT JOIN c$i USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-       |pc AS (
-       |  SELECT w1, w2, count(*) AS cw FROM (
-       |    SELECT t[i] AS w1, t[i+1] AS w2
-       |    FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
-       |          FROM tok))
-       |  GROUP BY w1, w2),
-       |und AS MATERIALIZED (
-       |  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
-       |    CAST(sum(cw) AS BIGINT) AS w
-       |  FROM pc WHERE w1 <> w2 GROUP BY 1, 2
-       |  HAVING sum(cw) >= $TrMinW),
+    s"""WITH ${undEdgeSql(TrMinW)},
        |ed AS MATERIALIZED (
        |  SELECT a AS src, b AS dst, w FROM und
        |  UNION ALL

@@ -53,6 +53,49 @@ class MotifsSpec extends SparkSpec {
     assert(engine(edges3, est = false) === Seq(7L, 3L, 3L, 3L))
   }
 
+  // ---- q139: degree-ordered triangle census ------------------------
+
+  /** Brute-force triangle/wedge census over an undirected edge set
+    * (a < b): each triangle once as a < b < c. */
+  private def triReplay(edges: Set[(String, String)])
+      : (Long, Long, BigInt, Long, Long) = {
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val tri = edges.toSeq.map { case (a, b) =>
+      (adj(a) & adj(b)).count(_ > b).toLong
+    }.sum
+    val wedges = adj.values.map(s => BigInt(s.size) * (s.size - 1) / 2).sum
+    val gcc = if (wedges == 0) 0L
+      else ((BigInt(tri) * 3000000) / wedges).toLong
+    (adj.size.toLong, edges.size.toLong, wedges, tri, gcc)
+  }
+
+  private def triEngine(edges: Set[(String, String)]): Seq[Long] =
+    Motifs.triangles(edges.toSeq.toDF("a", "b"))
+      .collect().map(_.toSeq.map(_.asInstanceOf[Long])).head
+
+  test("q139: census equals the brute-force replay on the real token graph") {
+    val und = graft.operators.LexicalStats.undirectedEdges(
+      Tables.load(spark, sf0001, "documents"), 3L)
+    val edges = und.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val (nn, ne, nw, t, gcc) = triReplay(edges)
+    assert(triEngine(edges) === Seq(nn, ne, nw.toLong, t, gcc))
+    assert(t > 0L) // the graph is dense enough that the count is live
+  }
+
+  test("q139: planted motifs — K4, star, K4+pendant") {
+    // K4: 4 triangles, 12 wedges, gcc = 1 exactly
+    val k4 = Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d"))
+    assert(triEngine(k4) === Seq(4L, 6L, 12L, 4L, 1000000L))
+    // a star is all wedges, no triangles
+    val star = Set(("a", "b"), ("a", "c"), ("a", "d"))
+    assert(triEngine(star) === Seq(4L, 3L, 3L, 0L, 0L))
+    // K4 + pendant: the hub's extra wedges dilute gcc to 12/15
+    val k4p = k4 + (("a", "e"))
+    assert(triEngine(k4p) === Seq(5L, 7L, 15L, 4L, 800000L))
+  }
+
   test("q134: the sample is the splitmix-kept edge subset and the estimator is count·8⁴") {
     val all = Motifs.edges(
         Tables.load(spark, sf0001, "orders"),

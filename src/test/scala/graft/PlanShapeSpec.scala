@@ -516,6 +516,52 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q139: oriented wedge join + closing semi are keyed merge joins; only scalars broadcast") {
+    val und = graft.operators.LexicalStats.undirectedEdges(
+      Tables.load(spark, sf0001, "documents"), 3L)
+    val e = und.select(
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b")).localCheckpoint(true)
+    val deg = graft.operators.Motifs.degrees(e).localCheckpoint(true)
+    // the orientation: two vocab-scale keyed joins, never broadcast
+    val po = graft.operators.Motifs.orient(e, deg)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(count(po, "SortMergeJoin Inner") === 2, po)
+    assert(count(po, "BroadcastHashJoin") === 0, po)
+    val dir = graft.operators.Motifs.orient(e, deg).localCheckpoint(true)
+    val p = graft.operators.Motifs.triPlan(e, deg, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    // wedge self-join (inner) + closing LeftSemi: both merge joins
+    assert(count(p, "SortMergeJoin Inner") === 1, p)
+    assert(count(p, "SortMergeJoin LeftSemi") === 1, p)
+    assert(count(p, "BroadcastHashJoin") === 0, p)
+    // the only BNLJs attach the two 1-row census scalars
+    assert(count(p, "BroadcastNestedLoopJoin") === 2, p)
+    // self-join pays its two u-keyed exchanges; the closing semi its
+    // wedge-keyed (the pair keys keep their pre-alias v# names) and
+    // edge-keyed one each — all linear, all keyed
+    assert(keyedExchanges(p, "u#") === 2, p)
+    assert(keyedExchanges(p, "v#") === 1, p)
+    assert(keyedExchanges(p, "a#") === 1, p)
+    // the gate query's final frame is the checkpointed 1-row census
+    val g = executedPlan("q139_token_triangles")
+    assert(g.contains("Scan ExistingRDD"), g)
+    assert(!g.contains("Join"), g)
+  }
+
+  test("q140: the manifest is ONE map-side-combined keyed groupBy — no joins, no windows") {
+    val p = executedPlan("q140_source_manifest")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // partial + final HashAggregate around a single source-keyed
+    // exchange (plus the tiny final-order range exchange)
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(keyedExchanges(p, "source#") === 1, p)
+  }
+
   test("q136: a TextRank round shuffles only node-sized tables; the gate is TakeOrdered over the checkpointed iterate") {
     import org.apache.spark.sql.functions.{col, explode, greatest, least, lit, split, sum => ssum, count => scount}
     val d = Tables.load(spark, sf0001, "documents")
