@@ -111,6 +111,17 @@ object LexicalStats {
     "q128_zipf_fit" -> { (s, dir) =>
       zipf(Tables.load(s, dir, "documents"))
     },
+    // -- q141: unseen-vocabulary estimate — bias-corrected Chao1
+    //    species richness (Chao 1984: V + n1(n1−1)/(2(n2+1)), the
+    //    always-defined form) + Good-Turing missing mass (P₀ = n1/N;
+    //    Good 1953) from the frequency-of-frequencies table. The
+    //    corpus-planning companion to q125/q128: how much vocabulary
+    //    the corpus has NOT yet seen, and how much probability mass
+    //    the next sample puts on novel types — the quantitative "do
+    //    we need more data / more sources" diagnostic. --
+    "q141_unseen_estimate" -> { (s, dir) =>
+      unseen(Tables.load(s, dir, "documents"))
+    },
   )
 
   /** q126 over any (text) frame — exposed for the spec's replay. */
@@ -371,6 +382,35 @@ object LexicalStats {
              |  div (n * 1000000) - $InterceptShift AS zipf_intercept_unats""".stripMargin)
   }
 
+  /** q141 over any (text) frame — exposed for the spec's replay.
+    *
+    * Cross-engine exactness: every quantity is an integer count off
+    * the count-of-counts table; the two divisions (Chao1's and the
+    * ppm missing mass) are single flooring integral divisions over
+    * non-negative DECIMAL(38,0)/HUGEINT products (n1² approaches
+    * 1e20 on a 1e10-hapax crawl — past BIGINT), and the +1 in
+    * Chao1's denominator keeps it defined when n2 = 0.
+    *
+    * Scale shape: one vocab-scale keyed groupBy, one √-scale
+    * count-of-counts groupBy (m(m+1)/2 ≤ N distinct classes), then a
+    * 1-row conditional aggregation — no joins, no windows, bounded
+    * driver state. */
+  private[graft] def unseen(d: DataFrame): DataFrame = {
+    val vocab = d.select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val cls = vocab.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    cls.agg(
+        sum(expr("CAST(c AS DECIMAL(38,0)) * m")).as("nt"),
+        sum(col("m")).as("n_types"),
+        sum(when(col("c") === 1, col("m")).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, col("m")).otherwise(0L)).as("n2"))
+      .selectExpr("CAST(nt AS BIGINT) AS n_tokens", "n_types", "n1", "n2",
+        """CAST(n_types + (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1))
+          |  div (2 * (n2 + 1)) AS BIGINT) AS chao1_types""".stripMargin,
+        """CAST((CAST(n1 AS DECIMAL(38,0)) * 1000000)
+          |  div nullif(nt, 0) AS BIGINT) AS missing_mass_ppm""".stripMargin)
+  }
+
   // ---- DuckDB oracles (same constants and op trees) ----------------
 
   /** The tok/pc/und oracle CTE prefix replaying [[undirectedEdges]] —
@@ -565,7 +605,26 @@ object LexicalStats {
        |  FROM sc)
        |WHERE rank <= $DpTop""".stripMargin
 
+  private def oracle141: String =
+    s"""WITH tokx AS (
+       |  SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents),
+       |vocab AS (SELECT tok, count(*) AS c FROM tokx GROUP BY tok),
+       |cls AS (SELECT c, count(*) AS m FROM vocab GROUP BY c),
+       |ag AS (
+       |  SELECT sum(CAST(c AS HUGEINT) * m) AS nt,
+       |    CAST(sum(m) AS BIGINT) AS n_types,
+       |    CAST(sum(CASE WHEN c = 1 THEN m ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN c = 2 THEN m ELSE 0 END) AS BIGINT) AS n2
+       |  FROM cls)
+       |SELECT CAST(nt AS BIGINT) AS n_tokens, n_types, n1, n2,
+       |  CAST(n_types + (CAST(n1 AS HUGEINT) * (n1 - 1))
+       |    // (2 * (n2 + 1)) AS BIGINT) AS chao1_types,
+       |  CAST((CAST(n1 AS HUGEINT) * 1000000)
+       |    // nullif(nt, 0) AS BIGINT) AS missing_mass_ppm
+       |FROM ag""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q141_unseen_estimate" -> oracle141,
     "q125_heaps_fit" -> oracle125,
     "q137_term_dispersion" -> oracle137,
     "q126_pmi_collocations" -> oracle126,

@@ -184,6 +184,45 @@ class LexicalStatsSpec extends SparkSpec {
     assert(got.find(_._2 == "even").get._4 === 0L)
   }
 
+  // ---- q141 ---------------------------------------------------------
+
+  private def bruteUnseen(texts: Seq[String]): Seq[Long] = {
+    val counts = texts.flatMap(_.split("\\s+")).groupBy(identity)
+      .map(_._2.size.toLong).toSeq
+    val n = counts.sum
+    val v = counts.size.toLong
+    val n1 = counts.count(_ == 1L).toLong
+    val n2 = counts.count(_ == 2L).toLong
+    val chao1 = v + (BigInt(n1) * (n1 - 1) / (2 * (n2 + 1))).toLong
+    val mm = (BigInt(n1) * 1000000 / n).toLong
+    Seq(n, v, n1, n2, chao1, mm)
+  }
+
+  private def engineUnseen(texts: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    LexicalStats.unseen(texts.toDF("text"))
+      .collect().map(_.toSeq.map(_.asInstanceOf[Long])).head
+  }
+
+  test("q141: Chao1 + missing mass match a hand-computed corpus and the replay") {
+    // counts: a=1 b=1 c=1 d=2 → N=5 V=4 n1=3 n2=1
+    // chao1 = 4 + 3·2/(2·2) = 5; missing mass = 3e6/5 = 600000 ppm
+    assert(engineUnseen(Seq("a b c d d")) ===
+      Seq(5L, 4L, 3L, 1L, 5L, 600000L))
+    // n2 = 0 stays defined via the +1 bias correction:
+    // all-hapax corpus → chao1 = 3 + 3·2/(2·1) = 6, mass all missing
+    assert(engineUnseen(Seq("a b c")) === Seq(3L, 3L, 3L, 0L, 6L, 1000000L))
+  }
+
+  test("q141 matches the BigInt replay on the real corpus") {
+    val texts = Tables.load(spark, sf0001, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(engineUnseen(texts) === bruteUnseen(texts))
+    val Seq(_, v, n1, _, chao1, mm) = engineUnseen(texts)
+    assert(chao1 >= v) // the estimator only ever adds unseen types
+    assert(mm >= 0L && n1 >= 0L)
+  }
+
   test("q128 matches the BigInt regression replay on a mixed corpus") {
     val texts = Seq(
       "a a a a a a a a b b b b c c d d e f g h",

@@ -552,6 +552,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!g.contains("Join"), g)
   }
 
+  test("q141: unseen estimate is two keyed groupBys + a 1-row agg — no joins, no windows") {
+    val p = executedPlan("q141_unseen_estimate")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // vocab groupBy (tok), count-of-counts groupBy (c), then the
+    // single-partition 1-row conditional aggregation
+    assert(keyedExchanges(p, "tok#") === 1, p)
+    assert(keyedExchanges(p, "c#") === 1, p)
+  }
+
   test("q140: the manifest is ONE map-side-combined keyed groupBy — no joins, no windows") {
     val p = executedPlan("q140_source_manifest")
     assert(!p.contains("Join"), p)
