@@ -122,6 +122,16 @@ object LexicalStats {
     "q141_unseen_estimate" -> { (s, dir) =>
       unseen(Tables.load(s, dir, "documents"))
     },
+    // -- q142: term burstiness (Church & Gale 1995, "Poisson
+    //    mixtures"): burst(t) = cf/df — mean occurrences per
+    //    CONTAINING document. Function words spread thin (≈ their
+    //    Poisson rate); topical/templated terms clump (burst ≫ 1) —
+    //    the within-document lens beside q137's across-source DP.
+    //    Top-40 burstiest terms with occurrence floor 100, ratio in
+    //    flooring ppm. --
+    "q142_burstiness" -> { (s, dir) =>
+      burstiness(Tables.load(s, dir, "documents"))
+    },
   )
 
   /** q126 over any (text) frame — exposed for the spec's replay. */
@@ -411,6 +421,31 @@ object LexicalStats {
           |  div nullif(nt, 0) AS BIGINT) AS missing_mass_ppm""".stripMargin)
   }
 
+  /** q142 over any (doc_id, text) frame — exposed for the spec's
+    * replay. Full frame: (rank, w, cf, df, burst_ppm), DpTop rows.
+    *
+    * Cross-engine exactness: cf and df are integer counts; the one
+    * division is a flooring ppm over non-negative DECIMAL(38,0)/
+    * HUGEINT (cf·10⁶ ≈ 1e18 already grazes BIGINT at crawl scale).
+    *
+    * Scale shape: one (term, doc) keyed groupBy (map-side combined —
+    * the per-doc term count collapses before it shuffles), one
+    * term-keyed groupBy, top-40 = TakeOrderedAndProject. No joins,
+    * no corpus-wide windows, bounded driver state. */
+  private[graft] def burstiness(d: DataFrame): DataFrame = {
+    val dt = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("n"))
+    dt.groupBy(col("w"))
+      .agg(sum(col("n")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("cf") >= DpMinCount)
+      .selectExpr("w", "cf", "df",
+        "(CAST(cf AS DECIMAL(38,0)) * 1000000) div df AS burst_ppm")
+      .orderBy(col("burst_ppm").desc, col("w")).limit(DpTop)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("burst_ppm").desc, col("w"))).cast("long"))
+      .select(col("rank"), col("w"), col("cf"), col("df"), col("burst_ppm"))
+  }
+
   // ---- DuckDB oracles (same constants and op trees) ----------------
 
   /** The tok/pc/und oracle CTE prefix replaying [[undirectedEdges]] —
@@ -623,8 +658,27 @@ object LexicalStats {
        |    // nullif(nt, 0) AS BIGINT) AS missing_mass_ppm
        |FROM ag""".stripMargin
 
+  private def oracle142: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+       |  FROM documents),
+       |dt AS (SELECT w, doc_id, count(*) AS n FROM tk GROUP BY w, doc_id),
+       |ag AS (
+       |  SELECT w, CAST(sum(n) AS BIGINT) AS cf, count(*) AS df
+       |  FROM dt GROUP BY w),
+       |sc AS (
+       |  SELECT w, cf, df,
+       |    CAST((CAST(cf AS HUGEINT) * 1000000) // df AS BIGINT) AS burst_ppm
+       |  FROM ag WHERE cf >= $DpMinCount)
+       |SELECT CAST(rank AS BIGINT) AS rank, w, cf, df, burst_ppm FROM (
+       |  SELECT w, cf, df, burst_ppm,
+       |    row_number() OVER (ORDER BY burst_ppm DESC, w) AS rank
+       |  FROM sc)
+       |WHERE rank <= $DpTop""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q141_unseen_estimate" -> oracle141,
+    "q142_burstiness" -> oracle142,
     "q125_heaps_fit" -> oracle125,
     "q137_term_dispersion" -> oracle137,
     "q126_pmi_collocations" -> oracle126,

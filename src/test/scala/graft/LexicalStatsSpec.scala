@@ -223,6 +223,47 @@ class LexicalStatsSpec extends SparkSpec {
     assert(mm >= 0L && n1 >= 0L)
   }
 
+  // ---- q142 ---------------------------------------------------------
+
+  private def bruteBurst(docs: Seq[(Long, String)]): Seq[(Long, String, Long, Long, Long)] = {
+    val occ = docs.flatMap { case (id, t) => t.split("\\s+").map(w => (w, id)) }
+    val byW = occ.groupBy(_._1).map { case (w, o) =>
+      (w, o.size.toLong, o.map(_._2).distinct.size.toLong)
+    }.toSeq
+    byW.filter(_._2 >= 100L)
+      .map { case (w, cf, df) => (w, cf, df, (BigInt(cf) * 1000000 / df).toLong) }
+      .sortBy(t => (-t._4, t._1)).take(40).zipWithIndex
+      .map { case ((w, cf, df, b), i) => (i + 1L, w, cf, df, b) }
+  }
+
+  private def engineBurst(docs: Seq[(Long, String)]): Seq[(Long, String, Long, Long, Long)] = {
+    import spark.implicits._
+    LexicalStats.burstiness(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+  }
+
+  test("q142: a clumped term tops a spread term of equal frequency") {
+    // 'dup' ×200 inside one doc (burst 200×) vs 'x' once in each of
+    // 150 docs (burst exactly 1×)
+    val docs = (1L, Seq.fill(200)("dup").mkString(" ")) +:
+      (2L to 151L).map(i => (i, "x filler"))
+    val got = engineBurst(docs)
+    assert(got === bruteBurst(docs))
+    assert(got.head._2 === "dup" && got.head._5 === 200000000L)
+    val xRow = got.find(_._2 == "x").get
+    assert(xRow._3 === 150L && xRow._4 === 150L && xRow._5 === 1000000L)
+  }
+
+  test("q142 matches the BigInt replay on the real corpus") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = engineBurst(docs)
+    assert(got === bruteBurst(docs))
+    assert(got.nonEmpty && got.forall(_._5 >= 1000000L)) // burst ≥ 1 always
+  }
+
   test("q128 matches the BigInt regression replay on a mixed corpus") {
     val texts = Seq(
       "a a a a a a a a b b b b c c d d e f g h",

@@ -562,6 +562,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(keyedExchanges(p, "c#") === 1, p)
   }
 
+  test("q142: burstiness is two keyed groupBys + TakeOrdered — no joins") {
+    val p = executedPlan("q142_burstiness")
+    assert(!p.contains("Join"), p)
+    // (w, doc_id) then w — both exchanges lead with the term key
+    assert(keyedExchanges(p, "w#") === 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q140: the manifest is ONE map-side-combined keyed groupBy — no joins, no windows") {
     val p = executedPlan("q140_source_manifest")
     assert(!p.contains("Join"), p)
