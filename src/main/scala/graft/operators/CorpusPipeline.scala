@@ -110,6 +110,63 @@ object CorpusPipeline {
       |  }
       |}""".stripMargin
 
+  /** q143 — the THIRD-generation chain (round 8, the modern curation
+    * pipeline): the q104 spine with the two round-7 quality stages
+    * spliced in after cleaning —
+    *
+    *   scrub (q99) → clean (q80) → CCNet head-keep (q123's terciles
+    *   as a filter) → SemDeDup (q102, on the survivors' embeddings) →
+    *   temperature mix (q89) → shard pack (q90) → chunk (q92)
+    *
+    * The SemDeDup stage is the pipeline's first TWO-INPUT node: it
+    * binds the surviving docs AND the embeddings table (the DAG
+    * compiler's multi-dependency argument binding, utils.py:120-229
+    * semantics), restricting the vector corpus to the docs still
+    * alive — the cell ladder and the prune run on the pipeline's
+    * state, not the raw table, identically in the oracle. Docs with
+    * no embedding row pass through (at sf0.1 three in five). */
+  private[graft] val specJsonV3 =
+    """{
+      |  "Main": {
+      |    "load_documents": {
+      |      "needed-data": ["documents"],
+      |      "op": {"kind": "table", "table": "documents"}
+      |    },
+      |    "load_embeddings": {
+      |      "needed-data": ["embeddings"],
+      |      "op": {"kind": "table", "table": "embeddings"}
+      |    },
+      |    "scrub": {"dependencies": {"load_documents": "df"}},
+      |    "clean": {"dependencies": {"scrub": "df"}},
+      |    "head_keep": {"dependencies": {"clean": "df"}},
+      |    "semdedup_keep": {
+      |      "dependencies": {"head_keep": "df", "load_embeddings": "emb"}
+      |    },
+      |    "temperature_mix": {"dependencies": {"semdedup_keep": "df"}},
+      |    "shard_pack": {"dependencies": {"temperature_mix": "df"}},
+      |    "chunk_prep": {
+      |      "dependencies": {"shard_pack": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "text",
+      |        "CAST(length(text) AS BIGINT) AS len"]}
+      |    },
+      |    "chunk_ids": {
+      |      "dependencies": {"chunk_prep": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "text",
+      |        "explode(sequence(CAST(0 AS BIGINT), (1 + (greatest(len - 200, 0) + 149) div 150) - 1)) AS chunk_id"]}
+      |    },
+      |    "chunk_out": {
+      |      "dependencies": {"chunk_ids": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "chunk_id",
+      |        "substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text",
+      |        "CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len"]},
+      |      "is-output": true
+      |    }
+      |  }
+      |}""".stripMargin
+
   private def in(args: Map[String, Any]): DataFrame =
     args("df").asInstanceOf[DataFrame]
 
@@ -134,6 +191,13 @@ object CorpusPipeline {
       "scrub" -> Transform(a => cached(RepeatedSpans.scrubKeep(in(a)))),
       "clean" -> Transform(a => cached(TextAnalysis.cleanKeep(in(a)))),
       "dedup_keep" -> Transform(a => cached(Dedup.dedupKeep(in(a)))),
+      // q143 stages: head_keep's output feeds the SemDeDup restrict
+      // AND the anti-join base (plus the surprisal checkpoint reads
+      // its input once more); semdedup_keep's is read twice by
+      // temperatureKeep (rate aggregate + main join) — both persist
+      "head_keep" -> Transform(a => cached(Curation.headKeep(in(a)))),
+      "semdedup_keep" -> Transform(a => cached(Similarity.semDedupKeepDocs(
+        in(a), a("emb").asInstanceOf[DataFrame], threshold = 0.4))),
       "temperature_mix" -> Transform(a => Mixing.temperatureKeep(in(a))),
       "shard_pack" -> Transform(a => Mixing.shardPack(in(a))))
   }
@@ -149,7 +213,9 @@ object CorpusPipeline {
     val blocks = PipelineSpec.fromJson(spec)
     val out = DagCompiler.runPipeline(
       blocks("Main"), registry(persisted),
-      data = Map("documents" -> Tables.load(s, dir, "documents")),
+      data = Map(
+        "documents" -> Tables.load(s, dir, "documents"),
+        "embeddings" -> Tables.load(s, dir, "embeddings")),
       params = Map.empty, spark = Some(s)).asInstanceOf[DataFrame]
     (out, persisted.toSeq)
   }
@@ -175,6 +241,9 @@ object CorpusPipeline {
     },
     "q104_corpus_prep_scrubbed" -> { (s, dir) =>
       materialized(s, dir, specJsonV2)
+    },
+    "q143_corpus_prep_v3" -> { (s, dir) =>
+      materialized(s, dir, specJsonV3)
     },
   )
 
@@ -208,6 +277,45 @@ object CorpusPipeline {
     // default, so each downstream reference would re-evaluate the
     // whole upstream chain (the clean fragment alone reads its input
     // 3×) — the same duplication the engine's stage persist avoids.
+    // v3: scrub → clean → CCNet head-keep → SemDeDup → mix → pack →
+    // chunk. Each fragment is the stage's own generated SQL scoped to
+    // the previous CTE (the q93/q104 playbook). scrubbed/cleaned/
+    // headkept/embsub are MATERIALIZED — each is referenced by at
+    // least two downstream legs, and DuckDB's default CTE inlining
+    // would re-evaluate the whole upstream chain per reference (the
+    // same duplication the engine's stage persists avoid). The
+    // SemDeDup fragment runs on embsub = embeddings ∩ surviving docs,
+    // so its count(*) cell ladder sees the pipeline's state exactly
+    // as the engine's restricted frame does; docs outside embeddings
+    // survive the NOT IN by construction.
+    "q143_corpus_prep_v3" ->
+      s"""WITH scrubbed AS MATERIALIZED (
+         |${RepeatedSpans.scrubSql("documents")}),
+         |cleaned AS MATERIALIZED (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM scrubbed d JOIN (
+         |${TextAnalysis.cleanKeepIdsSql("scrubbed")}
+         |) k USING (doc_id)),
+         |headkept AS MATERIALIZED (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM cleaned d JOIN (
+         |${Curation.headKeepIdsSql("cleaned")}
+         |) k USING (doc_id)),
+         |embsub AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding
+         |  FROM embeddings e JOIN headkept h ON e.vec_id = h.doc_id),
+         |semkept AS (
+         |  SELECT doc_id, lang, text FROM headkept
+         |  WHERE doc_id NOT IN (SELECT vec_id FROM (
+         |${Similarity.semDedupRemovedSql("embsub", "0.4")}
+         |))),
+         |mixed AS (
+         |${Mixing.temperatureSql("semkept", "d.doc_id, d.lang, d.text")}),
+         |packed AS (
+         |${Mixing.shardPackSql("mixed", "doc_id, lang, text, shard")}),
+         |${TextAnalysis.chunkSql("packed", "doc_id, lang, shard, bin")
+              .stripPrefix("WITH ")}""".stripMargin,
+
     "q104_corpus_prep_scrubbed" ->
       s"""WITH scrubbed AS MATERIALIZED (
          |${RepeatedSpans.scrubSql("documents")}),

@@ -155,6 +155,17 @@ object Curation {
           "ELSE 'tail' END AS ppl_bucket")
   }
 
+  /** CCNet head-keep over any documents-shaped frame (needs `doc_id`,
+    * `text`): the q123 terciles as a FILTER — only 'head' (the most
+    * fluent third, what CCNet keeps for pretraining) survives. Docs
+    * with < 2 tokens have no bigrams, hence no surprisal, and drop —
+    * exactly as in q103/q123 (CCNet drops undersized docs anyway).
+    * The composable form the q143 pipeline chains from. */
+  private[graft] def headKeep(d: DataFrame): DataFrame =
+    d.join(perplexityBuckets(d).filter(col("ppl_bucket") === "head")
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   /** q120: the uniform-mixing floor, in micro-nats (0.1 nat). */
   private[graft] val ReweightBase = 100000L
 
@@ -398,11 +409,13 @@ object Curation {
       |  CAST(sum(s) AS BIGINT) // count(*) AS mean_surprisal_unats
       |FROM per GROUP BY doc_id""".stripMargin
 
-  /** q120: the q103 per-doc chain + source aggregation; the global
-    * mean comes from the per-source sums, exactly as in the engine. */
-  private val oracle120: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+  /** The q103 per-doc surprisal chain (tok..du CTE bodies) over `src`
+    * — shared by oracle120/oracle123 and the composed-pipeline
+    * head-keep fragment, so every consumer replays the exact same
+    * model. `du` = (doc_id, su) mean surprisal in micro-nats. */
+  private def surprisalChainSql(src: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $src),
        |un AS (SELECT doc_id, unnest(t) AS tok FROM tok),
        |uni AS (SELECT tok, count(*) AS c1 FROM un GROUP BY tok),
        |vv AS (SELECT count(DISTINCT tok) AS v FROM un),
@@ -419,7 +432,26 @@ object Curation {
        |  FROM occ JOIN big USING (g) JOIN uni ON occ.w1 = uni.tok CROSS JOIN vv),
        |du AS (
        |  SELECT doc_id, CAST(sum(s) AS BIGINT) // count(*) AS su
-       |  FROM per GROUP BY doc_id),
+       |  FROM per GROUP BY doc_id)""".stripMargin
+
+  /** The q123 tercile head-keep doc_ids over `src` — the composed
+    * q143 oracle chains the CCNet head filter from it (only the t1
+    * threshold is needed: 'head' is everything at or below it). */
+  private[operators] def headKeepIdsSql(src: String): String =
+    s"""WITH ${surprisalChainSql(src)},
+       |bins AS (SELECT su // $PplBinUnats AS b, count(*) AS nb FROM du GROUP BY 1),
+       |cw AS (
+       |  SELECT b, sum(nb) OVER (ORDER BY b) AS cum, sum(nb) OVER () AS tot
+       |  FROM bins),
+       |thr AS (
+       |  SELECT min(CASE WHEN cum >= (tot + 2) // 3 THEN b END) AS t1
+       |  FROM cw)
+       |SELECT doc_id FROM du, thr WHERE su // $PplBinUnats <= t1""".stripMargin
+
+  /** q120: the q103 per-doc chain + source aggregation; the global
+    * mean comes from the per-source sums, exactly as in the engine. */
+  private val oracle120: String =
+    s"""WITH ${surprisalChainSql("documents")},
        |bysrc AS (
        |  SELECT d.source, count(*) AS n_docs, sum(su) AS ssum
        |  FROM documents d JOIN du USING (doc_id) GROUP BY d.source),
@@ -440,25 +472,7 @@ object Curation {
 
   /** q123: the q103 per-doc chain + binned tercile thresholds. */
   private val oracle123: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-       |un AS (SELECT doc_id, unnest(t) AS tok FROM tok),
-       |uni AS (SELECT tok, count(*) AS c1 FROM un GROUP BY tok),
-       |vv AS (SELECT count(DISTINCT tok) AS v FROM un),
-       |gi AS (
-       |  SELECT doc_id, t,
-       |    unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
-       |  FROM tok),
-       |occ AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS g FROM gi),
-       |big AS (SELECT g, count(*) AS c12 FROM occ GROUP BY g),
-       |per AS (
-       |  SELECT doc_id,
-       |    CAST(round(ln(CAST(c1 + v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE))
-       |      * 1000000) AS BIGINT) AS s
-       |  FROM occ JOIN big USING (g) JOIN uni ON occ.w1 = uni.tok CROSS JOIN vv),
-       |du AS (
-       |  SELECT doc_id, CAST(sum(s) AS BIGINT) // count(*) AS su
-       |  FROM per GROUP BY doc_id),
+    s"""WITH ${surprisalChainSql("documents")},
        |bins AS (SELECT su // $PplBinUnats AS b, count(*) AS nb FROM du GROUP BY 1),
        |cw AS (
        |  SELECT b, sum(nb) OVER (ORDER BY b) AS cum, sum(nb) OVER () AS tot

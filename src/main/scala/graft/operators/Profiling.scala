@@ -64,9 +64,13 @@ object Profiling {
     * ~10^22 rows. */
   private[graft] def manifest(d: DataFrame): DataFrame =
     d.select(col("source"), col("doc_id"),
-        octet_length(col("text")).cast("long").as("nb"),
+        // NULL text counts as empty on BOTH engines: concat_ws would drop
+        // the separator too (key "7" vs the oracle's "7:"), and
+        // octet_length(NULL) would silently skip the row's bytes.
+        octet_length(coalesce(col("text"), lit(""))).cast("long").as("nb"),
         shiftrightunsigned(SplitMix64.strHash(
-          concat_ws(":", col("doc_id").cast("string"), col("text"))), 11)
+          concat(col("doc_id").cast("string"), lit(":"),
+            coalesce(col("text"), lit("")))), 11)
           .as("hu"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bytes"),
@@ -79,8 +83,8 @@ object Profiling {
 
   private def oracle140: String =
     s"""WITH k AS (
-       |  SELECT source, doc_id, strlen(text) AS nb,
-       |    concat(CAST(doc_id AS VARCHAR), ':', text) AS key
+       |  SELECT source, doc_id, strlen(coalesce(text, '')) AS nb,
+       |    concat(CAST(doc_id AS VARCHAR), ':', coalesce(text, '')) AS key
        |  FROM documents),
        |ph AS (SELECT source, doc_id, nb, ${SplitMix64.polyHashSql("key")} AS p
        |  FROM k),

@@ -434,6 +434,36 @@ object Similarity {
         when(col("rm").isNotNull, 0L).otherwise(1L).as("kept"))
   }
 
+  /** The removal set of [[semDedup]] alone — DISTINCT higher vec_ids
+    * of ≥-threshold within-cell pairs. Recomputes the cell assignment
+    * (one extra count action on `e`); used by the q143 pipeline stage,
+    * which never needs the per-vector kept flags. */
+  private[graft] def semDedupRemoved(e: DataFrame, threshold: Double): DataFrame =
+    cellPairs(assignCells(e))
+      .filter(round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6)
+        >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+
+  /** SemDeDup as a DOCUMENT-pipeline stage (the q143 chain): restrict
+    * the embedding table to the surviving docs (vec_id = doc_id), run
+    * the q102 within-cell prune on the survivors' corpus (the
+    * adaptive cell ladder counts the RESTRICTED frame — the model
+    * follows the pipeline, identically in the oracle), and drop the
+    * higher doc of each ≥-threshold pair. Docs with no embedding row
+    * pass through — they cannot be semantically deduplicated (at
+    * sf0.1 three in five docs have no vector). Both joins are
+    * corpus-scale on both sides: hinted off broadcast (the q97-q99
+    * estimate lesson). */
+  private[graft] def semDedupKeepDocs(d: DataFrame, emb: DataFrame,
+      threshold: Double): DataFrame = {
+    val sub = emb.select(col("vec_id"), col("embedding"))
+      .join(d.select(col("doc_id").as("vec_id")).hint("shuffle_merge"),
+        Seq("vec_id"), "left_semi")
+    d.join(semDedupRemoved(sub, threshold)
+        .select(col("vec_id").as("doc_id")).hint("shuffle_merge"),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** Semantic decontamination over any embeddings-shaped frame (needs
     * `vec_id`, `embedding`): every q70-'train' vector with its cell,
     * the number of q70-'test' vectors in the SAME cell at cosine ≥
@@ -842,7 +872,12 @@ object Similarity {
     * literals + count(*) ladder as oracle94Adaptive), then the
     * within-cell pair scan and the kept flag — pure relational
     * algebra over the round-6 cosine, so removals replay exactly. */
-  private def oracle102: String = {
+  /** The q102 SemDeDup CTE bodies (`cc` cell-count ladder, `assigned`
+    * cell assignment, `removed` higher-id ≥-threshold pairs) over
+    * relation `src` — shared by oracle102 and the composed-pipeline
+    * fragment, so cell model and removals replay identically wherever
+    * the stage runs. */
+  private def semDedupCtesSql(src: String, threshold: String): String = {
     def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
     def dotE(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -852,25 +887,34 @@ object Similarity {
       s"(${dotE(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
     val simList = Centroids94.table.map(c => cosE("embedding", lst(c)))
       .mkString("[\n      ", ",\n      ", "]")
-    s"""WITH cc AS (
+    s"""cc AS (
        |  SELECT CASE WHEN count(*) <= 512 THEN 16
        |              WHEN count(*) <= 1024 THEN 32
        |              ELSE 64 END AS ncells
-       |  FROM embeddings),
+       |  FROM $src),
        |assigned AS (
        |  SELECT vec_id, embedding,
        |    CAST(list_position(lc, list_max(lc)) - 1 AS BIGINT) AS cell
        |  FROM (SELECT vec_id, embedding, ($simList)[1:ncells] AS lc
-       |        FROM embeddings, cc)),
+       |        FROM $src, cc)),
        |removed AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM assigned a JOIN assigned b
        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE round(${cosE("a.embedding", "b.embedding")}, 6) >= 0.4)
+       |  WHERE round(${cosE("a.embedding", "b.embedding")}, 6) >= $threshold)""".stripMargin
+  }
+
+  /** [[semDedupRemoved]]'s oracle over relation `src` — the q143
+    * composed oracle chains the SemDeDup drop set from it. */
+  private[operators] def semDedupRemovedSql(src: String, threshold: String): String =
+    s"""WITH ${semDedupCtesSql(src, threshold)}
+       |SELECT vec_id FROM removed""".stripMargin
+
+  private def oracle102: String =
+    s"""WITH ${semDedupCtesSql("embeddings", "0.4")}
        |SELECT a.vec_id, a.cell,
        |  CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id""".stripMargin
-  }
 
   /** q113's oracle: the q102 cell machinery (same Centroids94
     * literals + count(*) ladder) with the q70 md5 split rule, the

@@ -117,6 +117,64 @@ class BuiltinOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("q143 compiled pipeline ≡ the hand-wired head-keep + SemDeDup chain, row for row") {
+    import org.apache.spark.sql.functions._
+    val compiled = operators.CorpusPipeline
+      .queries("q143_corpus_prep_v3")(spark, sf0001)
+    val d = Tables.load(spark, sf0001, "documents")
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val packed = operators.Mixing.shardPack(
+      operators.Mixing.temperatureKeep(
+        operators.Similarity.semDedupKeepDocs(
+          operators.Curation.headKeep(
+            operators.TextAnalysis.cleanKeep(
+              operators.RepeatedSpans.scrubKeep(d))),
+          emb, threshold = 0.4)))
+    val hand = packed
+      .selectExpr("doc_id", "lang", "shard", "bin", "text",
+        "CAST(length(text) AS BIGINT) AS len")
+      .selectExpr("doc_id", "lang", "shard", "bin", "text",
+        "explode(sequence(CAST(0 AS BIGINT), (1 + (greatest(len - 200, 0) + 149) div 150) - 1)) AS chunk_id")
+      .selectExpr("doc_id", "lang", "shard", "bin", "chunk_id",
+        "substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text",
+        "CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len")
+    val key = Seq("doc_id", "chunk_id")
+    assert(compiled.count() > 0)
+    assert(compiled.join(hand, key, "left_anti").count() === 0)
+    assert(hand.join(compiled, key, "left_anti").count() === 0)
+    val a = compiled.orderBy(col("doc_id"), col("chunk_id")).collect()
+    val b = hand.select(compiled.columns.map(col): _*)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("q143's two new stages each drop documents (not no-op insertions)") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sf0001, "documents")
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val cleaned = operators.TextAnalysis.cleanKeep(
+      operators.RepeatedSpans.scrubKeep(d)).persist()
+    val headed = operators.Curation.headKeep(cleaned).persist()
+    val sem = operators.Similarity.semDedupKeepDocs(headed, emb, 0.4)
+    val (nc, nh, ns) = (cleaned.count(), headed.count(), sem.count())
+    // terciles: head ≈ a third of the scored docs, never more than half
+    assert(nh < nc && nh > 0, s"head_keep kept $nh of $nc")
+    assert(nh <= nc / 2 + 1, s"head_keep kept $nh of $nc — not a tercile")
+    assert(ns < nh && ns > 0, s"semdedup_keep kept $ns of $nh")
+    // column contract survives both stages (what temperatureKeep needs)
+    assert(sem.columns.toSet === Set("doc_id", "text", "lang"))
+    // a doc with NO embedding row passes through semdedup untouched
+    // (at sf0.001 every doc has a vector, so manufacture the gap the
+    // sf0.1 corpus has: only even vec_ids carry embeddings)
+    val semHalf = operators.Similarity.semDedupKeepDocs(
+      headed, emb.filter(col("vec_id") % 2 === 0), 0.4)
+    val oddDocs = headed.filter(col("doc_id") % 2 === 1).select("doc_id")
+    assert(oddDocs.count() > 0)
+    assert(oddDocs.join(semHalf, Seq("doc_id"), "left_anti").count() === 0,
+      "a doc without an embedding was dropped by the semantic stage")
+    cleaned.unpersist(); headed.unpersist()
+  }
+
   test("q104 scrub stage changes the corpus the clean stage sees (not a no-op insertion)") {
     import org.apache.spark.sql.functions._
     val d = Tables.load(spark, sf0001, "documents")

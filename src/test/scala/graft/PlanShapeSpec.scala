@@ -268,6 +268,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.substring(gi, wi).contains("Exchange"), p) // chunk stays map-side
   }
 
+  test("q143: v3 composed pipeline — no cartesian, scale joins shuffled, SemDeDup anti-join not broadcast, chunk map-side") {
+    val (out, persisted) = graft.operators.CorpusPipeline.buildPipeline(
+      spark, sf0001, graft.operators.CorpusPipeline.specJsonV3)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    persisted.foreach(_.unpersist(false))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)          // temperature rate dim
+    assert(p.contains("hashpartitioning(shard"), p)     // the one pack window
+    // the SemDeDup drop set scales with the corpus: its anti-join must
+    // stay a shuffled equi-join (the q102 posture carried into the DAG)
+    assert(p.contains("SortMergeJoin LeftAnti"), p)
+    assert(!p.contains("BroadcastHashJoin LeftAnti"), p)
+    // chunk explode stays map-side above the pack window
+    val gi = p.indexOf("Generate")
+    val wi = p.indexOf("Window")
+    assert(gi >= 0 && wi > gi, p)
+    assert(!p.substring(gi, wi).contains("Exchange"), p)
+  }
+
   test("q100: BM25 is inverted-index joins — term/df dims broadcast, corpus side shuffles, nothing all-pairs") {
     val p = executedPlan("q100_bm25_topk")
     assert(!p.contains("CartesianProduct"), p)

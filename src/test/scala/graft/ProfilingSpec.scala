@@ -53,6 +53,16 @@ class ProfilingSpec extends SparkSpec {
     assert(twice.head(1) === 2L) // ...and the count sees it anyway
   }
 
+  test("q140: NULL text hashes as empty — the row is counted, not skipped") {
+    // concat_ws would have dropped the ':' too (key "7" vs "7:") and
+    // octet_length(NULL) would have nulled nb; both sides now coalesce.
+    val n = run(Seq((7L, "s1", null)))
+    assert(n.head(1) === 1L)
+    assert(n.head(2) === 0L)
+    assert(n.head(5) === hu(7L, ""))
+    assert(n === run(Seq((7L, "s1", ""))))
+  }
+
   test("q140: the fingerprint is the kernel hash replayed") {
     val one = run(Seq((7L, "s9", "abc"), (8L, "zz", "déjà vu")))
     val Seq(r1, r2) = one.sortBy(_.head.asInstanceOf[String])
