@@ -45,6 +45,7 @@ object SparkEntry {
       (DupCoverage.queries, DupCoverage.oracles),
       (LexicalStats.queries, LexicalStats.oracles),
       (Motifs.queries, Motifs.oracles),
+      (Perceptron.queries, Perceptron.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Perceptron
+import org.apache.spark.sql.functions.col
+
+/** Proofs for the q144 pocket perceptron: it SEPARATES a planted
+  * separable corpus (perceptron convergence + pocket returns the
+  * zero-mistake snapshot), refuses to overfit a planted UNSEPARABLE
+  * corpus (pocket = majority classifier, not an oscillation state),
+  * learns the real sf0.001 corpus above the majority baseline with
+  * full positive recall, and replays deterministically. */
+class PerceptronSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "source", "text")
+
+  private def run(rows: Seq[(Long, String, String)]) =
+    Perceptron.trainScore(corpus(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+
+  test("q144: separates a planted easy split perfectly (positive class 1:15)") {
+    // positives speak in (alpha beta) bigrams, negatives in (gamma
+    // delta) — disjoint feature buckets, linearly separable, so some
+    // epoch reaches zero mistakes and the pocket returns it
+    val pos = (0L until 4L).map(i =>
+      (i, "src7", "alpha beta alpha beta alpha"))
+    val neg = (4L until 64L).map(i =>
+      (i, "src0", "gamma delta gamma delta gamma"))
+    val out = run(pos ++ neg)
+    assert(out.length === 64)
+    assert(out.forall { case (_, y, _, pred) => y === pred },
+      out.filter(c => c._2 != c._4).mkString(", "))
+    // margins are strict on both sides (no doc sits ON the boundary)
+    assert(out.forall { case (_, y, s, _) => y * s > 0 })
+  }
+
+  test("q144: a planted hard (unseparable) split falls back to the majority classifier") {
+    // both classes emit the IDENTICAL text: every linear classifier
+    // scores them equally, so the best any snapshot can do is the
+    // majority side — the pocket must return that, not an overfit
+    // oscillation state
+    val pos = (0L until 5L).map(i => (i, "src7", "same text same text"))
+    val neg = (5L until 40L).map(i => (i, "src0", "same text same text"))
+    val out = run(pos ++ neg)
+    assert(out.forall(_._4 === -1L), "majority class is negative")
+    // identical features → identical scores for every doc
+    assert(out.map(_._3).distinct.length === 1)
+  }
+
+  test("q144: real corpus (sf0.001) — above the majority baseline with full positive recall") {
+    val out = Perceptron.trainScore(Tables.load(spark, sf0001, "documents"))
+      .select(col("y"), col("pred")).collect()
+    val n = out.length
+    val ok = out.count(r => r.getLong(0) == r.getLong(1))
+    val pos = out.count(_.getLong(0) == 1L)
+    val tp = out.count(r => r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(n === 500 && pos === 25)
+    // majority baseline = 475; the pocket classifier memorizes the
+    // small corpus (measured 498) — assert real learning with slack
+    assert(ok >= 490, s"accuracy $ok/500")
+    assert(tp === pos, s"positive recall $tp/$pos")
+  }
+
+  test("q144: zero-positive corpus degenerates safely (ratio guard)") {
+    val neg = (0L until 12L).map(i => (i, "src0", "gamma delta gamma"))
+    val out = run(neg)
+    assert(out.length === 12)
+    assert(out.forall(_._4 === -1L))
+  }
+
+  test("q144: bit-identical across reruns and input partitioning") {
+    val base = Seq((0L, "src7", "alpha beta alpha"),
+      (1L, "src0", "gamma delta gamma"), (2L, "src0", "alpha delta gamma"),
+      (3L, "src0", "gamma beta alpha"), (4L, "src7", "alpha beta beta"))
+    val a = run(base)
+    val b = Perceptron.trainScore(
+      corpus(base).repartition(7, col("text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+}

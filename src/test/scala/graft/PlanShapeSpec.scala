@@ -288,6 +288,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.substring(gi, wi).contains("Exchange"), p)
   }
 
+  test("q144: perceptron scorer rides the cached doc_id partitioning — weights broadcast, zero new doc-keyed exchanges") {
+    val p = graft.operators.Perceptron.trainScore(
+      Tables.load(spark, sf0001, "documents"), materialize = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    // the ≤B-row pocket weight dim broadcasts into the cached features
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // feature table read from cache; the per-doc score groupBy reuses
+    // its doc_id partitioning — the tree ABOVE the cached relation
+    // (the scorer itself) contains no shuffle exchange at all (the
+    // only hashpartitioning(doc_id) in the plan is the cache's own
+    // one-time repartition, printed inside the InMemoryRelation)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    val scorer = p.linesIterator
+      .takeWhile(l => !l.contains("InMemoryRelation")).mkString("\n")
+    assert(!scorer.contains("+- Exchange"), scorer)
+  }
+
   test("q100: BM25 is inverted-index joins — term/df dims broadcast, corpus side shuffles, nothing all-pairs") {
     val p = executedPlan("q100_bm25_topk")
     assert(!p.contains("CartesianProduct"), p)
