@@ -269,7 +269,74 @@ object Dedup {
       dedupKeep(Tables.load(s, dir, "documents"))
         .select("doc_id", "lang", "source", "n_chars")
     },
+
+    // -- incremental-ingest dedup (round 8): a daily INCREMENT is
+    //    deduplicated against the EXISTING corpus index, not
+    //    corpus-vs-itself — the shape a production pipeline actually
+    //    runs every ingest cycle. Split = q70's md5 rule (the 80%
+    //    'train' side plays the standing corpus, the rest is the
+    //    increment); each increment doc is flagged iff one of its 16
+    //    q45 LSH band keys collides with a corpus doc AND the exact
+    //    3-gram Jaccard verifies ≥ 0.5. ONE band-keyed equi-join
+    //    (increment buckets × corpus buckets — never a self-join, so
+    //    candidates are bounded by cross-side collisions only),
+    //    increment-sided output with the best corpus match. --
+    "q145_incremental_dedup" -> { (s, dir) =>
+      incrementalDedup(Tables.load(s, dir, "documents"))
+    },
   )
+
+  /** q145 over any documents-shaped frame (needs `doc_id`, `text`).
+    * Scale shape: signatures are map-side per side (the q45 kernel);
+    * the candidate join is band+bucket-keyed with BOTH sides hinted
+    * off broadcast (at real scale the corpus index side is the big
+    * one — broadcasting it is exactly the failure the round-brief
+    * names); the verify joins are candidate-sized; the verified pair
+    * set is localCheckpoint'd (read by the match count, the best-id
+    * resolution and nothing else); the final left joins are
+    * increment-keyed merges. Docs with < 3 tokens have no shingles
+    * and surface with zero matches — they cannot be LSH-deduped,
+    * identically in the oracle. */
+  private[graft] def incrementalDedup(d: DataFrame,
+      materialize: Boolean = true): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+    val corpus = d.filter(h < "cccccccc")
+    val inc = d.filter(h >= "cccccccc")
+    val cb = MinHashLSH.bandBuckets(widen(corpus), "doc_id", "text", 64, 16, 3)
+      .select(col("band"), col("bucket"), col("doc_id").as("corp_id"))
+    val ib = MinHashLSH.bandBuckets(widen(inc), "doc_id", "text", 64, 16, 3)
+      .select(col("band"), col("bucket"), col("doc_id").as("inc_id"))
+    val cand = ib.hint("shuffle_merge")
+      .join(cb.hint("shuffle_merge"), Seq("band", "bucket"))
+      .select(col("inc_id").as("doc_a"), col("corp_id").as("doc_b"))
+      .distinct()
+    val verifiedRaw = MinHashLSH.verify(d, cand, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+    // checkpointed (it feeds the count agg AND the best-id resolve);
+    // materialize = false leaves the full plan visible for the audit
+    val verified =
+      if (materialize) verifiedRaw.localCheckpoint(true) else verifiedRaw
+    val agg = verified.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_matches"),
+        max(col("jaccard_ppm")).as("best_jaccard_ppm"))
+    // best match = min corpus id among the max-Jaccard rows (a
+    // deterministic two-step argmax — plain relational algebra on
+    // the candidate-sized verified set)
+    val bid = verified.select(col("doc_a").as("doc_id"), col("doc_b"),
+        col("jaccard_ppm"))
+      .join(agg.select(col("doc_id"), col("best_jaccard_ppm").as("bj")),
+        Seq("doc_id"))
+      .filter(col("jaccard_ppm") === col("bj"))
+      .groupBy(col("doc_id")).agg(min(col("doc_b")).as("best_match_id"))
+    inc.select(col("doc_id"))
+      .join(agg.hint("shuffle_merge"), Seq("doc_id"), "left")
+      .join(bid.hint("shuffle_merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_jaccard_ppm"), lit(-1L)).as("best_jaccard_ppm"),
+        when(col("n_dup_matches").isNotNull, 1L).otherwise(0L).as("is_dup"))
+  }
 
   // ---- code-generated sketch oracles (q45/q46/q79) -----------------
   //
@@ -285,10 +352,11 @@ object Dedup {
   private val GoldenU = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
 
   /** CTE chain computing per-occurrence token hashes: (doc_id, i, h)
-    * with h = strHash(token i). Distinct tokens are hashed once. */
-  private def tokenHashCtes: String =
+    * with h = strHash(token i), over relation `src`. Distinct tokens
+    * are hashed once. */
+  private def tokenHashCtes(src: String = "documents"): String =
     s"""tok AS (
-       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $src),
        |pos AS (
        |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tok),
        |wt AS (SELECT doc_id, i, t[i] AS w FROM pos),
@@ -318,7 +386,7 @@ object Dedup {
   /** q46: simhash64 fingerprints → 4×16-bit chunk-collision join →
     * Hamming ≤ 3. */
   private def oracle46: String =
-    s"""WITH $tokenHashCtes,
+    s"""WITH ${tokenHashCtes()},
        |lanes AS (SELECT doc_id, h AS h0 FROM th),
        |${fpCtes("lanes", "0")},
        |chunks AS (
@@ -334,7 +402,7 @@ object Dedup {
   /** q79: the 128-bit wide variant — lane 1 is the salt-folded mix of
     * the base hash; 4×32-bit chunks; summed word Hammings. */
   private def oracle79: String =
-    s"""WITH $tokenHashCtes,
+    s"""WITH ${tokenHashCtes()},
        |lanes AS (SELECT doc_id, h AS h0,
        |  ${mixSql(s"(h + $GoldenU) % $M64")} AS h1 FROM th),
        |${fpCtes("lanes", "0")},
@@ -354,14 +422,14 @@ object Dedup {
        |  AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) <= 3""".stripMargin
 
-  /** q45: the full MinHash+LSH pipeline — shingle chains (3-step
-    * lead() ladder), 64 per-salt minima, 16 foldMix band keys, bucket
-    * equi-join, exact-Jaccard verify on candidates only (the q44 gram
-    * machinery). */
-  private def oracle45: String = {
+  /** CTE chain from `th` (per-occurrence token hashes) to `k4` —
+    * (doc_id, band, bucket) LSH band keys: shingle chains (3-step
+    * lead() ladder), 64 per-salt minima, 16 foldMix band keys. Shared
+    * by oracle45 and oracle145 so both replay the identical engine
+    * kernels. */
+  private def lshBandKeyCtes: String = {
     val bandSlices = (1 to 4).map(r => s"sig[4 * b + $r] AS v$r").mkString(", ")
-    s"""WITH $tokenHashCtes,
-       |sh1 AS (
+    s"""sh1 AS (
        |  SELECT doc_id, i, ${mixSql("h")} AS s1,
        |    lead(h, 1) OVER (PARTITION BY doc_id ORDER BY i) AS h2,
        |    lead(h, 2) OVER (PARTITION BY doc_id ORDER BY i) AS h3
@@ -383,12 +451,14 @@ object Dedup {
        |k1 AS (SELECT doc_id, b, ${mixSql("xor(CAST(b AS HUGEINT), v1)")} AS h, v2, v3, v4 FROM b0),
        |k2 AS (SELECT doc_id, b, ${mixSql("xor(h, v2)")} AS h, v3, v4 FROM k1),
        |k3 AS (SELECT doc_id, b, ${mixSql("xor(h, v3)")} AS h, v4 FROM k2),
-       |k4 AS (SELECT doc_id, b AS band, ${mixSql("xor(h, v4)")} AS bucket FROM k3),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM k4 a JOIN k4 b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |g0 AS (
+       |k4 AS (SELECT doc_id, b AS band, ${mixSql("xor(h, v4)")} AS bucket FROM k3)""".stripMargin
+  }
+
+  /** CTE chain from `tok` + `cand` to `inter` — the exact 3-gram
+    * Jaccard verify on candidate pairs (the q44 gram machinery).
+    * Shared by oracle45 and oracle145. */
+  private def jaccardVerifyCtes: String =
+    s"""g0 AS (
        |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
        |  FROM tok),
        |grams AS (
@@ -400,14 +470,65 @@ object Dedup {
        |  FROM cand c
        |  JOIN grams ga ON ga.doc_id = c.doc_a
        |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** q45: the full MinHash+LSH pipeline — band keys, bucket
+    * equi-join, exact-Jaccard verify on candidates only. */
+  private def oracle45: String =
+    s"""WITH ${tokenHashCtes()},
+       |$lshBandKeyCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM k4 a JOIN k4 b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |$jaccardVerifyCtes
        |SELECT doc_a, doc_b,
        |  CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) AS jaccard_ppm
        |FROM inter
        |JOIN sz sa ON doc_a = sa.doc_id
        |JOIN sz sb ON doc_b = sb.doc_id
        |WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000""".stripMargin
-  }
+
+  /** q145: the q45 chain with the q70 split — increment×corpus band
+    * collision (never a self-join), exact verify, per-increment best
+    * match (max Jaccard, ties to the lowest corpus id). */
+  private def oracle145: String =
+    s"""WITH split AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+       |      THEN 0 ELSE 1 END AS inc
+       |  FROM documents),
+       |${tokenHashCtes("split")},
+       |$lshBandKeyCtes,
+       |kk AS (
+       |  SELECT k.doc_id, k.band, k.bucket, s.inc
+       |  FROM k4 k JOIN split s USING (doc_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kk a JOIN kk b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.inc = 1 AND b.inc = 0),
+       |$jaccardVerifyCtes,
+       |ver AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) AS j
+       |  FROM inter
+       |  JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id
+       |  WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000),
+       |agg AS (SELECT doc_a, count(*) AS n, max(j) AS bj FROM ver GROUP BY doc_a),
+       |bid AS (
+       |  SELECT v.doc_a, min(v.doc_b) AS bi
+       |  FROM ver v JOIN agg ON v.doc_a = agg.doc_a AND v.j = agg.bj
+       |  GROUP BY v.doc_a)
+       |SELECT s.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_dup_matches,
+       |  CAST(coalesce(bi, -1) AS BIGINT) AS best_match_id,
+       |  CAST(coalesce(bj, -1) AS BIGINT) AS best_jaccard_ppm,
+       |  CAST(CASE WHEN n IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+       |FROM split s
+       |LEFT JOIN agg ON s.doc_id = agg.doc_a
+       |LEFT JOIN bid ON s.doc_id = bid.doc_a
+       |WHERE s.inc = 1""".stripMargin
 
   /** Parameterized oracle for the J ≥ 0.5 drop set (`doc_b` members of
     * near-dup pairs) over relation `src` — q53's oracle and the q93
@@ -436,6 +557,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q45_minhash_lsh" -> oracle45,
+    "q145_incremental_dedup" -> oracle145,
     "q46_simhash_pairs" -> oracle46,
     "q79_simhash_wide" -> oracle79,
     "q44_ngram_jaccard" ->

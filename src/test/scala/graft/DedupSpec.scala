@@ -175,4 +175,52 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet === Set((4L, 5L)))
   }
+
+  test("q145: increment docs match only CORPUS docs — planted cross-split and within-increment dups") {
+    import spark.implicits._
+    // md5 split sides for small ids: 1,2,4 → corpus; 0,3,5,10 → increment
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = Seq(
+      (1L, t),                          // corpus original
+      (2L, "completely different words here nothing shared at all"),
+      (4L, "another unrelated corpus document with its own text"),
+      (0L, t),                          // increment: dup of corpus 1
+      (3L, t),                          // increment: dup of 1 AND of 0
+      (5L, "fresh increment content never seen before in any doc"),
+      (10L, "so si")                    // increment: < 3 tokens
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalDedup(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // every increment doc surfaces exactly once, corpus docs never
+    assert(out.map(_._1) === Seq(0L, 3L, 5L, 10L))
+    val byId = out.map(o => o._1 -> o).toMap
+    // dups of corpus doc 1: exact copy → jaccard 1e6, best match 1
+    assert(byId(0L) === ((0L, 1L, 1L, 1000000L, 1L)))
+    // doc 3 also duplicates INCREMENT doc 0, but increment-vs-
+    // increment pairs are NOT the query's contract: only the corpus
+    // match may be reported
+    assert(byId(3L) === ((3L, 1L, 1L, 1000000L, 1L)))
+    // fresh content and sub-shingle docs pass clean
+    assert(byId(5L) === ((5L, 0L, -1L, -1L, 0L)))
+    assert(byId(10L) === ((10L, 0L, -1L, -1L, 0L)))
+  }
+
+  test("q145: best match is the max-Jaccard corpus doc, ties to the lowest id") {
+    import spark.implicits._
+    val near = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = Seq(
+      (1L, near), (2L, near),                      // corpus twins (tie)
+      (4L, near + " extra tail words appended here"), // weaker match
+      (0L, near)                                   // increment
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalDedup(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length === 1)
+    val (id, n, best, j, dup) = out.head
+    assert(id === 0L && dup === 1L && n === 3L)
+    assert(best === 1L, s"tie must resolve to the lowest corpus id, got $best")
+    assert(j === 1000000L)
+  }
 }

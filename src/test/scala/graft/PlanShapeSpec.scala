@@ -288,6 +288,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.substring(gi, wi).contains("Exchange"), p)
   }
 
+  test("q145: increment×corpus candidate join is a band-keyed merge join; the corpus index never broadcasts") {
+    // materialize = false: the shipped query checkpoints the verified
+    // pair set, which hides the candidate-generation stage — audit
+    // the full un-cut plan
+    val p = graft.operators.Dedup.incrementalDedup(
+      Tables.load(spark, sf0001, "documents"), materialize = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    // the band+bucket collision join: both sides corpus-scale, hinted
+    // to a shuffled merge join on the band key
+    assert(p.contains("SortMergeJoin Inner"), p)
+    assert(count(p, "keys \\[band") >= 1 || keyedExchanges(p, "band") >= 2, p)
+    // the increment-sided left joins are merges too (the match tables
+    // grow with the increment — no broadcast)
+    assert(p.contains("SortMergeJoin LeftOuter"), p)
+    assert(!p.contains("BroadcastHashJoin LeftOuter"), p)
+  }
+
   test("q144: perceptron scorer rides the cached doc_id partitioning — weights broadcast, zero new doc-keyed exchanges") {
     val p = graft.operators.Perceptron.trainScore(
       Tables.load(spark, sf0001, "documents"), materialize = false)
