@@ -342,6 +342,82 @@ object ScaleProbe {
       (k, nEdges, t105, t127)
     }
 
+    // ---- round-8 probes (verdict #4): q133 / q134 / q139 -----------
+
+    // q133/q134 butterflies: k disjoint graph copies (the q105 null
+    // model — per-replica structure exact, no cross-replica edges).
+    // Claims under test: the customer-side wedge stream (the declared
+    // Θ(Σ min-side d²) bound) and the census wall both grow ~linearly
+    // under replication, for the exact census AND the ESpar-sampled
+    // twin; the sampled wedge stream stays ~p² of the exact one.
+    val g133 = scales.map { k =>
+      val ord = (0 until k).map { r =>
+        orders0.select((col("o_orderkey") + lit(r * 100000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(r * 10000000L)).as("o_custkey"))
+      }.reduce(_ unionByName _)
+      val li = (0 until k).map { r =>
+        li0.select((col("l_orderkey") + lit(r * 100000000L)).as("l_orderkey"),
+          (col("l_suppkey") + lit(r * 10000000L)).as("l_suppkey"))
+      }.reduce(_ unionByName _)
+      val ec = graft.operators.Motifs.edges(ord, li).localCheckpoint(true)
+      def wedgesOf(e: DataFrame): Long = e.groupBy(col("c"))
+        .agg(count(lit(1)).as("d"))
+        .agg(sum(expr("CAST(d AS DECIMAL(38,0)) * (d - 1) div 2"))
+          .cast("long").as("w"))
+        .head.getLong(0)
+      val wEx = wedgesOf(ec)
+      val samp = graft.operators.Motifs.sample(ec).localCheckpoint(true)
+      val wSa = wedgesOf(samp)
+      val (r133, t133) = timed(
+        graft.operators.Motifs.census(ec, est = false).head)
+      val (_, t134) = timed(
+        graft.operators.Motifs.census(samp, est = true).head)
+      println(f"""{"metric":"q133_probe","scale":$k,"n_edges":${r133.getLong(0)},"cust_wedges_exact":$wEx,"cust_wedges_sampled":$wSa,"sec_exact":$t133%.2f,"sec_sampled":$t134%.2f}""")
+      (k, wEx, wSa, t133, t134)
+    }
+
+    // q139 orientation: the planted-hub adversary. One hub vertex is
+    // wired to EVERY customer of the k-replicated trade graph, so the
+    // hub degree grows k× — the node-iterator (unoriented) wedge count
+    // must go quadratic (the hub alone contributes C(k·n_cust, 2))
+    // while the degree-ordered oriented wedge stream the census
+    // actually enumerates stays ~linear: every hub edge points INTO
+    // the hub (it is the highest-priority endpoint), so the hub
+    // contributes ZERO enumerated wedges — "the curse of the last
+    // reducer" defused, measured.
+    val g139 = scales.map { k =>
+      val ord = (0 until k).map { r =>
+        orders0.select((col("o_orderkey") + lit(r * 100000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(r * 10000000L)).as("o_custkey"))
+      }.reduce(_ unionByName _)
+      val li = (0 until k).map { r =>
+        li0.select((col("l_orderkey") + lit(r * 100000000L)).as("l_orderkey"),
+          (col("l_suppkey") + lit(r * 10000000L)).as("l_suppkey"))
+      }.reduce(_ unionByName _)
+      val ec = graft.operators.Motifs.edges(ord, li)
+      // undirected vertex space: customers as-is (> 0), suppliers
+      // shifted clear, hub = vertex 0 wired to every customer
+      val base = ec.select(col("c").as("a"),
+        (col("s") + lit(2000000000L)).as("b"))
+      val hub = ec.select(col("c")).distinct()
+        .select(lit(0L).as("a"), col("c").as("b"))
+      val und = base.unionByName(hub).distinct().localCheckpoint(true)
+      val deg = graft.operators.Motifs.degrees(und).localCheckpoint(true)
+      val wUnor = deg
+        .agg(sum(expr("CAST(d AS DECIMAL(38,0)) * (d - 1) div 2"))
+          .cast("long").as("w"))
+        .head.getLong(0)
+      val dir = graft.operators.Motifs.orient(und, deg).localCheckpoint(true)
+      val wOr = dir.groupBy(col("u")).agg(count(lit(1)).as("od"))
+        .agg(sum(expr("CAST(od AS DECIMAL(38,0)) * (od - 1) div 2"))
+          .cast("long").as("w"))
+        .head.getLong(0)
+      val (r139, t139) = timed(
+        graft.operators.Motifs.triPlan(und, deg, dir).head)
+      println(f"""{"metric":"q139_probe","scale":$k,"n_edges":${r139.getLong(1)},"wedges_unoriented":$wUnor,"wedges_oriented":$wOr,"ratio":${wUnor.toDouble / wOr}%.1f,"n_triangles":${r139.getLong(3)},"sec":$t139%.2f}""")
+      (k, wUnor, wOr, t139)
+    }
+
     // q112 stupid backoff: EXACT replication (no renaming — the one
     // null model where repetition is preserved). Occurrence rows grow
     // k× while the DISTINCT test-trigram table the five count joins
@@ -513,6 +589,18 @@ object ScaleProbe {
     val a114v = alphaOf(g114.map(r => (r._1, r._3)))
     val a116o = alphaOf(g116)
     val a122c = alphaOf(g122)
+    def wallAlpha(vs: Seq[(Int, Double)]): Double = {
+      val (ka, ta) = vs.head; val (kb, tb) = vs.last
+      math.log(tb / ta) / math.log(kb.toDouble / ka)
+    }
+    val a133w = alphaOf(g133.map(r => (r._1, r._2)))
+    val a133s = alphaOf(g133.map(r => (r._1, r._3)))
+    val a133t = wallAlpha(g133.map(r => (r._1, r._4)))
+    val a134t = wallAlpha(g133.map(r => (r._1, r._5)))
+    val a139u = alphaOf(g139.map(r => (r._1, r._2)))
+    val a139o = alphaOf(g139.map(r => (r._1, r._3)))
+    val a139t = wallAlpha(g139.map(r => (r._1, r._4)))
+    println(f"""{"metric":"r8_probe_exponents","alpha":{"q133_wedges":$a133w%.2f,"q134_wedges":$a133s%.2f,"q133_wall":$a133t%.2f,"q134_wall":$a134t%.2f,"q139_unoriented_wedges":$a139u%.2f,"q139_oriented_wedges":$a139o%.2f,"q139_wall":$a139t%.2f},"note":"q133/q134 wedges+wall ~1 under disjoint replication (sampled ~p^2 of exact); planted-hub q139: unoriented ~2 (hub C(kn,2)) vs oriented ~1 - the degree-ordered orientation defuses the hub"}""")
     println(s"""{"metric":"candidate_growth_exponent","alpha":{${alphas.mkString(",")}},"note":"alpha~1 linear (bucketed), alpha~2 quadratic (all-pairs)"}""")
     println(f"""{"metric":"r7_probe_exponents","alpha":{"q105_edges":$a105e%.2f,"q105_wall":$a105t%.2f,"q127_wall":$a127t%.2f,"q112_occ":$a112o%.2f,"q112_distinct":$a112d%.2f,"q100_match":$a100m%.2f,"q114_occ":$a114o%.2f,"q114_vocab":$a114v%.2f,"q116_out":$a116o%.2f,"q122_cand":$a122c%.2f},"note":"q105/q127 wall and edges ~1 linear; q112 distinct << occ and q114 vocab << occ (vocabulary-scale); q100 match ~1 (posting-list-linear); q116 out ~1 joinless; q122 cand ~1 (DfCap-bounded fan-out)"}""")
     spark.stop()

@@ -46,6 +46,7 @@ object SparkEntry {
       (LexicalStats.queries, LexicalStats.oracles),
       (Motifs.queries, Motifs.oracles),
       (Perceptron.queries, Perceptron.oracles),
+      (HashedVectors.queries, HashedVectors.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

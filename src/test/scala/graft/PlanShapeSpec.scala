@@ -307,6 +307,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin LeftOuter"), p)
   }
 
+  test("q146: vectorizer is keyed groupBys + ONE token-keyed merge join; only the 1-row count broadcasts") {
+    val p = executedPlan("q146_hashed_doc_vectors")
+    assert(!p.contains("CartesianProduct"), p)
+    // idf attach: vocabulary-scale both sides, hinted off broadcast
+    assert(p.contains("SortMergeJoin Inner"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // the single scalar (corpus count) rides a broadcast nested loop
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p)
+  }
+
+  test("q147: sparse retrieval — panel/query-norm dims broadcast, corpus norms merge-join, top-5 is a window group limit") {
+    val p = executedPlan("q147_hashed_vector_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)   // panel + qnorms dims
+    assert(p.contains("SortMergeJoin"), p)       // corpus-norm attach
+    assert(p.contains("WindowGroupLimit"), p)    // top-5 never a full sort
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q144: perceptron scorer rides the cached doc_id partitioning — weights broadcast, zero new doc-keyed exchanges") {
     val p = graft.operators.Perceptron.trainScore(
       Tables.load(spark, sf0001, "documents"), materialize = false)
