@@ -120,6 +120,12 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional 2nd arg: comma-separated section filter ("r8b" = only
+    // the round-8 incremental-dedup / hashed-vector blocks) — the
+    // pre-existing full probe runs when absent or "all"
+    val sections: Set[String] =
+      if (args.length > 1) args(1).split(',').toSet else Set("all")
+    val runAll = sections("all")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-probe")
@@ -139,6 +145,69 @@ object ScaleProbe {
     val planes = graft.operators.Similarity.Planes
 
     val scales = Seq(1, 2, 5, 10)
+
+    // ---- round-8b probes: q145 incremental dedup + q147 hashed
+    // vectors (the round's two NEW candidate generators — CLAUDE.md
+    // rule: probe any new dedup/similarity candidate generation).
+    // Null model: the bijective token renaming (Jaccard-invariant, so
+    // each replica's planted cross-split dup structure is exact; the
+    // md5 split re-rolls per replica but holds its 80/20 ratio).
+    if (runAll || sections("r8b")) {
+      val g145 = scales.map { k =>
+        val docs = saltedDocs(docs0, k)
+          .repartition(spark.sparkContext.defaultParallelism).cache()
+        val nD = docs.count()
+        val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+        val cb = MinHashLSH.bandBuckets(docs.filter(h < "cccccccc"),
+            "doc_id", "text", 64, 16, 3)
+          .select(col("band"), col("bucket"), col("doc_id").as("corp_id"))
+        val ib = MinHashLSH.bandBuckets(docs.filter(h >= "cccccccc"),
+            "doc_id", "text", 64, 16, 3)
+          .select(col("band"), col("bucket"), col("doc_id").as("inc_id"))
+        val (cand, tc) = timed(ib.hint("shuffle_merge")
+          .join(cb.hint("shuffle_merge"), Seq("band", "bucket"))
+          .select(col("inc_id"), col("corp_id")).distinct().count())
+        val (nOut, tq) = timed(
+          graft.operators.Dedup.incrementalDedup(docs).count())
+        docs.unpersist()
+        println(f"""{"metric":"q145_probe","scale":$k,"n_docs":$nD,"cand_pairs":$cand,"out_rows":$nOut,"sec_cand":$tc%.2f,"sec_full":$tq%.2f}""")
+        (k, cand, tq)
+      }
+      val g147 = scales.map { k =>
+        val docs = saltedDocs(docs0, k)
+          .repartition(spark.sparkContext.defaultParallelism).cache()
+        docs.count()
+        val vecs = graft.operators.HashedVectors.hashedVectors(
+          docs.select(col("doc_id"), col("text"))).localCheckpoint(true)
+        val nvr = vecs.count()
+        val panel = vecs.filter(
+          col("doc_id").isin(graft.operators.HashedVectors.Panel: _*))
+          .select(col("dim"), col("doc_id").as("q_id"))
+        val dotRows = vecs.join(broadcast(panel), "dim")
+          .filter(col("doc_id") =!= col("q_id")).count()
+        val (topN, t147) = timed(
+          graft.operators.HashedVectors.panelTopK(vecs, 5).count())
+        docs.unpersist()
+        println(f"""{"metric":"q147_probe","scale":$k,"vec_rows":$nvr,"dot_rows":$dotRows,"topk_rows":$topN,"sec":$t147%.2f}""")
+        (k, dotRows, t147)
+      }
+      def aOf(vs: Seq[(Int, Long)]): Double = {
+        val (ka, va) = vs.head; val (kb, vb) = vs.last
+        if (va == 0 || vb == 0) Double.NaN
+        else math.log(vb.toDouble / va) / math.log(kb.toDouble / ka)
+      }
+      def wOf(vs: Seq[(Int, Double)]): Double = {
+        val (ka, ta) = vs.head; val (kb, tb) = vs.last
+        math.log(tb / ta) / math.log(kb.toDouble / ka)
+      }
+      val a145 = aOf(g145.map(r => (r._1, r._2)))
+      val a145w = wOf(g145.map(r => (r._1, r._3)))
+      val a147 = aOf(g147.map(r => (r._1, r._2)))
+      val a147w = wOf(g147.map(r => (r._1, r._3)))
+      println(f"""{"metric":"r8b_probe_exponents","alpha":{"q145_cand":$a145%.2f,"q145_wall":$a145w%.2f,"q147_dot_rows":$a147%.2f,"q147_wall":$a147w%.2f},"note":"q145 band-collision candidates ~1 (cross-side bucketed); q147 dot rows ~1 (fixed panel broadcast)"}""")
+    }
+    if (!runAll) { spark.stop(); return }
+
     val results = scales.map { k =>
       val docs = saltedDocs(docs0, k)
         .repartition(spark.sparkContext.defaultParallelism).cache()

@@ -49,7 +49,7 @@ object HashedVectors {
 
   /** q147's fixed query panel (the q94/q106 fixed-panel trade — a
     * growing query set takes the q94b route). */
-  private[operators] val Panel = Seq(0L, 100L, 200L, 300L)
+  private[graft] val Panel = Seq(0L, 100L, 200L, 300L)
 
   /** Sparse signed-hashing tf·idf vectors: (doc_id, dim, v), zero
     * entries dropped. Exposed for q147 and the spec. */
