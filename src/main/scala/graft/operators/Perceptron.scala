@@ -125,6 +125,11 @@ object Perceptron {
     val snaps = scala.collection.mutable.Buffer(w)
     val mcounts = scala.collection.mutable.Buffer.empty[Long]
     (2 to epochs).foreach { _ =>
+      // NOT checkpointed: the recompute for the update semi-join is
+      // one cheap broadcast-join pass over the cached features, and
+      // the un-cut frame keeps the doc_id partitioning the semi-join
+      // rides (A/B'd: checkpointing here was wall-neutral and loses
+      // the partitioning)
       val mistakes = mistakesOf(w)
       mcounts += mistakes.count() // measures w^{e-1}; bounded driver state
       val upd = feats.join(mistakes, Seq("doc_id"), "left_semi")

@@ -150,6 +150,19 @@ object TextAnalysis {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     },
 
+    // -- filter attribution (round 8): the q80 predicate decomposed —
+    //    per component filter, total fails and EXCLUSIVE fails (docs
+    //    every other filter would keep). The table every curation
+    //    paper's appendix reports when tuning thresholds: exclusive
+    //    fails are what relaxing ONE threshold buys back. ONE pass
+    //    over the checkpointed flags table (all counts in a single
+    //    aggregate), stacked like q74 so adding filters never changes
+    //    the schema. --
+    "q148_filter_attribution" -> { (s, dir) =>
+      filterAttribution(
+        cleanFlags(Tables.load(s, dir, "documents")).localCheckpoint(true))
+    },
+
     // -- Bloom-filter decontamination: the 100 TB shape of q78. The
     //    benchmark's 5-grams build a fixed 2^17-bit Bloom in ONE
     //    aggregate (bytes, not gram rows, cross the shuffle); the
@@ -281,12 +294,79 @@ object TextAnalysis {
     d.join(kept, Seq("doc_id"), "left_semi")
   }
 
+  /** q148: the q80 predicate decomposed into per-doc filter FLAGS —
+    * same signal expressions as [[cleanKeep]], one boolean column per
+    * component filter. AND of all six ≡ the q80 keep set
+    * (TextAnalysisSpec proves it doc-for-doc). */
+  private[graft] val CleanFilters = Seq("min_len", "ttr", "top_bigram",
+    "exact_dup_canonical", "decontam", "eval_holdout")
+
+  private[graft] def cleanFlags(d: DataFrame): DataFrame = {
+    val base = d.selectExpr("doc_id",
+      "size(split(text, '\\\\s+')) AS n_tokens",
+      "CAST(size(array_distinct(split(text, '\\\\s+'))) AS BIGINT) * 1000000 div greatest(size(split(text, '\\\\s+')), 1) AS ttr_ppm")
+    val topbg = d
+      .select(col("doc_id"),
+        explode(graft.functions.NGrams.wordNGramsAll(
+          Text.tokens(col("text")), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")) * lit(1000000L)).as("tn"), sum(col("c")).as("tot"))
+      .selectExpr("doc_id", "tn div tot AS top_bigram_ppm")
+    val grams5 = d.select(col("doc_id"),
+      explode(Text.wordNGrams(col("text"), 5)).as("g"))
+    val contaminated = grams5.filter(col("doc_id") % 97 =!= 0)
+      .join(grams5.filter(col("doc_id") % 97 === 0).select(col("g")), "g")
+      .select(col("doc_id")).distinct()
+    val canonical = d
+      .groupBy(Text.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("canon"))
+    base
+      .join(topbg, Seq("doc_id"), "left")
+      .join(canonical, Seq("doc_id"), "left")
+      .join(contaminated.withColumn("cont", lit(1L)).hint("shuffle_merge"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_tokens") >= 12).as("min_len"),
+        (col("ttr_ppm") >= 350000L).as("ttr"),
+        (coalesce(col("top_bigram_ppm"), lit(0L)) <= 80000L).as("top_bigram"),
+        col("canon").isNotNull.as("exact_dup_canonical"),
+        col("cont").isNull.as("decontam"),
+        (col("doc_id") % 97 =!= 0).as("eval_holdout"))
+  }
+
+  /** q148 report over a flags frame: per filter, how many docs fail
+    * it at all and how many fail it EXCLUSIVELY (all other filters
+    * pass) — the number that says what relaxing ONE threshold would
+    * buy, the standard curation-tuning table. */
+  private[graft] def filterAttribution(f: DataFrame): DataFrame = {
+    val all = CleanFilters.map(col).reduce(_ && _)
+    def others(n: String) =
+      CleanFilters.filterNot(_ == n).map(col).reduce(_ && _)
+    val aggs =
+      CleanFilters.map(n => sum(when(!col(n), 1L).otherwise(0L)).as(s"f_$n")) ++
+      CleanFilters.map(n =>
+        sum(when(!col(n) && others(n), 1L).otherwise(0L)).as(s"x_$n")) :+
+      sum(when(all, 1L).otherwise(0L)).as("n_kept")
+    val row = f.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    row.select(explode(array(CleanFilters.map(n => struct(
+        lit(n).as("filter_name"),
+        col(s"f_$n").as("n_fail"),
+        col(s"x_$n").as("n_exclusive_fail"),
+        col("n_docs"), col("n_kept"))): _*)).as("p"))
+      .select("p.*")
+  }
+
   /** The q80 keep-predicate oracle over relation `src` (needs only
     * doc_id, text), yielding the kept doc_ids — the q104 composed
     * oracle chains the clean stage from it; the q80 gate oracle stays
     * the full-column literal over `documents` (same predicate). */
-  private[operators] def cleanKeepIdsSql(src: String): String =
-    s"""WITH ctok AS (
+  /** The clean-signal CTE chain (ctok..ccanon) over relation `src` —
+    * shared by [[cleanKeepIdsSql]] and the q148 flags oracle, so the
+    * attribution report audits the EXACT predicate q80 applies. */
+  private def cleanSignalCtes(src: String): String =
+    s"""ctok AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t,
        |    md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
        |  FROM $src),
@@ -315,7 +395,48 @@ object TextAnalysis {
        |  FROM cg5 c JOIN (SELECT g FROM cg5 WHERE doc_id % 97 = 0) b ON c.g = b.g
        |  WHERE c.doc_id % 97 <> 0),
        |ccanon AS (
-       |  SELECT min(doc_id) AS doc_id FROM ctok GROUP BY fp)
+       |  SELECT min(doc_id) AS doc_id FROM ctok GROUP BY fp)""".stripMargin
+
+  /** q148's oracle: the SAME signal CTEs, per-doc flags, one
+    * aggregate, and a row per filter — generated from [[CleanFilters]]
+    * so the filter list cannot drift between engine and replay. */
+  private def oracle148: String = {
+    val failSums = CleanFilters.map(n =>
+      s"sum(CASE WHEN NOT $n THEN 1 ELSE 0 END) AS f_$n").mkString(",\n    ")
+    val exclSums = CleanFilters.map { n =>
+      val others = CleanFilters.filterNot(_ == n).mkString(" AND ")
+      s"sum(CASE WHEN NOT $n AND $others THEN 1 ELSE 0 END) AS x_$n"
+    }.mkString(",\n    ")
+    val keptSum = s"sum(CASE WHEN ${CleanFilters.mkString(" AND ")} " +
+      "THEN 1 ELSE 0 END) AS n_kept"
+    val rows = CleanFilters.map(n =>
+      s"""SELECT '$n' AS filter_name, CAST(f_$n AS BIGINT) AS n_fail,
+         |  CAST(x_$n AS BIGINT) AS n_exclusive_fail,
+         |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_kept AS BIGINT) AS n_kept
+         |FROM tot""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH ${cleanSignalCtes("documents")},
+       |flags AS (
+       |  SELECT cbase.doc_id,
+       |    n_tokens >= 12 AS min_len,
+       |    ttr_ppm >= 350000 AS ttr,
+       |    coalesce(top_bigram_ppm, 0) <= 80000 AS top_bigram,
+       |    ccanon.doc_id IS NOT NULL AS exact_dup_canonical,
+       |    cbase.doc_id NOT IN (SELECT doc_id FROM ccont) AS decontam,
+       |    cbase.doc_id % 97 <> 0 AS eval_holdout
+       |  FROM cbase
+       |  LEFT JOIN cbga ON cbase.doc_id = cbga.doc_id
+       |  LEFT JOIN ccanon ON cbase.doc_id = ccanon.doc_id),
+       |tot AS (
+       |  SELECT count(*) AS n_docs,
+       |    $failSums,
+       |    $exclSums,
+       |    $keptSum
+       |  FROM flags)
+       |$rows""".stripMargin
+  }
+
+  private[operators] def cleanKeepIdsSql(src: String): String =
+    s"""WITH ${cleanSignalCtes(src)}
        |SELECT cbase.doc_id
        |FROM cbase
        |JOIN ccanon ON cbase.doc_id = ccanon.doc_id
@@ -391,6 +512,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q92_doc_chunks" -> chunkSql("documents", "doc_id"),
     "q96_bloom_decontaminate" -> oracle96,
+    "q148_filter_attribution" -> oracle148,
 
     "q85_unigram_surprisal" ->
       """WITH toks AS (

@@ -193,4 +193,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getAs[Long]("cov1000_ppm") === 1000000L)
     assert(row.getAs[Long]("cov10000_ppm") === 1000000L)
   }
+
+  test("q148: AND of the six flags is EXACTLY the q80 keep set, doc for doc") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sf0001, "documents")
+    val flags = graft.operators.TextAnalysis.cleanFlags(d).persist()
+    val all = graft.operators.TextAnalysis.CleanFilters
+      .map(col).reduce(_ && _)
+    val fromFlags = flags.filter(all).select("doc_id")
+    val kept = graft.operators.TextAnalysis.cleanKeep(d).select("doc_id")
+    assert(fromFlags.join(kept, Seq("doc_id"), "left_anti").count() === 0)
+    assert(kept.join(fromFlags, Seq("doc_id"), "left_anti").count() === 0)
+    assert(kept.count() > 0)
+    flags.unpersist()
+  }
+
+  test("q148: attribution counts are internally consistent") {
+    val rows = graft.operators.TextAnalysis.queries(
+      "q148_filter_attribution")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length === 6)
+    val (nDocs, nKept) = (rows.head._4, rows.head._5)
+    assert(rows.forall(r => r._4 == nDocs && r._5 == nKept))
+    // exclusive fails never exceed total fails; kept + every filter's
+    // exclusive fails fit inside the corpus; at least one filter bites
+    assert(rows.forall(r => r._3 <= r._2))
+    assert(rows.map(_._3).sum + nKept <= nDocs)
+    assert(rows.map(_._2).sum > 0)
+    // Σ exclusive + multi-filter fails = total dropped: the dropped
+    // count is bounded below by max single-filter fails
+    assert(nDocs - nKept >= rows.map(_._2).max)
+  }
 }
