@@ -262,6 +262,17 @@ object Dedup {
       graft.dedup.ConnectedComponents.clusterLabels(ngramJaccard(s, dir))
     },
 
+    // -- dedup-then-upweight (round 8): the training manifest AFTER
+    //    near-dup dedup — one canonical doc per q69 cluster carrying
+    //    the cluster SIZE as its multiplicity (singletons at 1), so
+    //    Σ multiplicity = |corpus|. The Lee et al. 2022 "Deduplicating
+    //    Training Data" materialization: train on unique text, keep
+    //    the duplication count for loss weighting / mixture
+    //    accounting instead of silently changing the distribution. --
+    "q149_dedup_upweight" -> { (s, dir) =>
+      dedupUpweight(Tables.load(s, dir, "documents"))
+    },
+
     // -- dedup materialization: keep every document that is not the
     //    higher-id member of any J >= 0.5 near-dup pair (anti-join:
     //    drop duplicates, keep the canonical representative) --
@@ -285,6 +296,30 @@ object Dedup {
       incrementalDedup(Tables.load(s, dir, "documents"))
     },
   )
+
+  /** q149 over any documents-shaped frame: (doc_id, multiplicity)
+    * with one row per CANONICAL doc — the q69 cluster minimum — and
+    * multiplicity = cluster size (docs outside the near-dup graph are
+    * their own canonicals at 1). Scale shape: rides the q44 pair
+    * machinery + q69's pointer-doubling CC unchanged; the additions
+    * are one cluster-keyed groupBy, one cluster-keyed join and one
+    * doc-keyed anti join — all linear keyed work; labels are
+    * checkpointed by the CC loop already. Invariant (spec-pinned):
+    * Σ multiplicity = |corpus|. */
+  private[graft] def dedupUpweight(d: DataFrame): DataFrame = {
+    val labels = graft.dedup.ConnectedComponents
+      .clusterLabels(jaccardPairs(d)).localCheckpoint(true)
+    val csize = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
+    val reps = labels.filter(col("doc_id") === col("cluster_id"))
+      .join(csize.hint("shuffle_merge"), "cluster_id")
+      .select(col("doc_id"), col("m"))
+    val singles = d.select(col("doc_id"))
+      .join(labels.select(col("doc_id")).hint("shuffle_merge"),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("m"))
+    reps.unionByName(singles)
+      .select(col("doc_id"), col("m").as("multiplicity"))
+  }
 
   /** q145 over any documents-shaped frame (needs `doc_id`, `text`).
     * Scale shape: signatures are map-side per side (the q45 kernel);
@@ -589,35 +624,57 @@ object Dedup {
          |${neardupDropSql("documents")}))""".stripMargin,
 
     "q69_dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
-        |g0 AS (
-        |  SELECT doc_id, t,
-        |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
-        |  FROM tok),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-        |  FROM g0),
-        |sz AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM inter
-        |  JOIN sz sa ON doc_a = sa.doc_id
-        |  JOIN sz sb ON doc_b = sb.doc_id
-        |  WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |walk AS (
-        |  SELECT src AS doc_id, src AS reach FROM edges
-        |  UNION
-        |  SELECT w.doc_id, e.dst
-        |  FROM walk w JOIN edges e ON w.reach = e.src)
-        |SELECT doc_id, min(reach) AS cluster_id
-        |FROM walk GROUP BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $ccLabelCtes
+        |SELECT doc_id, cluster_id FROM labels""".stripMargin,
+
+    // q149: the q69 labels + cluster sizes; canonicals = cluster
+    // minima; docs outside the near-dup graph are singletons at 1.
+    "q149_dedup_upweight" ->
+      s"""WITH RECURSIVE $ccLabelCtes,
+        |cs AS (SELECT cluster_id, count(*) AS m FROM labels GROUP BY cluster_id),
+        |reps AS (
+        |  SELECT l.doc_id, m FROM labels l
+        |  JOIN cs ON l.cluster_id = cs.cluster_id
+        |  WHERE l.doc_id = l.cluster_id)
+        |SELECT doc_id, CAST(m AS BIGINT) AS multiplicity FROM reps
+        |UNION ALL
+        |SELECT doc_id, 1 AS multiplicity FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM labels)""".stripMargin,
   )
+
+  /** The q69 connected-components label chain (exact J ≥ 0.5 pairs →
+    * symmetric edges → recursive reachability → min-reach labels) —
+    * shared by the q69 and q149 oracles. */
+  private def ccLabelCtes: String =
+    """tok AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, t,
+      |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+      |  FROM tok),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      |  FROM g0),
+      |sz AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter
+      |  JOIN sz sa ON doc_a = sa.doc_id
+      |  JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |walk AS (
+      |  SELECT src AS doc_id, src AS reach FROM edges
+      |  UNION
+      |  SELECT w.doc_id, e.dst
+      |  FROM walk w JOIN edges e ON w.reach = e.src),
+      |labels AS (
+      |  SELECT doc_id, min(reach) AS cluster_id
+      |  FROM walk GROUP BY doc_id)""".stripMargin
 }

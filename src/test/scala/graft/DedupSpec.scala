@@ -206,6 +206,26 @@ class DedupSpec extends SparkSpec {
     assert(byId(10L) === ((10L, 0L, -1L, -1L, 0L)))
   }
 
+  test("q149: canonical + multiplicity conserves the corpus (Σ multiplicity = |docs|)") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = Seq(
+      (5L, t), (2L, t), (9L, t),                       // a 3-cluster
+      (1L, "completely different words here nothing shared at all"),
+      (7L, "another standalone document with its very own text")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupUpweight(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // canonical = the cluster's LOWEST doc_id, carrying the size
+    assert(out.toSeq === Seq((1L, 1L), (2L, 3L), (7L, 1L)))
+    // real corpus: conservation + canonical-below-members invariants
+    val d = Tables.load(spark, sf0001, "documents")
+    val real = graft.operators.Dedup.dedupUpweight(d)
+    assert(real.agg(org.apache.spark.sql.functions.sum("multiplicity"))
+      .head.getLong(0) === d.count())
+    assert(real.count() < d.count(), "corpus has planted near-dups")
+  }
+
   test("q145: best match is the max-Jaccard corpus doc, ties to the lowest id") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta"
