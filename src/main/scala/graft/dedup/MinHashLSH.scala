@@ -70,21 +70,30 @@ object MinHashLSH {
     * no gram-level explode/shuffle (same verify shape as the
     * prefix-filtered exact join in graft.operators.Dedup). */
   def verify(docs: DataFrame, pairs: DataFrame, idCol: String,
-             textCol: String, shingleN: Int, threshold: Double): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"),
-        Text.wordNGrams(col(textCol), shingleN).as("grams"))
-      .withColumn("ng", size(col("grams")))
-    val ga = grams.select(col("doc_id").as("doc_a"),
-      col("grams").as("grams_a"), col("ng").as("ng_a"))
-    val gb = grams.select(col("doc_id").as("doc_b"),
-      col("grams").as("grams_b"), col("ng").as("ng_b"))
+             textCol: String, shingleN: Int, threshold: Double): DataFrame =
+    verifySided(pairs,
+      gramSide(docs, idCol, textCol, shingleN, "a"),
+      gramSide(docs, idCol, textCol, shingleN, "b"), threshold)
+
+  /** One side's (doc_X, grams_X, ng_X) table for [[verifySided]] —
+    * exposed so a stream can verify its micro-batch against a
+    * PRE-BUILT static corpus gram table (graft.streaming.DocStreams)
+    * instead of re-shingling the corpus per trigger. */
+  def gramSide(docs: DataFrame, idCol: String, textCol: String,
+               shingleN: Int, side: String): DataFrame =
+    docs.select(col(idCol).as(s"doc_$side"),
+        Text.wordNGrams(col(textCol), shingleN).as(s"grams_$side"))
+      .withColumn(s"ng_$side", size(col(s"grams_$side")))
+
+  /** Exact-Jaccard verify with independently-supplied sides. */
+  def verifySided(pairs: DataFrame, ga: DataFrame, gb: DataFrame,
+                  threshold: Double): DataFrame =
     pairs.join(ga, "doc_a").join(gb, "doc_b")
       .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
       // exact ppm integer jaccard (cross-engine-stable; see Dedup)
       .selectExpr("doc_a", "doc_b",
         "CAST(inter AS BIGINT) * 1000000 div (CAST(ng_a AS BIGINT) + ng_b - inter) AS jaccard_ppm")
       .filter(col("jaccard_ppm") >= math.round(threshold * 1e6))
-  }
 
   /** Full pipeline: near-dup pairs with exact Jaccard ≥ threshold. */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",

@@ -351,19 +351,27 @@ object Dedup {
     // materialize = false leaves the full plan visible for the audit
     val verified =
       if (materialize) verifiedRaw.localCheckpoint(true) else verifiedRaw
+    incrementReport(inc.select(col("doc_id")), verified)
+  }
+
+  /** The q145 increment-sided report over a verified pair set:
+    * per-increment match count, best corpus match (max Jaccard, ties
+    * → lowest corpus id — a deterministic two-step relational argmax
+    * on the candidate-sized set), clean docs at (-1, -1, 0). Shared
+    * with the streaming form (graft.streaming.DocStreams), whose
+    * per-micro-batch semantics are EXACTLY these. */
+  private[graft] def incrementReport(incIds: DataFrame,
+      verified: DataFrame): DataFrame = {
     val agg = verified.groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("n_dup_matches"),
         max(col("jaccard_ppm")).as("best_jaccard_ppm"))
-    // best match = min corpus id among the max-Jaccard rows (a
-    // deterministic two-step argmax — plain relational algebra on
-    // the candidate-sized verified set)
     val bid = verified.select(col("doc_a").as("doc_id"), col("doc_b"),
         col("jaccard_ppm"))
       .join(agg.select(col("doc_id"), col("best_jaccard_ppm").as("bj")),
         Seq("doc_id"))
       .filter(col("jaccard_ppm") === col("bj"))
       .groupBy(col("doc_id")).agg(min(col("doc_b")).as("best_match_id"))
-    inc.select(col("doc_id"))
+    incIds
       .join(agg.hint("shuffle_merge"), Seq("doc_id"), "left")
       .join(bid.hint("shuffle_merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
