@@ -60,7 +60,47 @@ object Sessionize {
     "q135_funnel_steps" -> { (s, dir) =>
       funnel(Tables.load(s, dir, "events"))
     },
+
+    // -- q150: retention cohort triangle (round 8) — users grouped by
+    //    FIRST-ACTIVITY day, then per (cohort_day, day_offset) the
+    //    distinct users still active: THE standard product-analytics
+    //    retention matrix, and the event-side sibling of q135's
+    //    funnel. All integers and date arithmetic; retention is a
+    //    flooring ppm against the cohort's day-0 size (day 0 is
+    //    1000000 by construction — every cohort member is active on
+    //    their first day). --
+    "q150_retention_cohorts" -> { (s, dir) =>
+      retentionCohorts(Tables.load(s, dir, "events"))
+    },
   )
+
+  /** Retention matrix over any events frame (needs `user_id`, `ts`).
+    * Scale shape: first-day and active-day tables are user-keyed
+    * groupBys (the (user, day) distinct collapses activity before
+    * anything joins); the one corpus-scale join is user-keyed with
+    * both sides hinted off broadcast; the (cohort, offset) census is
+    * a map-side-combined groupBy to a ≤days² table, and the day-0
+    * size attach is a broadcast of that tiny census. Dates ride as
+    * 'yyyy-MM-dd' strings in the output (the cross-engine-stable
+    * form). */
+  private[graft] def retentionCohorts(ev: DataFrame): DataFrame = {
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val m = active
+      .join(first.hint("shuffle_merge"), "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val size0 = m.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_active").as("cohort_size"))
+    m.join(broadcast(size0), "cohort_day")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("n_active"), col("cohort_size"),
+        expr("n_active * 1000000 div cohort_size").as("retention_ppm"))
+  }
 
   /** One-row funnel census. Scale shape: the three step minima are
     * conditional-min WINDOWS over the SAME user partition (each
@@ -174,5 +214,28 @@ object Sessionize {
         |  CAST(sum(CASE WHEN t3 IS NOT NULL
         |    THEN epoch_us(t3) - epoch_us(t1) END) AS BIGINT) AS conv_micros
         |FROM u3""".stripMargin,
+
+    // cohort day = per-user min event DATE; the (user, day) distinct
+    // collapses activity first; date arithmetic and counts are
+    // integers, retention a flooring ppm
+    "q150_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |fst AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, d FROM ev),
+        |m AS (
+        |  SELECT cohort_day, d - cohort_day AS day_offset,
+        |    count(*) AS n_active
+        |  FROM act JOIN fst USING (user_id)
+        |  GROUP BY cohort_day, d - cohort_day),
+        |s0 AS (
+        |  SELECT cohort_day, n_active AS cohort_size FROM m
+        |  WHERE day_offset = 0)
+        |SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day_offset AS BIGINT) AS day_offset,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(n_active * 1000000 // cohort_size AS BIGINT) AS retention_ppm
+        |FROM m JOIN s0 USING (cohort_day)""".stripMargin,
   )
 }

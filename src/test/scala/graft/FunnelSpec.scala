@@ -52,4 +52,37 @@ class FunnelSpec extends SparkSpec {
     // t3=13 (earliest purchase after t2) → conv = 3 s
     assert(run(rows) === ((1L, 1L, 1L, 1L, Some(3000000L))))
   }
+
+  test("q150: retention triangle on a planted cohort log is exact") {
+    def day(d: Int, hour: Int = 3): Timestamp =
+      Timestamp.valueOf(f"2024-01-${d}%02d $hour%02d:00:00")
+    // cohort Jan-01: users 1,2 — u1 returns day 1 and 2 (twice on
+    //   day 2: the (user, day) distinct must collapse it), u2 never
+    // cohort Jan-02: user 3 — returns day 1
+    val rows = Seq(
+      (1L, day(1)), (1L, day(2)), (1L, day(2, 9)), (1L, day(3)),
+      (2L, day(1, 22)),
+      (3L, day(2)), (3L, day(3)))
+    val got = Sessionize.retentionCohorts(rows.toDF("user_id", "ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2)).toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1000000L),
+      ("2024-01-01", 1L, 1L, 2L, 500000L),
+      ("2024-01-01", 2L, 1L, 2L, 500000L),
+      ("2024-01-02", 0L, 1L, 1L, 1000000L),
+      ("2024-01-02", 1L, 1L, 1L, 1000000L)))
+  }
+
+  test("q150: every cohort's day-0 retention is exactly 1000000 ppm on the real log") {
+    import org.apache.spark.sql.functions._
+    val m = Sessionize.retentionCohorts(
+      Tables.load(spark, sf0001, "events")).persist()
+    assert(m.filter(col("day_offset") === 0)
+      .filter(col("retention_ppm") =!= 1000000L).count() === 0)
+    // retention never exceeds day 0 and the matrix is non-trivial
+    assert(m.filter(col("n_active") > col("cohort_size")).count() === 0)
+    assert(m.filter(col("day_offset") > 0).count() > 0)
+    m.unpersist()
+  }
 }
