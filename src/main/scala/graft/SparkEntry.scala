@@ -50,11 +50,12 @@ object SparkEntry {
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0. The flagship is the round-5 north star: the full
-    * corpus-prep chain (clean → dedup → mix → pack → chunk) compiled
-    * from a declarative pipeline spec. */
+    * rows>0. The flagship is the round-8 north star: the modern
+    * curation pipeline (scrub → clean → CCNet head-keep → SemDeDup →
+    * mix → pack → chunk) compiled from a declarative pipeline spec —
+    * the DAG compiler driving a two-input quality-filter chain. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q93_corpus_prep_pipeline")(spark, "/root/testdata/sf0.001")
+    queries("q143_corpus_prep_v3")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   val queries: Map[String, (SparkSession, String) => DataFrame] =

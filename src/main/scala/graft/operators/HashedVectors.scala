@@ -104,6 +104,23 @@ object HashedVectors {
       .filter(col("rank") <= k)
   }
 
+  /** Dense (vec_id, label, embedding) form of [[hashedVectors]] —
+    * the EXACT shape the q94/q102 ANN ladder consumes, so the
+    * engine's own derived vectors ride the existing retrieval
+    * operators unchanged. Order-independent by construction (the
+    * sparse rows fold through a MAP, not a collected list), and
+    * every value is an integer < 2²⁴ — exactly representable in
+    * FLOAT, so the ladder's cosine math sees bit-identical inputs on
+    * both engines. */
+  private[graft] def denseVectors(d: DataFrame): DataFrame =
+    hashedVectors(d).groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("v"))))
+        .as("m"))
+      .select(col("doc_id").as("vec_id"), lit(0).as("label"),
+        expr(s"""transform(sequence(0, ${Dims - 1}),
+                |  i -> CAST(coalesce(element_at(m, CAST(i AS BIGINT)), 0L)
+                |    AS FLOAT))""".stripMargin).as("embedding"))
+
   val queries: Map[String, Q] = Map(
     "q146_hashed_doc_vectors" -> { (s, dir) =>
       hashedVectors(Tables.load(s, dir, "documents"))
@@ -112,6 +129,20 @@ object HashedVectors {
       panelTopK(
         hashedVectors(Tables.load(s, dir, "documents")).localCheckpoint(true),
         k = 5)
+    },
+
+    // -- the derived vectors through the EXISTING ANN ladder (round
+    //    8): q146's hashed embeddings densified and fed to the q94b
+    //    adaptive-IVF kNN join UNCHANGED — documents → vectors → IVF
+    //    retrieval end-to-end inside the engine, no synthetic
+    //    embedding table anywhere in the chain. Cell model and probe
+    //    rule are q94b's verbatim (Centroids94 prefix, argmax-cosine
+    //    assignment, top-6 probe cells, round-6 re-rank). --
+    "q151_hashed_vector_ivf" -> { (s, dir) =>
+      val e = denseVectors(Tables.load(s, dir, "documents"))
+        .localCheckpoint(true)
+      Similarity.knnJoinQuery(e,
+        Centroids94.table.take(Similarity.adaptiveCells(e.count())))
     },
   )
 
@@ -174,8 +205,29 @@ object HashedVectors {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** q151's oracle: the q146 vector chain densified (sparse rows
+    * fold through a MAP — order-independent), then the q94b adaptive
+    * oracle body VERBATIM over the derived table (same Centroids94
+    * literals, count ladder, probe rule and round-6 re-rank). */
+  private def oracle151: String = {
+    val dense =
+      s"""${vectorCtes("documents")},
+         |dm AS (
+         |  SELECT doc_id, map(list(dim ORDER BY dim), list(v ORDER BY dim)) AS m
+         |  FROM vecs GROUP BY doc_id),
+         |dense AS MATERIALIZED (
+         |  SELECT doc_id AS vec_id, 0 AS label,
+         |    list_transform(generate_series(0, ${Dims - 1}),
+         |      i -> CAST(coalesce(map_extract(m, CAST(i AS BIGINT))[1], 0)
+         |        AS DOUBLE)) AS embedding
+         |  FROM dm),
+         |""".stripMargin
+    Similarity.oracle94Adaptive("6", src = "dense", pre = dense)
+  }
+
   val oracles: Map[String, String] = Map(
     "q146_hashed_doc_vectors" -> oracle146,
     "q147_hashed_vector_topk" -> oracle147,
+    "q151_hashed_vector_ivf" -> oracle151,
   )
 }

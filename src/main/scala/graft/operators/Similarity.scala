@@ -811,7 +811,8 @@ object Similarity {
     * probe-budget expression (may reference `ncells` from the `cc`
     * CTE): a literal 6 for q94b, the [[adaptiveNProbe]] CASE ladder
     * for q94c. */
-  private def oracle94Adaptive(nprobeSql: String): String = {
+  private[operators] def oracle94Adaptive(nprobeSql: String,
+      src: String = "embeddings", pre: String = ""): String = {
     def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
     def dotE(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -825,11 +826,11 @@ object Similarity {
       .mkString(",\n    ")
     val simList = cents.map(c => cosE("embedding", lst(c)))
       .mkString("[\n      ", ",\n      ", "]")
-    s"""WITH cc AS (
+    s"""WITH ${pre}cc AS (
        |  SELECT CASE WHEN count(*) <= 512 THEN 16
        |              WHEN count(*) <= 1024 THEN 32
        |              ELSE 64 END AS ncells
-       |  FROM embeddings),
+       |  FROM $src),
        |cents AS (
        |  SELECT u.cid AS cid, u.ce AS ce
        |  FROM UNNEST([$centStructs]) AS t(u)),
@@ -837,9 +838,9 @@ object Similarity {
        |  SELECT vec_id, label, embedding,
        |    CAST(list_position(lc, list_max(lc)) - 1 AS INTEGER) AS cell
        |  FROM (SELECT vec_id, label, embedding, ($simList)[1:ncells] AS lc
-       |        FROM embeddings, cc)),
+       |        FROM $src, cc)),
        |queries AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM $src
        |  WHERE vec_id % 50 = 0),
        |qsims AS (
        |  SELECT q_id, q_emb, cid, ${cosE("q_emb", "ce")} AS qc

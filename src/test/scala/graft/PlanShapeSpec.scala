@@ -307,6 +307,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin LeftOuter"), p)
   }
 
+  test("q150: retention rides ONE user-keyed merge join; the day-0 census broadcasts back") {
+    val p = executedPlan("q150_retention_cohorts")
+    assert(!p.contains("CartesianProduct"), p)
+    // first-day × active-day: both sides corpus-scale, hinted merge
+    assert(p.contains("SortMergeJoin Inner"), p)
+    // the ≤days² day-0 slice re-attaches as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q146: vectorizer is keyed groupBys + ONE token-keyed merge join; only the 1-row count broadcasts") {
     val p = executedPlan("q146_hashed_doc_vectors")
     assert(!p.contains("CartesianProduct"), p)
