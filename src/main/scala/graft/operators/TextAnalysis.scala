@@ -55,18 +55,29 @@ object TextAnalysis {
 
     // -- stopword-profile language ID with deterministic tie-break --
     "q42_langid" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      val sEn = Text.wordSetCount(col("text"), stopEn)
-      val sEs = Text.wordSetCount(col("text"), stopEs)
-      val sFr = Text.wordSetCount(col("text"), stopFr)
-      val sDe = Text.wordSetCount(col("text"), stopDe)
-      d.select(col("doc_id"), col("lang").as("labeled_lang"),
-        sEn.as("s_en"), sEs.as("s_es"), sFr.as("s_fr"), sDe.as("s_de"),
-        when(sEn + sEs + sFr + sDe === 0, "und")
-          .when(sEn >= sEs && sEn >= sFr && sEn >= sDe, "en")
-          .when(sEs >= sFr && sEs >= sDe, "es")
-          .when(sFr >= sDe, "fr")
-          .otherwise("de").as("pred_lang"))
+      langPredictions(Tables.load(s, dir, "documents"))
+    },
+
+    // -- langid EVALUATION (round 8): the confusion matrix of q42's
+    //    stop-word classifier against the gold `lang` labels, with
+    //    per-cell recall (share of the gold class) and precision
+    //    (share of the predicted class) in flooring ppm — the
+    //    evaluation harness a real pipeline runs before trusting a
+    //    language filter. Map-side scorer → ONE tiny (gold, pred)
+    //    groupBy (≤ (|langs|+1)² cells) → two windows on that tiny
+    //    matrix. --
+    "q152_langid_eval" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = langPredictions(Tables.load(s, dir, "documents"))
+        .groupBy(col("labeled_lang").as("gold_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      m.withColumn("n_gold",
+          sum(col("n_docs")).over(Window.partitionBy(col("gold_lang"))))
+        .withColumn("n_pred",
+          sum(col("n_docs")).over(Window.partitionBy(col("pred_lang"))))
+        .selectExpr("gold_lang", "pred_lang", "n_docs", "n_gold", "n_pred",
+          "n_docs * 1000000 div n_gold AS cell_of_gold_ppm",
+          "n_docs * 1000000 div n_pred AS cell_of_pred_ppm")
     },
 
     // -- deterministic train/val/test split: md5-of-key thresholds
@@ -261,6 +272,22 @@ object TextAnalysis {
     * over the raw table plus the 4-column gate projection. The final
     * semi-join re-attaches the full rows to the kept-id set, mirroring
     * how the composed oracle scopes the stage. */
+  /** The q42 stop-word language classifier — per-doc scores and the
+    * argmax prediction; shared by q42 and the q152 evaluation. */
+  private[graft] def langPredictions(d: DataFrame): DataFrame = {
+    val sEn = Text.wordSetCount(col("text"), stopEn)
+    val sEs = Text.wordSetCount(col("text"), stopEs)
+    val sFr = Text.wordSetCount(col("text"), stopFr)
+    val sDe = Text.wordSetCount(col("text"), stopDe)
+    d.select(col("doc_id"), col("lang").as("labeled_lang"),
+      sEn.as("s_en"), sEs.as("s_es"), sFr.as("s_fr"), sDe.as("s_de"),
+      when(sEn + sEs + sFr + sDe === 0, "und")
+        .when(sEn >= sEs && sEn >= sFr && sEn >= sDe, "en")
+        .when(sEs >= sFr && sEs >= sDe, "es")
+        .when(sFr >= sDe, "fr")
+        .otherwise("de").as("pred_lang"))
+  }
+
   private[graft] def cleanKeep(d: DataFrame): DataFrame = {
     val base = d.selectExpr("doc_id",
       "size(split(text, '\\\\s+')) AS n_tokens",
@@ -396,6 +423,28 @@ object TextAnalysis {
        |  WHERE c.doc_id % 97 <> 0),
        |ccanon AS (
        |  SELECT min(doc_id) AS doc_id FROM ctok GROUP BY fp)""".stripMargin
+
+  /** The q42 scorer CTEs (t, sc) and argmax CASE — shared by the q42
+    * and q152 oracles so classifier and evaluation replay the same
+    * model. */
+  private def langScoreCtes: String =
+    """t AS (
+      |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    len(list_filter(toks, x -> x IN ('the','a','of','in','to','is'))) AS s_en,
+      |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','los'))) AS s_es,
+      |    len(list_filter(toks, x -> x IN ('le','les','des','et','une','dans'))) AS s_fr,
+      |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein'))) AS s_de
+      |  FROM t)""".stripMargin
+
+  private def langPredCase: String =
+    """CASE WHEN s_en + s_es + s_fr + s_de = 0 THEN 'und'
+      |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+      |       WHEN s_fr >= s_de THEN 'fr'
+      |       ELSE 'de' END""".stripMargin
 
   /** q148's oracle: the SAME signal CTEs, per-doc flags, one
     * aggregate, and a row per filter — generated from [[CleanFilters]]
@@ -559,23 +608,29 @@ object TextAnalysis {
         |FROM c""".stripMargin,
 
     "q42_langid" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
-        |  FROM documents),
-        |sc AS (
-        |  SELECT doc_id, lang AS labeled_lang,
-        |    len(list_filter(toks, x -> x IN ('the','a','of','in','to','is'))) AS s_en,
-        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','los'))) AS s_es,
-        |    len(list_filter(toks, x -> x IN ('le','les','des','et','une','dans'))) AS s_fr,
-        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein'))) AS s_de
-        |  FROM t)
+      s"""WITH $langScoreCtes
         |SELECT doc_id, labeled_lang, s_en, s_es, s_fr, s_de,
-        |  CASE WHEN s_en + s_es + s_fr + s_de = 0 THEN 'und'
-        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-        |       WHEN s_fr >= s_de THEN 'fr'
-        |       ELSE 'de' END AS pred_lang
+        |  $langPredCase AS pred_lang
         |FROM sc""".stripMargin,
+
+    // q152: the q42 scorer → (gold, pred) census → per-cell recall /
+    // precision ppm via two windows on the tiny matrix
+    "q152_langid_eval" ->
+      s"""WITH $langScoreCtes,
+        |prd AS (
+        |  SELECT labeled_lang AS gold_lang, $langPredCase AS pred_lang
+        |  FROM sc),
+        |m AS (
+        |  SELECT gold_lang, pred_lang, count(*) AS n_docs
+        |  FROM prd GROUP BY gold_lang, pred_lang)
+        |SELECT gold_lang, pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(sum(n_docs) OVER (PARTITION BY gold_lang) AS BIGINT) AS n_gold,
+        |  CAST(sum(n_docs) OVER (PARTITION BY pred_lang) AS BIGINT) AS n_pred,
+        |  CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY gold_lang)
+        |    AS BIGINT) AS cell_of_gold_ppm,
+        |  CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY pred_lang)
+        |    AS BIGINT) AS cell_of_pred_ppm
+        |FROM m""".stripMargin,
 
     "q70_deterministic_split" ->
       """SELECT doc_id, lang,

@@ -194,6 +194,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getAs[Long]("cov10000_ppm") === 1000000L)
   }
 
+  test("q152: a corpus whose text matches its labels evaluates to a perfect diagonal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "en", "the cat is of the house in a tree"),
+      (2L, "en", "a dog of the yard is in to the sun"),
+      (3L, "es", "el perro de la casa que y los gatos"),
+      (4L, "fr", "le chat des maisons et une chose dans les arbres"),
+      (5L, "de", "der hund und die katze ist ein das haus"))
+      .toDF("doc_id", "lang", "text")
+    val m = graft.operators.TextAnalysis.langPredictions(rows)
+      .groupBy(col("labeled_lang"), col("pred_lang")).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(m === Set(("en", "en", 2L), ("es", "es", 1L),
+      ("fr", "fr", 1L), ("de", "de", 1L)))
+  }
+
+  test("q152: matrix invariants on the real corpus — totals conserve; labels don't match text (the harness's finding)") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sf0001, "documents")
+    val m = graft.operators.TextAnalysis.queries(
+      "q152_langid_eval")(spark, sf0001).persist()
+    assert(m.agg(sum("n_docs")).head.getLong(0) === d.count())
+    // every cell ≤ its row/column total; ppm shares within [0, 1e6]
+    assert(m.filter(col("n_docs") > col("n_gold") ||
+      col("n_docs") > col("n_pred")).count() === 0)
+    assert(m.filter(col("cell_of_gold_ppm") > 1000000L).count() === 0)
+    // the synthetic corpus labels languages its text does not speak:
+    // the classifier must NOT recover them (only en/und predictions)
+    assert(m.select("pred_lang").distinct().collect()
+      .map(_.getString(0)).toSet === Set("en", "und"))
+    m.unpersist()
+  }
+
   test("q148: AND of the six flags is EXACTLY the q80 keep set, doc for doc") {
     import org.apache.spark.sql.functions._
     val d = Tables.load(spark, sf0001, "documents")
