@@ -120,11 +120,17 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // optional 2nd arg: comma-separated section filter ("r8b" = only
-    // the round-8 incremental-dedup / hashed-vector blocks) — the
-    // pre-existing full probe runs when absent or "all"
+    // optional 2nd arg: comma-separated section filter — the
+    // pre-existing full probe runs when absent or "all". Unknown
+    // names FAIL (round-8 advice #3: a typo used to silently run
+    // nothing and exit via the early return).
     val sections: Set[String] =
       if (args.length > 1) args(1).split(',').toSet else Set("all")
+    val KnownSections = Set("all", "r8b", "motifs", "r9")
+    val unknown = sections.diff(KnownSections)
+    require(unknown.isEmpty,
+      s"unknown ScaleProbe section(s): ${unknown.toSeq.sorted.mkString(",")}" +
+        s" — valid: ${KnownSections.toSeq.sorted.mkString(",")}")
     val runAll = sections("all")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -139,6 +145,10 @@ object ScaleProbe {
 
     val docs0 = Tables.load(spark, sfDir, "documents")
     val emb0 = Tables.load(spark, sfDir, "embeddings")
+    val orders0 = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li0 = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
     // the SAME planes production q49 ships (quantized 3-decimal) — a
     // probe against a different hyperplane family would measure a
     // bucket configuration nobody runs (round-4 advice #3)
@@ -206,6 +216,199 @@ object ScaleProbe {
       val a147w = wOf(g147.map(r => (r._1, r._3)))
       println(f"""{"metric":"r8b_probe_exponents","alpha":{"q145_cand":$a145%.2f,"q145_wall":$a145w%.2f,"q147_dot_rows":$a147%.2f,"q147_wall":$a147w%.2f},"note":"q145 band-collision candidates ~1 (cross-side bucketed); q147 dot rows ~1 (fixed panel broadcast)"}""")
     }
+    // ---- round-8 probes (verdict #4): q133 / q134 / q139 -----------
+    // (their own "motifs" section since round 9 — advice #3)
+    if (runAll || sections("motifs")) {
+
+    // q133/q134 butterflies: k disjoint graph copies (the q105 null
+    // model — per-replica structure exact, no cross-replica edges).
+    // Claims under test: the customer-side wedge stream (the declared
+    // Θ(Σ min-side d²) bound) and the census wall both grow ~linearly
+    // under replication, for the exact census AND the ESpar-sampled
+    // twin; the sampled wedge stream stays ~p² of the exact one.
+    val g133 = scales.map { k =>
+      val ord = (0 until k).map { r =>
+        orders0.select((col("o_orderkey") + lit(r * 100000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(r * 10000000L)).as("o_custkey"))
+      }.reduce(_ unionByName _)
+      val li = (0 until k).map { r =>
+        li0.select((col("l_orderkey") + lit(r * 100000000L)).as("l_orderkey"),
+          (col("l_suppkey") + lit(r * 10000000L)).as("l_suppkey"))
+      }.reduce(_ unionByName _)
+      val ec = graft.operators.Motifs.edges(ord, li).localCheckpoint(true)
+      def wedgesOf(e: DataFrame): Long = e.groupBy(col("c"))
+        .agg(count(lit(1)).as("d"))
+        .agg(sum(expr("CAST(d AS DECIMAL(38,0)) * (d - 1) div 2"))
+          .cast("long").as("w"))
+        .head.getLong(0)
+      val wEx = wedgesOf(ec)
+      val samp = graft.operators.Motifs.sample(ec).localCheckpoint(true)
+      val wSa = wedgesOf(samp)
+      val (r133, t133) = timed(
+        graft.operators.Motifs.census(ec, est = false).head)
+      val (_, t134) = timed(
+        graft.operators.Motifs.census(samp, est = true).head)
+      println(f"""{"metric":"q133_probe","scale":$k,"n_edges":${r133.getLong(0)},"cust_wedges_exact":$wEx,"cust_wedges_sampled":$wSa,"sec_exact":$t133%.2f,"sec_sampled":$t134%.2f}""")
+      (k, wEx, wSa, t133, t134)
+    }
+
+    // q139 orientation: the planted-hub adversary. One hub vertex is
+    // wired to EVERY customer of the k-replicated trade graph, so the
+    // hub degree grows k× — the node-iterator (unoriented) wedge count
+    // must go quadratic (the hub alone contributes C(k·n_cust, 2))
+    // while the degree-ordered oriented wedge stream the census
+    // actually enumerates stays ~linear: every hub edge points INTO
+    // the hub (it is the highest-priority endpoint), so the hub
+    // contributes ZERO enumerated wedges — "the curse of the last
+    // reducer" defused, measured.
+    val g139 = scales.map { k =>
+      val ord = (0 until k).map { r =>
+        orders0.select((col("o_orderkey") + lit(r * 100000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(r * 10000000L)).as("o_custkey"))
+      }.reduce(_ unionByName _)
+      val li = (0 until k).map { r =>
+        li0.select((col("l_orderkey") + lit(r * 100000000L)).as("l_orderkey"),
+          (col("l_suppkey") + lit(r * 10000000L)).as("l_suppkey"))
+      }.reduce(_ unionByName _)
+      val ec = graft.operators.Motifs.edges(ord, li)
+      // undirected vertex space: customers as-is (> 0), suppliers
+      // shifted clear, hub = vertex 0 wired to every customer
+      val base = ec.select(col("c").as("a"),
+        (col("s") + lit(2000000000L)).as("b"))
+      val hub = ec.select(col("c")).distinct()
+        .select(lit(0L).as("a"), col("c").as("b"))
+      val und = base.unionByName(hub).distinct().localCheckpoint(true)
+      val deg = graft.operators.Motifs.degrees(und).localCheckpoint(true)
+      val wUnor = deg
+        .agg(sum(expr("CAST(d AS DECIMAL(38,0)) * (d - 1) div 2"))
+          .cast("long").as("w"))
+        .head.getLong(0)
+      val dir = graft.operators.Motifs.orient(und, deg).localCheckpoint(true)
+      val wOr = dir.groupBy(col("u")).agg(count(lit(1)).as("od"))
+        .agg(sum(expr("CAST(od AS DECIMAL(38,0)) * (od - 1) div 2"))
+          .cast("long").as("w"))
+        .head.getLong(0)
+      val (r139, t139) = timed(
+        graft.operators.Motifs.triPlan(und, deg, dir).head)
+      println(f"""{"metric":"q139_probe","scale":$k,"n_edges":${r139.getLong(1)},"wedges_unoriented":$wUnor,"wedges_oriented":$wOr,"ratio":${wUnor.toDouble / wOr}%.1f,"n_triangles":${r139.getLong(3)},"sec":$t139%.2f}""")
+      (k, wUnor, wOr, t139)
+    }
+
+    def alphaOf(vs: Seq[(Int, Long)]): Double = {
+      val (ka, va) = vs.head; val (kb, vb) = vs.last
+      if (va == 0 || vb == 0) Double.NaN
+      else math.log(vb.toDouble / va) / math.log(kb.toDouble / ka)
+    }
+    def wallAlpha(vs: Seq[(Int, Double)]): Double = {
+      val (ka, ta) = vs.head; val (kb, tb) = vs.last
+      math.log(tb / ta) / math.log(kb.toDouble / ka)
+    }
+    val a133w = alphaOf(g133.map(r => (r._1, r._2)))
+    val a133s = alphaOf(g133.map(r => (r._1, r._3)))
+    val a133t = wallAlpha(g133.map(r => (r._1, r._4)))
+    val a134t = wallAlpha(g133.map(r => (r._1, r._5)))
+    val a139u = alphaOf(g139.map(r => (r._1, r._2)))
+    val a139o = alphaOf(g139.map(r => (r._1, r._3)))
+    val a139t = wallAlpha(g139.map(r => (r._1, r._4)))
+    println(f"""{"metric":"r8_probe_exponents","alpha":{"q133_wedges":$a133w%.2f,"q134_wedges":$a133s%.2f,"q133_wall":$a133t%.2f,"q134_wall":$a134t%.2f,"q139_unoriented_wedges":$a139u%.2f,"q139_oriented_wedges":$a139o%.2f,"q139_wall":$a139t%.2f},"note":"q133/q134 wedges+wall ~1 under disjoint replication (sampled ~p^2 of exact); planted-hub q139: unoriented ~2 (hub C(kn,2)) vs oriented ~1 - the degree-ordered orientation defuses the hub"}""")
+    }
+
+    // ---- round-9 probes (round-8 verdict #5): q149 / q143 / q144 ---
+    if (runAll || sections("r9")) {
+      def aOf(vs: Seq[(Int, Long)]): Double = {
+        val (ka, va) = vs.head; val (kb, vb) = vs.last
+        if (va == 0 || vb == 0) Double.NaN
+        else math.log(vb.toDouble / va) / math.log(kb.toDouble / ka)
+      }
+      def wOf(vs: Seq[(Int, Double)]): Double = {
+        val (ka, ta) = vs.head; val (kb, tb) = vs.last
+        math.log(tb / ta) / math.log(kb.toDouble / ka)
+      }
+
+      // q149 dedup-upweight: bijective char-renaming replication (the
+      // q69 null model — per-replica near-dup structure exact, no
+      // cross-replica pairs). Claims: upweight rows grow ~k, and the
+      // census invariant Σ multiplicity = n_docs holds at EVERY scale
+      // (asserted, not just spec-pinned at sf0.001).
+      val g149 = scales.map { k =>
+        val docs = permutedDocs(docs0, k)
+          .repartition(spark.sparkContext.defaultParallelism).cache()
+        val nD = docs.count()
+        val (rows149, t149) = timed {
+          val up = graft.operators.Dedup.dedupUpweight(docs)
+            .localCheckpoint(true)
+          val n = up.count()
+          val tot = up.agg(sum(col("multiplicity")).as("s")).head.getLong(0)
+          assert(tot == nD, s"q149 census broke under replication: " +
+            s"sum(multiplicity)=$tot n_docs=$nD")
+          n
+        }
+        docs.unpersist()
+        println(f"""{"metric":"q149_probe","scale":$k,"n_docs":$nD,"upweight_rows":$rows149,"census_ok":true,"sec":$t149%.2f}""")
+        (k, rows149, t149)
+      }
+
+      // q143 v3 pipeline: per-stage survivor counts under replication
+      // (saltedDocs token renaming × rotatedEmbeddings signed
+      // permutation — doc_id and vec_id shift in lockstep). Claims:
+      // each stage's survivor FRACTION is ~scale-invariant (head-keep
+      // stays a tercile of its eligible set), and the restricted
+      // SemDeDup ladder's cell occupancy stays ~constant because
+      // adaptiveCells grows with the restricted count.
+      val g143 = scales.map { k =>
+        val docs = saltedDocs(docs0, k)
+          .repartition(spark.sparkContext.defaultParallelism).cache()
+        val emb = rotatedEmbeddings(emb0, k).cache()
+        val nD = docs.count(); emb.count()
+        val ((nOut, stageCounts, occ), t143) = timed {
+          val (o, st) = graft.operators.CorpusPipeline.buildPipeline(
+            spark, sfDir, graft.operators.CorpusPipeline.specJsonV3,
+            docsOverride = Some(docs), embOverride = Some(emb))
+          val out = o.localCheckpoint(true)
+          // registry cache order = DAG execution order:
+          // scrub, clean, head_keep, semdedup_keep
+          val counts = st.map(_.count())
+          val headIds = st(2).select(col("doc_id"))
+          val nRestricted = emb.join(headIds, col("vec_id") === col("doc_id"))
+            .count()
+          val cells = graft.operators.Similarity.adaptiveCells(nRestricted)
+          st.foreach(_.unpersist(false))
+          (out.count(), counts, nRestricted.toDouble / cells)
+        }
+        docs.unpersist(); emb.unpersist()
+        val headFrac = stageCounts(2).toDouble / stageCounts(1)
+        println(f"""{"metric":"q143_probe","scale":$k,"n_docs":$nD,"stage_counts":[${stageCounts.mkString(",")}],"head_keep_frac":$headFrac%.3f,"semdedup_cell_occupancy":$occ%.1f,"out_rows":$nOut,"sec":$t143%.2f}""")
+        (k, nOut, t143)
+      }
+
+      // q144 perceptron: wall vs corpus size (saltedDocs preserves the
+      // source labels). Claims: total wall ~linear (one feature build
+      // + K linear epochs), and the MARGINAL epoch cost — measured as
+      // (t_8ep − t_2ep)/6 — is also ~linear in the corpus, i.e. flat
+      // PER EPOCH: no epoch accumulates state or plan depth.
+      val g144 = scales.map { k =>
+        val docs = saltedDocs(docs0, k)
+          .repartition(spark.sparkContext.defaultParallelism).cache()
+        val nD = docs.count()
+        val (n2, t2) = timed(
+          graft.operators.Perceptron.trainScore(docs, epochs = 2).count())
+        val (n8, t8) = timed(
+          graft.operators.Perceptron.trainScore(docs, epochs = 8).count())
+        docs.unpersist()
+        val perEpoch = (t8 - t2) / 6.0
+        println(f"""{"metric":"q144_probe","scale":$k,"n_docs":$nD,"scored_rows":$n8,"sec_2ep":$t2%.2f,"sec_8ep":$t8%.2f,"sec_per_epoch":$perEpoch%.2f}""")
+        assert(n2 == n8, s"q144 scored-row count depends on epochs: $n2 vs $n8")
+        (k, n8, t8, perEpoch)
+      }
+
+      val a149 = aOf(g149.map(r => (r._1, r._2)))
+      val a149w = wOf(g149.map(r => (r._1, r._3)))
+      val a143w = wOf(g143.map(r => (r._1, r._3)))
+      val a144w = wOf(g144.map(r => (r._1, r._3)))
+      val a144e = wOf(g144.map(r => (r._1, r._4)))
+      println(f"""{"metric":"r9_probe_exponents","alpha":{"q149_rows":$a149%.2f,"q149_wall":$a149w%.2f,"q143_wall":$a143w%.2f,"q144_wall":$a144w%.2f,"q144_per_epoch":$a144e%.2f},"note":"q149 rows ~1 (per-replica clusters exact, census invariant asserted); q143 stage fractions scale-invariant, ladder occupancy ~constant; q144 wall and marginal epoch cost ~linear"}""")
+    }
+
     if (!runAll) { spark.stop(); return }
 
     val results = scales.map { k =>
@@ -380,10 +583,6 @@ object ScaleProbe {
     // claim under test: edge count AND the 5-iteration wall both grow
     // ~linearly because every round is O(E) keyed work over the
     // once-partitioned edge list.
-    val orders0 = Tables.load(spark, sfDir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li0 = Tables.load(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
     val g105 = scales.map { k =>
       val ord = (0 until k).map { r =>
         orders0.select((col("o_orderkey") + lit(r * 100000000L)).as("o_orderkey"),
@@ -409,82 +608,6 @@ object ScaleProbe {
       println(f"""{"metric":"q105_probe","scale":$k,"n_edges":$nEdges,"n_nodes":$nNodes,"sec":$t105%.2f}""")
       println(f"""{"metric":"q127_probe","scale":$k,"n_edges":$nEdges,"out_rows":$nHits,"sec":$t127%.2f}""")
       (k, nEdges, t105, t127)
-    }
-
-    // ---- round-8 probes (verdict #4): q133 / q134 / q139 -----------
-
-    // q133/q134 butterflies: k disjoint graph copies (the q105 null
-    // model — per-replica structure exact, no cross-replica edges).
-    // Claims under test: the customer-side wedge stream (the declared
-    // Θ(Σ min-side d²) bound) and the census wall both grow ~linearly
-    // under replication, for the exact census AND the ESpar-sampled
-    // twin; the sampled wedge stream stays ~p² of the exact one.
-    val g133 = scales.map { k =>
-      val ord = (0 until k).map { r =>
-        orders0.select((col("o_orderkey") + lit(r * 100000000L)).as("o_orderkey"),
-          (col("o_custkey") + lit(r * 10000000L)).as("o_custkey"))
-      }.reduce(_ unionByName _)
-      val li = (0 until k).map { r =>
-        li0.select((col("l_orderkey") + lit(r * 100000000L)).as("l_orderkey"),
-          (col("l_suppkey") + lit(r * 10000000L)).as("l_suppkey"))
-      }.reduce(_ unionByName _)
-      val ec = graft.operators.Motifs.edges(ord, li).localCheckpoint(true)
-      def wedgesOf(e: DataFrame): Long = e.groupBy(col("c"))
-        .agg(count(lit(1)).as("d"))
-        .agg(sum(expr("CAST(d AS DECIMAL(38,0)) * (d - 1) div 2"))
-          .cast("long").as("w"))
-        .head.getLong(0)
-      val wEx = wedgesOf(ec)
-      val samp = graft.operators.Motifs.sample(ec).localCheckpoint(true)
-      val wSa = wedgesOf(samp)
-      val (r133, t133) = timed(
-        graft.operators.Motifs.census(ec, est = false).head)
-      val (_, t134) = timed(
-        graft.operators.Motifs.census(samp, est = true).head)
-      println(f"""{"metric":"q133_probe","scale":$k,"n_edges":${r133.getLong(0)},"cust_wedges_exact":$wEx,"cust_wedges_sampled":$wSa,"sec_exact":$t133%.2f,"sec_sampled":$t134%.2f}""")
-      (k, wEx, wSa, t133, t134)
-    }
-
-    // q139 orientation: the planted-hub adversary. One hub vertex is
-    // wired to EVERY customer of the k-replicated trade graph, so the
-    // hub degree grows k× — the node-iterator (unoriented) wedge count
-    // must go quadratic (the hub alone contributes C(k·n_cust, 2))
-    // while the degree-ordered oriented wedge stream the census
-    // actually enumerates stays ~linear: every hub edge points INTO
-    // the hub (it is the highest-priority endpoint), so the hub
-    // contributes ZERO enumerated wedges — "the curse of the last
-    // reducer" defused, measured.
-    val g139 = scales.map { k =>
-      val ord = (0 until k).map { r =>
-        orders0.select((col("o_orderkey") + lit(r * 100000000L)).as("o_orderkey"),
-          (col("o_custkey") + lit(r * 10000000L)).as("o_custkey"))
-      }.reduce(_ unionByName _)
-      val li = (0 until k).map { r =>
-        li0.select((col("l_orderkey") + lit(r * 100000000L)).as("l_orderkey"),
-          (col("l_suppkey") + lit(r * 10000000L)).as("l_suppkey"))
-      }.reduce(_ unionByName _)
-      val ec = graft.operators.Motifs.edges(ord, li)
-      // undirected vertex space: customers as-is (> 0), suppliers
-      // shifted clear, hub = vertex 0 wired to every customer
-      val base = ec.select(col("c").as("a"),
-        (col("s") + lit(2000000000L)).as("b"))
-      val hub = ec.select(col("c")).distinct()
-        .select(lit(0L).as("a"), col("c").as("b"))
-      val und = base.unionByName(hub).distinct().localCheckpoint(true)
-      val deg = graft.operators.Motifs.degrees(und).localCheckpoint(true)
-      val wUnor = deg
-        .agg(sum(expr("CAST(d AS DECIMAL(38,0)) * (d - 1) div 2"))
-          .cast("long").as("w"))
-        .head.getLong(0)
-      val dir = graft.operators.Motifs.orient(und, deg).localCheckpoint(true)
-      val wOr = dir.groupBy(col("u")).agg(count(lit(1)).as("od"))
-        .agg(sum(expr("CAST(od AS DECIMAL(38,0)) * (od - 1) div 2"))
-          .cast("long").as("w"))
-        .head.getLong(0)
-      val (r139, t139) = timed(
-        graft.operators.Motifs.triPlan(und, deg, dir).head)
-      println(f"""{"metric":"q139_probe","scale":$k,"n_edges":${r139.getLong(1)},"wedges_unoriented":$wUnor,"wedges_oriented":$wOr,"ratio":${wUnor.toDouble / wOr}%.1f,"n_triangles":${r139.getLong(3)},"sec":$t139%.2f}""")
-      (k, wUnor, wOr, t139)
     }
 
     // q112 stupid backoff: EXACT replication (no renaming — the one
@@ -658,18 +781,6 @@ object ScaleProbe {
     val a114v = alphaOf(g114.map(r => (r._1, r._3)))
     val a116o = alphaOf(g116)
     val a122c = alphaOf(g122)
-    def wallAlpha(vs: Seq[(Int, Double)]): Double = {
-      val (ka, ta) = vs.head; val (kb, tb) = vs.last
-      math.log(tb / ta) / math.log(kb.toDouble / ka)
-    }
-    val a133w = alphaOf(g133.map(r => (r._1, r._2)))
-    val a133s = alphaOf(g133.map(r => (r._1, r._3)))
-    val a133t = wallAlpha(g133.map(r => (r._1, r._4)))
-    val a134t = wallAlpha(g133.map(r => (r._1, r._5)))
-    val a139u = alphaOf(g139.map(r => (r._1, r._2)))
-    val a139o = alphaOf(g139.map(r => (r._1, r._3)))
-    val a139t = wallAlpha(g139.map(r => (r._1, r._4)))
-    println(f"""{"metric":"r8_probe_exponents","alpha":{"q133_wedges":$a133w%.2f,"q134_wedges":$a133s%.2f,"q133_wall":$a133t%.2f,"q134_wall":$a134t%.2f,"q139_unoriented_wedges":$a139u%.2f,"q139_oriented_wedges":$a139o%.2f,"q139_wall":$a139t%.2f},"note":"q133/q134 wedges+wall ~1 under disjoint replication (sampled ~p^2 of exact); planted-hub q139: unoriented ~2 (hub C(kn,2)) vs oriented ~1 - the degree-ordered orientation defuses the hub"}""")
     println(s"""{"metric":"candidate_growth_exponent","alpha":{${alphas.mkString(",")}},"note":"alpha~1 linear (bucketed), alpha~2 quadratic (all-pairs)"}""")
     println(f"""{"metric":"r7_probe_exponents","alpha":{"q105_edges":$a105e%.2f,"q105_wall":$a105t%.2f,"q127_wall":$a127t%.2f,"q112_occ":$a112o%.2f,"q112_distinct":$a112d%.2f,"q100_match":$a100m%.2f,"q114_occ":$a114o%.2f,"q114_vocab":$a114v%.2f,"q116_out":$a116o%.2f,"q122_cand":$a122c%.2f},"note":"q105/q127 wall and edges ~1 linear; q112 distinct << occ and q114 vocab << occ (vocabulary-scale); q100 match ~1 (posting-list-linear); q116 out ~1 joinless; q122 cand ~1 (DfCap-bounded fan-out)"}""")
     spark.stop()

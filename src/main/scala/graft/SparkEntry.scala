@@ -47,6 +47,7 @@ object SparkEntry {
       (Motifs.queries, Motifs.oracles),
       (Perceptron.queries, Perceptron.oracles),
       (HashedVectors.queries, HashedVectors.oracles),
+      (UnigramLM.queries, UnigramLM.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -167,6 +167,68 @@ object CorpusPipeline {
       |  }
       |}""".stripMargin
 
+  /** q153 — the FOURTH-generation chain (round 9): the q143 spine
+    * with the TRAINED discriminative quality filter spliced in after
+    * SemDeDup —
+    *
+    *   scrub → clean → head-keep → SemDeDup → **classifier keep**
+    *   (q144's pocket perceptron, trained on the raw labeled corpus,
+    *   scoring the pipeline's survivors; keep = top half by score at
+    *   bin granularity) → temperature mix → shard pack → chunk
+    *
+    * Modern curation (RefinedWeb / the GPT-3 quality filter) gates on
+    * a TRAINED classifier score, not only on heuristics — and the
+    * engine trains its own. The `train_quality` node is a DAG node
+    * whose OUTPUT IS A MODEL (the pocket weight table), and
+    * `classifier_keep` is the pipeline's second two-input transform,
+    * binding the document stream to that trained state — the compiler
+    * provably carries trained state between stages. */
+  private[graft] val specJsonV4 =
+    """{
+      |  "Main": {
+      |    "load_documents": {
+      |      "needed-data": ["documents"],
+      |      "op": {"kind": "table", "table": "documents"}
+      |    },
+      |    "load_embeddings": {
+      |      "needed-data": ["embeddings"],
+      |      "op": {"kind": "table", "table": "embeddings"}
+      |    },
+      |    "scrub": {"dependencies": {"load_documents": "df"}},
+      |    "clean": {"dependencies": {"scrub": "df"}},
+      |    "head_keep": {"dependencies": {"clean": "df"}},
+      |    "semdedup_keep": {
+      |      "dependencies": {"head_keep": "df", "load_embeddings": "emb"}
+      |    },
+      |    "train_quality": {"dependencies": {"load_documents": "df"}},
+      |    "classifier_keep": {
+      |      "dependencies": {"semdedup_keep": "df", "train_quality": "weights"}
+      |    },
+      |    "temperature_mix": {"dependencies": {"classifier_keep": "df"}},
+      |    "shard_pack": {"dependencies": {"temperature_mix": "df"}},
+      |    "chunk_prep": {
+      |      "dependencies": {"shard_pack": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "text",
+      |        "CAST(length(text) AS BIGINT) AS len"]}
+      |    },
+      |    "chunk_ids": {
+      |      "dependencies": {"chunk_prep": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "text",
+      |        "explode(sequence(CAST(0 AS BIGINT), (1 + (greatest(len - 200, 0) + 149) div 150) - 1)) AS chunk_id"]}
+      |    },
+      |    "chunk_out": {
+      |      "dependencies": {"chunk_ids": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "chunk_id",
+      |        "substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text",
+      |        "CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len"]},
+      |      "is-output": true
+      |    }
+      |  }
+      |}""".stripMargin
+
   private def in(args: Map[String, Any]): DataFrame =
     args("df").asInstanceOf[DataFrame]
 
@@ -198,6 +260,14 @@ object CorpusPipeline {
       "head_keep" -> Transform(a => cached(Curation.headKeep(in(a)))),
       "semdedup_keep" -> Transform(a => cached(Similarity.semDedupKeepDocs(
         in(a), a("emb").asInstanceOf[DataFrame], threshold = 0.4))),
+      // q153 stages: train_quality's output IS the model — a ≤(B+1)-
+      // row weight table passed between DAG nodes like any frame
+      // (training runs its K bounded epochs at pipeline-build time,
+      // the dedup hot-gram precedent); classifier_keep's output is
+      // read twice by temperatureKeep → persisted
+      "train_quality" -> Transform(a => Perceptron.trainPocket(in(a))),
+      "classifier_keep" -> Transform(a => cached(Perceptron.classifierKeep(
+        in(a), a("weights").asInstanceOf[DataFrame]))),
       "temperature_mix" -> Transform(a => Mixing.temperatureKeep(in(a))),
       "shard_pack" -> Transform(a => Mixing.shardPack(in(a))))
   }
@@ -208,14 +278,18 @@ object CorpusPipeline {
     * below checkpoints, which collapses the visible plan to the
     * materialized RDD scan). */
   private[graft] def buildPipeline(s: SparkSession, dir: String,
-      spec: String = specJson): (DataFrame, Seq[DataFrame]) = {
+      spec: String = specJson,
+      docsOverride: Option[DataFrame] = None,
+      embOverride: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     val blocks = PipelineSpec.fromJson(spec)
     val out = DagCompiler.runPipeline(
       blocks("Main"), registry(persisted),
       data = Map(
-        "documents" -> Tables.load(s, dir, "documents"),
-        "embeddings" -> Tables.load(s, dir, "embeddings")),
+        // overrides: the scale probe feeds replicated frames through
+        // the identical compiled DAG (gate queries never pass them)
+        "documents" -> docsOverride.getOrElse(Tables.load(s, dir, "documents")),
+        "embeddings" -> embOverride.getOrElse(Tables.load(s, dir, "embeddings"))),
       params = Map.empty, spark = Some(s)).asInstanceOf[DataFrame]
     (out, persisted.toSeq)
   }
@@ -244,6 +318,9 @@ object CorpusPipeline {
     },
     "q143_corpus_prep_v3" -> { (s, dir) =>
       materialized(s, dir, specJsonV3)
+    },
+    "q153_corpus_prep_v4" -> { (s, dir) =>
+      materialized(s, dir, specJsonV4)
     },
   )
 
@@ -311,6 +388,49 @@ object CorpusPipeline {
          |))),
          |mixed AS (
          |${Mixing.temperatureSql("semkept", "d.doc_id, d.lang, d.text")}),
+         |packed AS (
+         |${Mixing.shardPackSql("mixed", "doc_id, lang, text, shard")}),
+         |${TextAnalysis.chunkSql("packed", "doc_id, lang, shard, bin")
+              .stripPrefix("WITH ")}""".stripMargin,
+
+    // v4: the v3 chain + the trained classifier gate. The pocket
+    // weights train on the RAW documents table (Perceptron.trainCtes,
+    // identically to q144 — the engine's train_quality node binds
+    // load_documents), and the cf_ scoring chain runs over `semkept`,
+    // the pipeline's state at that stage, exactly as the engine's
+    // classifier_keep scores the SemDeDup survivors. semkept is now
+    // MATERIALIZED (read by the scoring featurization AND the keep
+    // join); the binned threshold replays the engine's shifted
+    // nonnegative integer div.
+    "q153_corpus_prep_v4" ->
+      s"""WITH ${Perceptron.trainCtes},
+         |scrubbed AS MATERIALIZED (
+         |${RepeatedSpans.scrubSql("documents")}),
+         |cleaned AS MATERIALIZED (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM scrubbed d JOIN (
+         |${TextAnalysis.cleanKeepIdsSql("scrubbed")}
+         |) k USING (doc_id)),
+         |headkept AS MATERIALIZED (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM cleaned d JOIN (
+         |${Curation.headKeepIdsSql("cleaned")}
+         |) k USING (doc_id)),
+         |embsub AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding
+         |  FROM embeddings e JOIN headkept h ON e.vec_id = h.doc_id),
+         |semkept AS MATERIALIZED (
+         |  SELECT doc_id, lang, text FROM headkept
+         |  WHERE doc_id NOT IN (SELECT vec_id FROM (
+         |${Similarity.semDedupRemovedSql("embsub", "0.4")}
+         |))),
+         |clskept AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM semkept d JOIN (
+         |${Perceptron.classifierKeepIdsSql("semkept")}
+         |) k USING (doc_id)),
+         |mixed AS (
+         |${Mixing.temperatureSql("clskept", "d.doc_id, d.lang, d.text")}),
          |packed AS (
          |${Mixing.shardPackSql("mixed", "doc_id, lang, text, shard")}),
          |${TextAnalysis.chunkSql("packed", "doc_id, lang, shard, bin")

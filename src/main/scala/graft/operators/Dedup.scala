@@ -295,7 +295,50 @@ object Dedup {
     "q145_incremental_dedup" -> { (s, dir) =>
       incrementalDedup(Tables.load(s, dir, "documents"))
     },
+
+    // -- LSH index maintenance (round 9): the standing corpus index
+    //    is MAINTAINED, not just probed — day 1's increment is
+    //    flagged against it, day 1's survivors are MERGED in (union
+    //    of band buckets + gram arrays, persist swap — no rebuild,
+    //    no corpus-wide reshuffle), and day 2's increment is flagged
+    //    against the MERGED index, so a day-2 doc duplicating a
+    //    day-1 survivor is caught. The ingest loop a production
+    //    dedup service actually runs. --
+    "q154_index_maintenance" -> { (s, dir) =>
+      indexMaintenance(Tables.load(s, dir, "documents"))
+    },
   )
+
+  /** q154 over any documents-shaped frame (needs `doc_id`, `text`):
+    * three-way md5 split (standing corpus ≈ 62% / day-1 ≈ 21% /
+    * day-2 ≈ 17%), day-1 flags over the built index, survivor merge
+    * (graft.streaming.DocStreams.mergeIndex — per-doc deterministic
+    * band keys and gram arrays make merged ≡ rebuilt, spec-proven),
+    * day-2 flags over the MERGED index. Output = both reports,
+    * day-tagged. Scale shape: everything rides the q145 machinery
+    * (band+bucket equi-joins, index sides hinted off broadcast); the
+    * merge itself is an append-only union — the standing side keeps
+    * its cached partitioning, only the survivor side is new map
+    * work; both reports are localCheckpoint'd inside the query so
+    * the index caches release before the caller's action. */
+  private[graft] def indexMaintenance(d: DataFrame): DataFrame = {
+    import graft.streaming.DocStreams
+    val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+    val corpus = d.filter(h < "aaaaaaaa")
+    val day1 = widen(d.filter(h >= "aaaaaaaa" && h < "dddddddd"))
+    val day2 = widen(d.filter(h >= "dddddddd"))
+    val idx = DocStreams.buildIndex(widen(corpus))
+    val f1 = DocStreams.flagBatch(day1, idx).localCheckpoint(true)
+    val survivors = day1.join(
+      f1.filter(col("is_dup") === 0L).select(col("doc_id"))
+        .hint("shuffle_merge"),
+      Seq("doc_id"), "left_semi")
+    val merged = DocStreams.mergeIndex(idx, survivors) // swaps out idx
+    val f2 = DocStreams.flagBatch(day2, merged).localCheckpoint(true)
+    merged.unpersist()
+    f1.select(lit(1L).as("day"), col("*"))
+      .unionByName(f2.select(lit(2L).as("day"), col("*")))
+  }
 
   /** q149 over any documents-shaped frame: (doc_id, multiplicity)
     * with one row per CANONICAL doc — the q69 cluster minimum — and
@@ -307,8 +350,10 @@ object Dedup {
     * checkpointed by the CC loop already. Invariant (spec-pinned):
     * Σ multiplicity = |corpus|. */
   private[graft] def dedupUpweight(d: DataFrame): DataFrame = {
+    // widen, like dedupKeep: a narrow-file input would otherwise
+    // serialize the gram/pair stage (round-8 advice #4)
     val labels = graft.dedup.ConnectedComponents
-      .clusterLabels(jaccardPairs(d)).localCheckpoint(true)
+      .clusterLabels(jaccardPairs(widen(d))).localCheckpoint(true)
     val csize = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
     val reps = labels.filter(col("doc_id") === col("cluster_id"))
       .join(csize.hint("shuffle_merge"), "cluster_id")
@@ -497,23 +542,34 @@ object Dedup {
        |k4 AS (SELECT doc_id, b AS band, ${mixSql("xor(h, v4)")} AS bucket FROM k3)""".stripMargin
   }
 
-  /** CTE chain from `tok` + `cand` to `inter` — the exact 3-gram
-    * Jaccard verify on candidate pairs (the q44 gram machinery).
-    * Shared by oracle45 and oracle145. */
-  private def jaccardVerifyCtes: String =
+  /** CTE chain from `tok` to the per-doc gram set + sizes —
+    * MATERIALIZED (q154 references them four times; DuckDB's default
+    * inlining would re-derive the gram explode per reference). */
+  private def gramSzCtes: String =
     s"""g0 AS (
        |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
        |  FROM tok),
-       |grams AS (
+       |grams AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
        |  FROM g0),
-       |sz AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
-       |inter AS (
+       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id)""".stripMargin
+
+  /** The candidate-pair gram-intersection count, parameterized so
+    * q154 can verify two candidate sets over one gram table. */
+  private def interCte(cand: String, inter: String): String =
+    s"""$inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS i
-       |  FROM cand c
+       |  FROM $cand c
        |  JOIN grams ga ON ga.doc_id = c.doc_a
        |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** CTE chain from `tok` + `cand` to `inter` — the exact 3-gram
+    * Jaccard verify on candidate pairs (the q44 gram machinery).
+    * Shared by oracle45, oracle145 and oracle154. */
+  private def jaccardVerifyCtes: String =
+    s"""$gramSzCtes,
+       |${interCte("cand", "inter")}""".stripMargin
 
   /** q45: the full MinHash+LSH pipeline — band keys, bucket
     * equi-join, exact-Jaccard verify on candidates only. */
@@ -573,6 +629,76 @@ object Dedup {
        |LEFT JOIN bid ON s.doc_id = bid.doc_a
        |WHERE s.inc = 1""".stripMargin
 
+  /** q154: the q145 chain three-way — band keys once for the whole
+    * corpus (per-doc deterministic, so index-merge ≡ rebuild holds by
+    * construction and the oracle can key everything off one `kk`),
+    * day-1 candidates vs part 0, survivors = day-1 docs with no
+    * verified match, day-2 candidates vs part 0 ∪ survivors, each
+    * day's report in the q145 shape, day-tagged. kk/ver/surv are
+    * MATERIALIZED (each feeds 2–4 downstream legs). */
+  private def oracle154: String = {
+    def verCte(inter: String, ver: String): String =
+      s"""$ver AS MATERIALIZED (
+         |  SELECT doc_a, doc_b,
+         |    CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) AS j
+         |  FROM $inter
+         |  JOIN sz sa ON doc_a = sa.doc_id
+         |  JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000)""".stripMargin
+    def reportSql(ver: String, sfx: String, part: Int, day: Int): String =
+      s"""agg$sfx AS (SELECT doc_a, count(*) AS n, max(j) AS bj FROM $ver GROUP BY doc_a),
+         |bid$sfx AS (
+         |  SELECT v.doc_a, min(v.doc_b) AS bi
+         |  FROM $ver v JOIN agg$sfx a ON v.doc_a = a.doc_a AND v.j = a.bj
+         |  GROUP BY v.doc_a),
+         |rep$sfx AS (
+         |  SELECT CAST($day AS BIGINT) AS day, s.doc_id,
+         |    CAST(coalesce(n, 0) AS BIGINT) AS n_dup_matches,
+         |    CAST(coalesce(bi, -1) AS BIGINT) AS best_match_id,
+         |    CAST(coalesce(bj, -1) AS BIGINT) AS best_jaccard_ppm,
+         |    CAST(CASE WHEN n IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+         |  FROM split s
+         |  LEFT JOIN agg$sfx ON s.doc_id = agg$sfx.doc_a
+         |  LEFT JOIN bid$sfx ON s.doc_id = bid$sfx.doc_a
+         |  WHERE s.part = $part)""".stripMargin
+    s"""WITH split AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'aaaaaaaa'
+       |           THEN 0
+       |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'dddddddd'
+       |           THEN 1
+       |         ELSE 2 END AS part
+       |  FROM documents),
+       |${tokenHashCtes("split")},
+       |$lshBandKeyCtes,
+       |kk AS MATERIALIZED (
+       |  SELECT k.doc_id, k.band, k.bucket, s.part
+       |  FROM k4 k JOIN split s USING (doc_id)),
+       |$gramSzCtes,
+       |cand1 AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kk a JOIN kk b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.part = 1 AND b.part = 0),
+       |${interCte("cand1", "inter1")},
+       |${verCte("inter1", "ver1")},
+       |surv AS MATERIALIZED (
+       |  SELECT doc_id FROM split WHERE part = 1
+       |    AND doc_id NOT IN (SELECT doc_a FROM ver1)),
+       |cand2 AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kk a JOIN kk b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.part = 2
+       |    AND (b.part = 0 OR (b.part = 1
+       |         AND b.doc_id IN (SELECT doc_id FROM surv)))),
+       |${interCte("cand2", "inter2")},
+       |${verCte("inter2", "ver2")},
+       |${reportSql("ver1", "1", 1, 1)},
+       |${reportSql("ver2", "2", 2, 2)}
+       |SELECT * FROM rep1 UNION ALL SELECT * FROM rep2""".stripMargin
+  }
+
   /** Parameterized oracle for the J ≥ 0.5 drop set (`doc_b` members of
     * near-dup pairs) over relation `src` — q53's oracle and the q93
     * composed oracle both come from here, so the engine's
@@ -601,6 +727,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q45_minhash_lsh" -> oracle45,
     "q145_incremental_dedup" -> oracle145,
+    "q154_index_maintenance" -> oracle154,
     "q46_simhash_pairs" -> oracle46,
     "q79_simhash_wide" -> oracle79,
     "q44_ngram_jaccard" ->

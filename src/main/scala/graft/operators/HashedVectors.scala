@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{SplitMix64, Text}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,8 +112,26 @@ object HashedVectors {
     * every value is an integer < 2²⁴ — exactly representable in
     * FLOAT, so the ladder's cosine math sees bit-identical inputs on
     * both engines. */
+  /** FLOAT-exactness bound for [[denseVectors]]: integers with
+    * |v| < 2²⁴ are exactly representable in FLOAT. */
+  private[graft] val FloatExactBound = 1L << 24
+
+  /** Runtime guard for the FLOAT cast: v = Σ sign·tf·idf is
+    * corpus-dependent (a doc repeating one rare token enough times at
+    * a high idf could exceed 2²⁴), so the bound is ASSERTED per sparse
+    * row rather than assumed — a violation fails the query loudly
+    * instead of silently diverging from the DOUBLE-typed oracle
+    * (round-8 advice #1). One branch per sparse row, map-side. */
+  private[graft] def floatExactGuard(v: Column): Column =
+    when(abs(v) < FloatExactBound, v).otherwise(
+      expr(s"raise_error('denseVectors: |v| >= 2^24 breaks the " +
+        s"FLOAT-exact contract; cast to DOUBLE on both sides')")
+        .cast("long"))
+
   private[graft] def denseVectors(d: DataFrame): DataFrame =
-    hashedVectors(d).groupBy(col("doc_id"))
+    hashedVectors(d)
+      .select(col("doc_id"), col("dim"), floatExactGuard(col("v")).as("v"))
+      .groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("dim"), col("v"))))
         .as("m"))
       .select(col("doc_id").as("vec_id"), lit(0).as("label"),

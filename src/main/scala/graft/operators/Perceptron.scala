@@ -75,7 +75,7 @@ object Perceptron {
 
   /** Feature space: 2^16 hash buckets + the bias bucket (presence at
     * q101's 1024 saturates — see object scaladoc). */
-  private[operators] val Buckets = 65536
+  private[graft] val Buckets = 65536
 
   /** (doc_id, y, b) hashed-bigram presence features + the bias row —
     * every doc carries the bias feature, so every doc is scored even
@@ -92,12 +92,26 @@ object Perceptron {
     grams.unionByName(bias)
   }
 
-  /** Train K epochs, pick the pocket snapshot, score every doc.
-    * Returns (doc_id, y, score, pred); `materialize = false` leaves
-    * the scorer plan visible for PlanShapeSpec. Exposed for the
-    * spec's planted separable-corpus proof. */
-  private[graft] def trainScore(d: DataFrame, epochs: Int = Epochs,
-      materialize: Boolean = true): DataFrame = {
+  /** Unlabeled feature buckets (doc_id, b) + the bias row over ANY
+    * documents-shaped frame (needs `doc_id`, `text`) — the SCORING
+    * side of the classifier (q153 scores pipeline survivors that
+    * carry no `source` column). Same hash, same bias bucket. */
+  private def featureBits(d: DataFrame): DataFrame = {
+    val grams = d.select(col("doc_id"),
+      explode(NGrams.wordNGramsAll(Text.tokens(col("text")), 2)).as("g"))
+      .select(col("doc_id"),
+        (shiftrightunsigned(SplitMix64.strHash(col("g")), 11)
+          % Buckets).as("b"))
+      .distinct()
+    val bias = d.select(col("doc_id"), lit(Buckets.toLong).as("b"))
+    grams.unionByName(bias)
+  }
+
+  /** Train K epochs over the labeled frame; returns the PERSISTED
+    * feature table (caller must unpersist) and the pocket weight
+    * snapshot. The shared core of [[trainScore]] and
+    * [[trainPocket]]. */
+  private def trainOn(d: DataFrame, epochs: Int): (DataFrame, DataFrame) = {
     // repartition BEFORE the distinct: the (doc_id, y, b) dedup,
     // every epoch's per-doc score groupBy and the mistake semi-join
     // all reuse this one doc_id exchange
@@ -144,11 +158,95 @@ object Perceptron {
     mcounts += mistakesOf(w).count() // the last snapshot's own measure
     // pocket: fewest corpus mistakes, ties to the EARLIEST epoch
     val pocket = snaps(mcounts.zipWithIndex.minBy { case (m, i) => (m, i) }._2)
-    val out = scoresWith(pocket)
+    (feats, pocket)
+  }
+
+  /** Train K epochs, pick the pocket snapshot, score every doc.
+    * Returns (doc_id, y, score, pred); `materialize = false` leaves
+    * the scorer plan visible for PlanShapeSpec — and INTENTIONALLY
+    * keeps the feature cache alive, because the returned plan reads
+    * it (unpersisting would silently turn the audited broadcast-over-
+    * cache shape into a recompute; round-8 advice #2, documented
+    * option). Exposed for the spec's planted separable-corpus
+    * proof. */
+  private[graft] def trainScore(d: DataFrame, epochs: Int = Epochs,
+      materialize: Boolean = true): DataFrame = {
+    val (feats, pocket) = trainOn(d, epochs)
+    val out = feats.join(broadcast(pocket), "b")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("w")).as("s"))
       .select(col("doc_id"), col("y"), col("s").as("score"),
         when(col("s") > 0, 1L).otherwise(-1L).as("pred"))
     if (!materialize) out
     else { val r = out.localCheckpoint(true); feats.unpersist(false); r }
+  }
+
+  /** Train on the labeled corpus and return only the POCKET WEIGHT
+    * table (b, w) — the trained state the q153 pipeline carries
+    * between DAG nodes. Weight snapshots are localCheckpoint'd by the
+    * train loop, so the feature cache is released before returning
+    * (nothing downstream reads it). */
+  private[graft] def trainPocket(d: DataFrame,
+      epochs: Int = Epochs): DataFrame = {
+    val (feats, pocket) = trainOn(d, epochs)
+    feats.unpersist(false)
+    pocket
+  }
+
+  /** Score ANY documents-shaped frame with a trained weight table:
+    * (doc_id, score), every doc scored (the bias bucket guarantees a
+    * feature row). Scale shape: feature explode is map-side; one
+    * doc_id repartition feeds both the distinct and the score
+    * groupBy; the ≤(B+1)-row weight table only ever broadcasts. */
+  private[graft] def scoreDocs(docs: DataFrame, w: DataFrame): DataFrame =
+    featureBits(docs.repartition(col("doc_id")))
+      .join(broadcast(w), "b")
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
+
+  /** q153's classifier-keep: score `docs` with the pocket weights
+    * trained on `labeled`, keep the TOP HALF by score at SCORE-BIN
+    * granularity — the q123 binned-threshold pattern: the global-
+    * order step runs over a bounded bin table (≤ range/2¹² bins),
+    * never a corpus-sized sort, and every doc in a bin gets the same
+    * verdict, so the rule is deterministic on any engine and
+    * partitioning. Top-fraction rather than sign(score): on a
+    * non-separable corpus the pocket honestly returns the majority
+    * classifier (all scores ≤ 0), and a hard sign threshold would
+    * empty the pipeline — keep-the-best-X%-by-classifier-score is
+    * the GPT-3/fastText-filter materialization. Bin width is
+    * CORPUS-ADAPTIVE: (hi − lo) div 2¹⁴ (floored at 1), derived from
+    * a 1-row min/max dim — the bin table stays ≤ 2¹⁴+1 rows at ANY
+    * corpus scale (a fixed width cannot: score magnitudes grow with
+    * the corpus, and a width that resolves one scale collapses or
+    * explodes at another — measured: 4096-wide bins put the whole
+    * sf0.01 score range, span ~4100, into 2 bins and kept
+    * everything). Scores are shifted by −lo before the integer div
+    * so both engines bin nonnegative values (Spark `div` truncates
+    * toward zero, DuckDB `//` floors — they only agree on
+    * nonnegative operands). */
+  private[graft] val ScoreBins = 16384L
+  private[graft] def classifierKeep(docs: DataFrame, weights: DataFrame,
+      materialize: Boolean = true): DataFrame = {
+    // checkpointed: read by the bin census AND the keep filter
+    val scoredRaw = scoreDocs(docs, weights)
+    val scored =
+      if (materialize) scoredRaw.localCheckpoint(true) else scoredRaw
+    val ext = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val binned = scored.crossJoin(broadcast(ext))
+      .select(col("doc_id"),
+        expr(s"(score - lo) div greatest((hi - lo) div ${ScoreBins}L, 1L)")
+          .as("sb"))
+    val bins = binned.groupBy(col("sb")).agg(count(lit(1)).as("nb"))
+    // bounded-table global order (the q123 shape): cum from the TOP
+    // bin down; threshold = highest bin where the cum reaches half
+    val thr = bins
+      .withColumn("cum", expr("sum(nb) OVER (ORDER BY sb DESC)"))
+      .withColumn("tot", expr("sum(nb) OVER ()"))
+      .agg(expr("max(CASE WHEN cum >= (tot + 1) div 2 THEN sb END)").as("t"))
+    // the keep set is ~half the corpus — scale-growing, never broadcast
+    val keepIds = binned.crossJoin(broadcast(thr))
+      .filter(col("sb") >= col("t")).select(col("doc_id"))
+    docs.join(keepIds.hint("shuffle_merge"), Seq("doc_id"), "left_semi")
   }
 
   val queries: Map[String, Q] = Map(
@@ -169,7 +267,11 @@ object Perceptron {
     * runs in seconds — the engine's persist + localCheckpoint,
     * mirrored). Pure integer relational algebra: bit-exact replay by
     * construction. */
-  private def oracle144: String = {
+  /** CTE chain (no leading WITH) training the pocket weights on the
+    * RAW `documents` table, ending at `wp(b, w)` — shared by the q144
+    * oracle and the q153 composed-pipeline oracle (whose
+    * classifier_keep stage scores with exactly these weights). */
+  private[operators] def trainCtes: String = {
     val ph = SplitMix64.polyHashSql("g")
     val mx = SplitMix64.mixSql("p")
     val cost = "CASE WHEN y = 1 THEN (SELECT r FROM ratio) ELSE 1 END"
@@ -192,7 +294,7 @@ object Perceptron {
     val mc = (1 to Epochs)
       .map(e => s"SELECT $e AS e, (SELECT count(*) FROM m${e + 1}) AS m")
       .mkString(" UNION ALL ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id,
        |    CASE WHEN source = '${Curation.DsirTarget}' THEN 1 ELSE -1 END AS y,
        |    string_split_regex(text, '\\s+') AS t
@@ -221,11 +323,53 @@ object Perceptron {
        |m$k1 AS (SELECT doc_id FROM s$k1 WHERE y * s <= 0),
        |mc AS ($mc),
        |best AS (SELECT e FROM mc ORDER BY m, e LIMIT 1),
-       |wp AS (SELECT b, w FROM ($wtag) t JOIN best USING (e))
+       |wp AS MATERIALIZED (SELECT b, w FROM ($wtag) t JOIN best USING (e))""".stripMargin
+  }
+
+  private def oracle144: String =
+    s"""WITH $trainCtes
        |SELECT doc_id, CAST(y AS BIGINT) AS y,
        |  CAST(sum(w) AS BIGINT) AS score,
        |  CAST(CASE WHEN sum(w) > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
        |FROM feats JOIN wp USING (b) GROUP BY doc_id, y""".stripMargin
+
+  /** The q153 classifier-keep doc_ids over relation `src` (needs
+    * `doc_id`, `text`): the engine's [[scoreDocs]] + binned top-half
+    * threshold, replayed — unlabeled bigram featurization, score =
+    * Σ w over matched buckets (the bias bucket guarantees every doc
+    * one row), then the q123-style bounded-bin global order. Assumes
+    * `wp` from [[trainCtes]] in an enclosing scope; cf_-prefixed CTE
+    * names compose without collisions. */
+  private[operators] def classifierKeepIdsSql(src: String): String = {
+    val ph = SplitMix64.polyHashSql("g")
+    val mx = SplitMix64.mixSql("p")
+    s"""WITH cf_tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $src),
+       |cf_gi AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+       |  FROM cf_tok),
+       |cf_occ AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM cf_gi),
+       |cf_phx AS (SELECT doc_id, $ph AS p FROM cf_occ),
+       |cf_bkx AS (SELECT doc_id, (($mx) >> 11) % $Buckets AS b FROM cf_phx),
+       |cf_feats AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, b FROM cf_bkx
+       |  UNION ALL
+       |  SELECT doc_id, $Buckets AS b FROM cf_tok),
+       |cf_score AS MATERIALIZED (
+       |  SELECT f.doc_id, CAST(sum(w) AS BIGINT) AS score
+       |  FROM cf_feats f JOIN wp USING (b) GROUP BY f.doc_id),
+       |cf_ext AS (SELECT min(score) AS lo, max(score) AS hi FROM cf_score),
+       |cf_binned AS (
+       |  SELECT doc_id,
+       |    (score - lo) // greatest((hi - lo) // ${ScoreBins}, 1) AS sb
+       |  FROM cf_score, cf_ext),
+       |cf_bins AS (SELECT sb, count(*) AS nb FROM cf_binned GROUP BY sb),
+       |cf_thr AS (
+       |  SELECT max(CASE WHEN cum >= (tot + 1) // 2 THEN sb END) AS t
+       |  FROM (SELECT sb, sum(nb) OVER (ORDER BY sb DESC) AS cum,
+       |               sum(nb) OVER () AS tot FROM cf_bins))
+       |SELECT doc_id FROM cf_binned, cf_thr WHERE sb >= t""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(

@@ -45,19 +45,56 @@ object DocStreams {
   /** One micro-batch flagged against the index — the q145 semantics
     * verbatim: band-collision candidates (batch×index, never a
     * self-join), exact 3-gram Jaccard verify, increment-sided report
-    * via the SAME [[graft.operators.Dedup.incrementReport]]. */
+    * via the SAME [[graft.operators.Dedup.incrementReport]]. The
+    * INDEX sides are hinted off broadcast (at real scale the standing
+    * corpus is the big side — the q145 argument; the batch side stays
+    * free for the planner to broadcast when a trigger is small). */
   def flagBatch(batch: DataFrame, idx: CorpusIndex): DataFrame = {
     val ib = MinHashLSH.bandBuckets(batch, "doc_id", "text",
         numHashes = 64, bands = 16, shingleN = 3)
       .select(col("band"), col("bucket"), col("doc_id").as("inc_id"))
-    val cand = ib.join(idx.buckets, Seq("band", "bucket"))
+    val cand = ib.join(idx.buckets.hint("shuffle_merge"),
+        Seq("band", "bucket"))
       .select(col("inc_id").as("doc_a"), col("corp_id").as("doc_b"))
       .distinct()
     val verified = MinHashLSH.verifySided(cand,
       MinHashLSH.gramSide(batch, "doc_id", "text", 3, "a"),
-      idx.grams, threshold = 0.5)
+      idx.grams.hint("shuffle_merge"), threshold = 0.5)
     graft.operators.Dedup.incrementReport(
       batch.select(col("doc_id")), verified)
+  }
+
+  /** Merge-refresh for the standing index (round-8 verdict #2): once
+    * an increment's flags are resolved, its SURVIVORS (non-dup docs)
+    * join the corpus — union of band buckets + gram arrays, persist
+    * swap. Band keys and gram arrays are per-doc DETERMINISTIC
+    * functions (`MinHashLSH.bandBuckets`/`gramSide`), so the merged
+    * index is row-identical to one rebuilt from corpus ∪ survivors
+    * (DocStreamsSpec proves it) — merge is purely the cheaper path.
+    * Scale shape: the union is append-only — the standing side is
+    * read from cache with its partitioning intact and only the
+    * increment-sized survivor side is new map work; NO corpus-wide
+    * reshuffle (PlanShapeSpec pins it). The old index is released
+    * after the merged one materializes (persist swap, the standard
+    * reference-data refresh). */
+  def mergeIndex(idx: CorpusIndex, survivors: DataFrame,
+                 materialize: Boolean = true): CorpusIndex = {
+    val b = idx.buckets.unionByName(
+      MinHashLSH.bandBuckets(survivors, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleN = 3)
+        .select(col("band"), col("bucket"), col("doc_id").as("corp_id")))
+    val g = idx.grams.unionByName(
+      MinHashLSH.gramSide(survivors, "doc_id", "text", 3, "b"))
+    // materialize = false: the un-persisted union frames, so
+    // PlanShapeSpec can see the merge shape (persist would collapse
+    // the visible plan to an in-memory scan — the q145 audit pattern)
+    if (!materialize) CorpusIndex(b, g)
+    else {
+      b.persist(); g.persist()
+      b.count(); g.count()
+      idx.unpersist()
+      CorpusIndex(b, g)
+    }
   }
 
   /** Run the stream: every trigger's docs are flagged and handed to

@@ -148,6 +148,75 @@ class BuiltinOpsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("q153 compiled pipeline ≡ the hand-wired chain with the trained classifier gate, row for row") {
+    import org.apache.spark.sql.functions._
+    val compiled = operators.CorpusPipeline
+      .queries("q153_corpus_prep_v4")(spark, sf0001)
+    val d = Tables.load(spark, sf0001, "documents")
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val w = operators.Perceptron.trainPocket(d)
+    val packed = operators.Mixing.shardPack(
+      operators.Mixing.temperatureKeep(
+        operators.Perceptron.classifierKeep(
+          operators.Similarity.semDedupKeepDocs(
+            operators.Curation.headKeep(
+              operators.TextAnalysis.cleanKeep(
+                operators.RepeatedSpans.scrubKeep(d))),
+            emb, threshold = 0.4),
+          w)))
+    val hand = packed
+      .selectExpr("doc_id", "lang", "shard", "bin", "text",
+        "CAST(length(text) AS BIGINT) AS len")
+      .selectExpr("doc_id", "lang", "shard", "bin", "text",
+        "explode(sequence(CAST(0 AS BIGINT), (1 + (greatest(len - 200, 0) + 149) div 150) - 1)) AS chunk_id")
+      .selectExpr("doc_id", "lang", "shard", "bin", "chunk_id",
+        "substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text",
+        "CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len")
+    val key = Seq("doc_id", "chunk_id")
+    assert(compiled.count() > 0)
+    assert(compiled.join(hand, key, "left_anti").count() === 0)
+    assert(hand.join(compiled, key, "left_anti").count() === 0)
+    val a = compiled.orderBy(col("doc_id"), col("chunk_id")).collect()
+    val b = hand.select(compiled.columns.map(col): _*)
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("q153's classifier stage gates by trained score — ~top half kept, never a no-op — and the model is bounded") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sf0001, "documents")
+    val w = operators.Perceptron.trainPocket(d).persist()
+    val nw = w.count()
+    // the trained state passed between DAG nodes is a bounded dim:
+    // at most one row per hash bucket + the bias bucket
+    assert(nw > 0 && nw <= operators.Perceptron.Buckets + 1, s"$nw weights")
+    val sem = operators.Similarity.semDedupKeepDocs(
+      operators.Curation.headKeep(
+        operators.TextAnalysis.cleanKeep(
+          operators.RepeatedSpans.scrubKeep(d))),
+      Tables.load(spark, sf0001, "embeddings"), threshold = 0.4).persist()
+    val kept = operators.Perceptron.classifierKeep(sem, w)
+    val (ns, nk) = (sem.count(), kept.count())
+    // top-half at bin granularity: at least half, strictly fewer than
+    // all (the adaptive width resolves the sf0.001 score spread)
+    assert(nk >= ns / 2, s"classifier kept $nk of $ns — below half")
+    assert(nk < ns, s"classifier kept $nk of $ns — a no-op gate")
+    // kept docs are the TOP of the score order: every kept doc scores
+    // >= every dropped doc, up to one bin's width of slack — verify
+    // via the raw scores
+    val scores = operators.Perceptron.scoreDocs(sem, w).persist()
+    val minKept = scores.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      .agg(min(col("score"))).head.getLong(0)
+    val maxDropped = scores.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(max(col("score"))).head.getLong(0)
+    val ext = scores.agg(min(col("score")).as("lo"), max(col("score")).as("hi")).head
+    val binW = math.max((ext.getLong(1) - ext.getLong(0)) /
+      operators.Perceptron.ScoreBins, 1L)
+    assert(minKept >= maxDropped - binW + 1,
+      s"kept-min $minKept below dropped-max $maxDropped beyond bin slack $binW")
+    scores.unpersist(); sem.unpersist(); w.unpersist()
+  }
+
   test("q143's two new stages each drop documents (not no-op insertions)") {
     import org.apache.spark.sql.functions._
     val d = Tables.load(spark, sf0001, "documents")

@@ -52,4 +52,59 @@ class DocStreamsSpec extends SparkSpec {
     assert(want.exists(_._5 == 1L), "corpus should contain cross-split dups")
     assert(got.size === ids.length, "every streamed doc must be flagged once")
   }
+
+  test("q154 merge-refresh: merged index ≡ index rebuilt from corpus ∪ survivors, row for row") {
+    val d = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+    val corpus = d.filter(h < "aaaaaaaa")
+    val day1 = d.filter(h >= "aaaaaaaa" && h < "dddddddd")
+
+    val idx = DocStreams.buildIndex(corpus)
+    val f1 = DocStreams.flagBatch(day1, idx).localCheckpoint(true)
+    val survivors = day1.join(
+      f1.filter(col("is_dup") === 0L).select("doc_id"), Seq("doc_id"),
+      "left_semi").localCheckpoint(true)
+    assert(survivors.count() > 0 && survivors.count() < day1.count(),
+      "split must produce both dups and survivors for the merge to matter")
+
+    val merged = DocStreams.mergeIndex(idx, survivors) // releases idx
+    val rebuilt = DocStreams.buildIndex(corpus.unionByName(survivors))
+    // band keys and gram arrays are per-doc deterministic ⇒ the merged
+    // index must be ROW-IDENTICAL to a from-scratch rebuild
+    assert(merged.buckets.exceptAll(rebuilt.buckets).count() === 0)
+    assert(rebuilt.buckets.exceptAll(merged.buckets).count() === 0)
+    val mg = merged.grams.select(col("doc_b"), col("ng_b"),
+      concat_ws("", col("grams_b")).as("gj"))
+    val rg = rebuilt.grams.select(col("doc_b"), col("ng_b"),
+      concat_ws("", col("grams_b")).as("gj"))
+    assert(mg.exceptAll(rg).count() === 0)
+    assert(rg.exceptAll(mg).count() === 0)
+
+    // and day-2 flags over either index agree doc-for-doc
+    val day2 = d.filter(h >= "dddddddd")
+    val viaMerged = DocStreams.flagBatch(day2, merged).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val viaRebuilt = DocStreams.flagBatch(day2, rebuilt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(viaMerged === viaRebuilt)
+    merged.unpersist(); rebuilt.unpersist()
+  }
+
+  test("q154 gate output: day-2 catches a dup of a day-1 SURVIVOR — the merge is load-bearing") {
+    val out = graft.operators.Dedup.indexMaintenance(
+      Tables.load(spark, sf0001, "documents").select(col("doc_id"), col("text")))
+      .persist()
+    // day-1 rows flagged against the standing corpus only
+    assert(out.filter(col("day") === 1L).count() > 0)
+    // at least one day-2 dup's best match is a day-1 doc (md5 in the
+    // day-1 band) — impossible without the survivor merge
+    val d2day1 = out.filter(col("day") === 2L && col("is_dup") === 1L)
+      .filter(substring(md5(col("best_match_id").cast("string")), 1, 8)
+        .between("aaaaaaaa", "dddddddc"))
+    assert(d2day1.count() > 0, "no day-2 dup matched a day-1 survivor")
+    out.unpersist()
+  }
 }

@@ -288,6 +288,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.substring(gi, wi).contains("Exchange"), p)
   }
 
+  test("q153: v4 composed pipeline — no cartesian, SemDeDup anti-join stays merge, chunk map-side above the one pack window") {
+    val (out, persisted) = graft.operators.CorpusPipeline.buildPipeline(
+      spark, sf0001, graft.operators.CorpusPipeline.specJsonV4)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    persisted.foreach(_.unpersist(false))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)          // temperature rate dim
+    assert(p.contains("hashpartitioning(shard"), p)     // the one pack window
+    assert(p.contains("SortMergeJoin LeftAnti"), p)     // SemDeDup drop set
+    assert(!p.contains("BroadcastHashJoin LeftAnti"), p)
+    val gi = p.indexOf("Generate")
+    val wi = p.indexOf("Window")
+    assert(gi >= 0 && wi > gi, p)
+    assert(!p.substring(gi, wi).contains("Exchange"), p)
+  }
+
+  test("q153: classifier-keep — trained weights broadcast into the features, scale-growing keep set merge-joined, threshold dims broadcast") {
+    // materialize = false: the shipped stage checkpoints the scored
+    // table, which hides the scorer — audit the full un-cut plan
+    val d = Tables.load(spark, sf0001, "documents")
+    val w = graft.operators.Perceptron.trainPocket(d)
+    val p = graft.operators.Perceptron.classifierKeep(d, w,
+      materialize = false).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    // the ≤(B+1)-row weight table broadcasts into the feature stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the 1-row extent and threshold dims ride broadcast nested loops
+    // (3: keep-side ext + thr, and the thr subplan's own ext)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 3, p)
+    // the keep semi-join: keep set ~half the corpus — merge, never
+    // broadcast (explicitly hinted)
+    assert(p.contains("SortMergeJoin LeftSemi"), p)
+    assert(!p.contains("BroadcastHashJoin LeftSemi"), p)
+  }
+
   test("q145: increment×corpus candidate join is a band-keyed merge join; the corpus index never broadcasts") {
     // materialize = false: the shipped query checkpoints the verified
     // pair set, which hides the candidate-generation stage — audit
@@ -305,6 +342,54 @@ class PlanShapeSpec extends SparkSpec {
     // grow with the increment — no broadcast)
     assert(p.contains("SortMergeJoin LeftOuter"), p)
     assert(!p.contains("BroadcastHashJoin LeftOuter"), p)
+  }
+
+  test("q155: E-step is a piece-keyed merge join (vocab never broadcasts) feeding the codegen Viterbi kernel; counts map-side combine") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val (sp, voc) = graft.operators.UnigramLM.train(d, rounds = 0)
+    val p = graft.operators.UnigramLM.segmentWith(sp, voc)
+      .groupBy(org.apache.spark.sql.functions.col("piece"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("c")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    // lattice join: substring occurrences × vocab — both vocabulary-
+    // scale and corpus-growing, hinted to a merge join
+    assert(p.contains("SortMergeJoin Inner"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // the per-word DP runs in the custom kernel, not HOF lambdas
+    assert(p.toLowerCase.contains("unigram_viterbi"), p)
+    // bounded shuffle work per round: piece join (2 sides), the
+    // w-keyed lattice collect, the piece-keyed count — nothing else
+    assert(count(p, "Exchange") <= 4, p)
+    // count aggregation is two-phase (map-side partial first)
+    assert(count(p, "HashAggregate") >= 2, p)
+  }
+
+  test("q154: index merge is an append-only union — standing side read from cache, ZERO shuffle exchanges") {
+    import org.apache.spark.sql.functions.{col, md5, substring}
+    val d = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+    val idx = graft.streaming.DocStreams.buildIndex(d.filter(h < "aaaaaaaa"))
+    val survivors = d.filter(h >= "aaaaaaaa" && h < "dddddddd")
+      .localCheckpoint(true)
+    val merged = graft.streaming.DocStreams.mergeIndex(idx, survivors,
+      materialize = false)
+    val pb = merged.buckets.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pg = merged.grams.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // union over the CACHED standing side + map-side survivor keys:
+    // the merge repartitions nothing — no Exchange anywhere
+    assert(count(pb, "Union") >= 1, pb)
+    assert(pb.contains("InMemoryTableScan") ||
+      pb.contains("TableCacheQueryStage"), pb)
+    assert(count(pb, "Exchange") === 0, pb)
+    assert(count(pg, "Union") >= 1, pg)
+    assert(count(pg, "Exchange") === 0, pg)
+    idx.unpersist()
   }
 
   test("q150: retention rides ONE user-keyed merge join; the day-0 census broadcasts back") {
