@@ -48,6 +48,7 @@ object SparkEntry {
       (Perceptron.queries, Perceptron.oracles),
       (HashedVectors.queries, HashedVectors.oracles),
       (UnigramLM.queries, UnigramLM.oracles),
+      (ImageDedup.queries, ImageDedup.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

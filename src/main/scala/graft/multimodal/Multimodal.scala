@@ -25,6 +25,12 @@ final case class AudioFeatures(id: Long, sample_rate: Int, channels: Int,
                                n_frames: Long, duration_ms: Double,
                                rms: Double, zero_crossings: Long)
 
+/** One integer image-feature component: dims 0–2 are per-channel
+  * means in MILLI-levels (sum·1000 div n_pixels), dims 3–18 the
+  * 16-bin Rec.601 luminance histogram in PPM — all integer division,
+  * so any engine replays the values bit-for-bit (q156's seam). */
+final case class ImageFeatRow(id: Long, d: Int, v: Long)
+
 /** Multimodal-column plumbing: decode / feature-extract / resize /
   * frame-sample over `binary` payload columns.
   *
@@ -143,6 +149,52 @@ object Multimodal {
           }
           val n = (w.toLong * h).toDouble
           ImageFeatures(m.id, w, h, w * h, sr / n, sg / n, sb / n, hist.map(_ / n))
+        }
+      }
+    }
+  }
+
+  /** ALL-INTEGER image features, exploded to (id, d, v) rows — the
+    * quantized form q156 fingerprints: v is exact integer arithmetic
+    * on the decoded pixels (channel sums → milli-level means, Rec.601
+    * luminance histogram → ppm shares), so the checked-in feature
+    * fixture replays bit-identically on any engine while the decode
+    * itself stays a JVM-only step (DuckDB cannot read PNG — the q50
+    * honest-seam precedent, with MultimodalSpec pinning
+    * decode → features bit-exact). Undecodable payloads emit no
+    * rows. */
+  def imageIntFeatures(media: Dataset[Media], bins: Int = 16): Dataset[ImageFeatRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)   // once per partition
+      iter.flatMap { m =>
+        decodeImage(m.payload).toSeq.flatMap { img =>
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val hist = new Array[Long](bins)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+              val b = rgb & 0xFF
+              sr += r; sg += g; sb += b
+              val lum = (r * 299 + g * 587 + b * 114) / 1000
+              hist(lum * bins / 256) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val means = Array(sr, sg, sb).zipWithIndex.map { case (s, i) =>
+            ImageFeatRow(m.id, i, s * 1000L / n)
+          }
+          val shares = hist.zipWithIndex.map { case (c, i) =>
+            ImageFeatRow(m.id, 3 + i, c * 1000000L / n)
+          }
+          means ++ shares
         }
       }
     }

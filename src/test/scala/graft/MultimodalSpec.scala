@@ -205,6 +205,49 @@ class MultimodalSpec extends SparkSpec {
       mediaOf(9L -> "junk".getBytes("UTF-8")), 1).collect().isEmpty)
   }
 
+  test("q156 integer features: decode → (id, d, v) bit-exact on drawn images") {
+    val solid = png(8, 5)((_, _) => (200 << 16) | (100 << 8) | 50)
+    val twoTone = png(4, 4)((x, _) => if (x < 2) 0x000000 else 0xFFFFFF)
+    val f = Multimodal.imageIntFeatures(mediaOf(1L -> solid, 2L -> twoTone))
+      .collect().map(r => (r.id, r.d) -> r.v).toMap
+    assert(f.size === 38) // 2 images × 19 dims
+    // solid: exact milli-level means
+    assert(f((1L, 0)) === 200000L && f((1L, 1)) === 100000L &&
+      f((1L, 2)) === 50000L)
+    // solid lum = (200*299+100*587+50*114)/1000 = 124 -> bin 7 at 1e6 ppm
+    assert(f((1L, 3 + 124 * 16 / 256)) === 1000000L)
+    // two-tone: half black (bin 0), half white (bin 15)
+    assert(f((2L, 3)) === 500000L && f((2L, 18)) === 500000L)
+    assert(f((2L, 0)) === 127500L) // (0+255)/2 in milli = 127500
+  }
+
+  test("q156 fixture parity: checked-in feature table ≡ live recompute from checked-in images, row for row") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val live = Multimodal.imageIntFeatures(
+      spark.read.parquet(graft.operators.ImageDedup.ImagesPath)
+        .select(col("id"), lit("image/png").as("media_type"),
+          col("payload"), map().cast("map<string,string>").as("meta"))
+        .as[Media]).toDF()
+    val pinned = spark.read.parquet(graft.operators.ImageDedup.FeaturesPath)
+    assert(pinned.count() === 240L * 19)
+    assert(live.exceptAll(pinned).count() === 0)
+    assert(pinned.exceptAll(live).count() === 0)
+  }
+
+  test("q156 gate: exactly the planted near-dup pairs, with nonzero feature distance") {
+    val out = graft.operators.ImageDedup.imageNearDups(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every planted pair (2g, 2g+1), nothing else
+    assert(out.length === 120, s"${out.length} pairs")
+    assert(out.forall { case (a, b, _, _) => a % 2 == 0 && b == a + 1 })
+    // true near-dups, not byte-identical twins: L1 > 0 (the 1-px size
+    // perturbation moves the features) and within the verify bound
+    assert(out.forall { case (_, _, h, l1) =>
+      h <= graft.operators.ImageDedup.HammingMax &&
+        l1 > 0 && l1 <= graft.operators.ImageDedup.L1Max })
+  }
+
   test("features flow back into DataFrame surface for downstream joins") {
     val feats = Multimodal.extractFeatures(media).toDF()
     val joined = feats.join(

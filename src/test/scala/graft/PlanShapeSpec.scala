@@ -344,6 +344,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin LeftOuter"), p)
   }
 
+  test("q156: plane/center literals broadcast; candidates are a chunk-keyed equi-join; verify joins candidate-sized — no cartesian") {
+    val p = executedPlan("q156_image_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the 1216-literal plane table and the 19-row center table are
+    // the only broadcast sides
+    assert(p.contains("BroadcastHashJoin"), p)
+    // chunk-collision candidates: an equi-join on (chunk_id, chunk)
+    assert(keyedExchanges(p, "chunk_id") >= 1 ||
+      p.contains("chunk_id"), p)
+  }
+
   test("q155: E-step is a piece-keyed merge join (vocab never broadcasts) feeding the codegen Viterbi kernel; counts map-side combine") {
     val d = Tables.load(spark, sf0001, "documents")
     val (sp, voc) = graft.operators.UnigramLM.train(d, rounds = 0)
