@@ -307,7 +307,46 @@ object Dedup {
     "q154_index_maintenance" -> { (s, dir) =>
       indexMaintenance(Tables.load(s, dir, "documents"))
     },
+
+    // -- upweighted mixture budget (round 9): what q149's
+    //    dedup-then-upweight DOES to the per-source token mixture.
+    //    A cluster's whole multiplicity lands on its canonical doc's
+    //    source, so dedup SHIFTS the mixture — this is the audit
+    //    table a mix planner reads before re-running q89's
+    //    temperature mix on deduped data: per source, raw docs/
+    //    tokens vs canonical docs, unique tokens, and the EFFECTIVE
+    //    (multiplicity-weighted) token budget, with the drift in
+    //    flooring ppm. --
+    "q159_upweight_budget" -> { (s, dir) =>
+      upweightBudget(Tables.load(s, dir, "documents"))
+    },
   )
+
+  /** q159 over any documents-shaped frame (needs `doc_id`, `text`,
+    * `source`). Scale shape: rides q149's machinery (checkpointed);
+    * token counts are one map-side projection; raw and effective
+    * censuses are source-keyed map-side-combined groupBys; the ONE
+    * new join attaches multiplicities to canonical docs
+    * (doc-keyed merge — both sides corpus-scale, hinted off
+    * broadcast); output ≤ |sources| rows. */
+  private[graft] def upweightBudget(d: DataFrame): DataFrame = {
+    val up = dedupUpweight(d).localCheckpoint(true)
+    val toks = d.select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("nt"))
+    val raw = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens_raw"))
+    val eff = toks.join(up.hint("shuffle_merge"), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_canonical"),
+        sum(col("nt")).as("n_tokens_unique"),
+        sum(col("multiplicity") * col("nt")).as("n_tokens_effective"))
+    raw.join(eff, Seq("source"), "left")
+      .selectExpr("source", "n_docs", "n_tokens_raw",
+        "coalesce(n_canonical, 0L) AS n_canonical",
+        "coalesce(n_tokens_unique, 0L) AS n_tokens_unique",
+        "coalesce(n_tokens_effective, 0L) AS n_tokens_effective",
+        "(1000000L * coalesce(n_tokens_effective, 0L)) div greatest(n_tokens_raw, 1L) AS effective_vs_raw_ppm")
+  }
 
   /** q154 over any documents-shaped frame (needs `doc_id`, `text`):
     * three-way md5 split (standing corpus ≈ 62% / day-1 ≈ 21% /
@@ -761,6 +800,40 @@ object Dedup {
     "q69_dedup_clusters" ->
       s"""WITH RECURSIVE $ccLabelCtes
         |SELECT doc_id, cluster_id FROM labels""".stripMargin,
+
+    // q159: the q149 multiplicities × per-doc token counts, rolled to
+    // the per-source mixture-budget table (raw vs canonical vs
+    // multiplicity-weighted effective tokens, drift in flooring ppm).
+    "q159_upweight_budget" ->
+      s"""WITH RECURSIVE $ccLabelCtes,
+        |up AS MATERIALIZED (
+        |  SELECT l.doc_id, CAST(m AS BIGINT) AS multiplicity FROM labels l
+        |  JOIN (SELECT cluster_id, count(*) AS m FROM labels
+        |        GROUP BY cluster_id) cs ON l.cluster_id = cs.cluster_id
+        |  WHERE l.doc_id = l.cluster_id
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS multiplicity FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)),
+        |nt AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |raw AS (
+        |  SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens_raw
+        |  FROM nt GROUP BY source),
+        |eff AS (
+        |  SELECT source, count(*) AS n_canonical,
+        |    sum(nt) AS n_tokens_unique,
+        |    sum(multiplicity * nt) AS n_tokens_effective
+        |  FROM nt JOIN up USING (doc_id) GROUP BY source)
+        |SELECT r.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens_raw AS BIGINT) AS n_tokens_raw,
+        |  CAST(coalesce(n_canonical, 0) AS BIGINT) AS n_canonical,
+        |  CAST(coalesce(n_tokens_unique, 0) AS BIGINT) AS n_tokens_unique,
+        |  CAST(coalesce(n_tokens_effective, 0) AS BIGINT) AS n_tokens_effective,
+        |  CAST((1000000 * coalesce(n_tokens_effective, 0))
+        |    // greatest(n_tokens_raw, 1) AS BIGINT) AS effective_vs_raw_ppm
+        |FROM raw r LEFT JOIN eff e ON r.source = e.source""".stripMargin,
 
     // q149: the q69 labels + cluster sizes; canonicals = cluster
     // minima; docs outside the near-dup graph are singletons at 1.

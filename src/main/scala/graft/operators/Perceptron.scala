@@ -253,7 +253,42 @@ object Perceptron {
     "q144_quality_perceptron" -> { (s, dir) =>
       trainScore(Tables.load(s, dir, "documents"))
     },
+
+    // -- classifier calibration table (round 9): the q144 scores
+    //    binned into ≤ [[CalBins]] adaptive-width score bins with the
+    //    per-bin positive rate — the reliability diagram every
+    //    quality-filter paper reports before picking a keep
+    //    threshold, and the q152-style evaluation harness for the
+    //    trained classifier (does a higher score actually mean more
+    //    likely curated-domain?). --
+    "q158_classifier_calibration" -> { (s, dir) =>
+      calibration(Tables.load(s, dir, "documents"))
+    },
   )
+
+  /** q158: per-score-bin census over the trained classifier's own
+    * training corpus — (sb, n_docs, n_pos, pos_rate_ppm). Bin width
+    * is corpus-adaptive like [[classifierKeep]]'s ((hi−lo) div 16,
+    * floored at 1 — a ≤17-row report at any scale); counts and the
+    * flooring ppm rate are pure integers. Scale shape: rides the
+    * q144 training (K bounded epochs) + ONE extra map-side pass over
+    * the checkpointed scored table; the 1-row extent dim
+    * broadcasts. */
+  private[graft] val CalBins = 16L
+  private[graft] def calibration(d: DataFrame): DataFrame = {
+    val scored = trainScore(d) // localCheckpoint'd by trainScore
+    val ext = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    scored.crossJoin(broadcast(ext))
+      .select(
+        expr(s"(score - lo) div greatest((hi - lo) div ${CalBins}L, 1L)")
+          .as("sb"),
+        col("y"))
+      .groupBy(col("sb"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+      .selectExpr("sb", "n_docs", "n_pos",
+        "(1000000L * n_pos) div n_docs AS pos_rate_ppm")
+  }
 
   /** Generated oracle: the SAME K epochs unrolled as a CTE chain
     * (the q114/q118 playbook) — shared feature CTEs, per epoch
@@ -372,7 +407,26 @@ object Perceptron {
        |SELECT doc_id FROM cf_binned, cf_thr WHERE sb >= t""".stripMargin
   }
 
+  /** q158: the q144 scored table re-binned — the same adaptive-width
+    * formula as the engine (shifted nonnegative div, the
+    * trunc ≡ floor contract). */
+  private def oracle158: String =
+    s"""WITH $trainCtes,
+       |scored AS MATERIALIZED (
+       |  SELECT doc_id, y, CAST(sum(w) AS BIGINT) AS score
+       |  FROM feats JOIN wp USING (b) GROUP BY doc_id, y),
+       |ext AS (SELECT min(score) AS lo, max(score) AS hi FROM scored)
+       |SELECT
+       |  (score - lo) // greatest((hi - lo) // $CalBins, 1) AS sb,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST((1000000 * sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)) // count(*)
+       |    AS BIGINT) AS pos_rate_ppm
+       |FROM scored, ext
+       |GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q144_quality_perceptron" -> oracle144,
+    "q158_classifier_calibration" -> oracle158,
   )
 }

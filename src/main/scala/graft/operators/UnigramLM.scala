@@ -130,7 +130,41 @@ object UnigramLM {
       val (_, voc) = train(Tables.load(s, dir, "documents"))
       voc.select(col("piece"), col("cnt"), col("cost").as("cost_unats"))
     },
+
+    // -- the ENCODE step (the q115 sibling for the unigram family):
+    //    segment the corpus with the TRAINED vocab and report
+    //    per-source piece budgets — the token accounting a
+    //    pretraining mix is planned against. One extra E-step over
+    //    the final vocab; the corpus-scale occurrence stream joins
+    //    the VOCABULARY-sized per-word segmentation on the token key
+    //    (inverted-index family shape; vocab side hinted off
+    //    broadcast — it grows with the corpus). --
+    "q157_unigram_segment" -> { (s, dir) =>
+      segmentStats(Tables.load(s, dir, "documents"))
+    },
   )
+
+  /** q157 over any documents-shaped frame: per-source
+    * (n_words, n_pieces, n_chars, compression_ppm) under the trained
+    * unigram model's Viterbi segmentation. Only eligible occurrences
+    * (the training filter) are counted — the same contract as q115's
+    * alnum filter. */
+  private[graft] def segmentStats(d: DataFrame): DataFrame = {
+    val (sp, voc) = train(d)
+    val perWord = segmentWith(sp, voc)
+      .groupBy(col("w")).agg(count(lit(1)).as("nseg"))
+    val occ = d.select(col("source"),
+        explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$") &&
+        length(col("w")) <= MaxWordLen)
+    occ.join(perWord.hint("shuffle_merge"), "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nseg")).as("n_pieces"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .selectExpr("source", "n_words", "n_pieces", "n_chars",
+        "(1000000L * n_pieces) div n_chars AS compression_ppm")
+      .orderBy(col("source"))
+  }
 
   // ---- code-generated DuckDB oracle (same constants, DP unrolled) --
 
@@ -154,10 +188,11 @@ object UnigramLM {
        |  ) WHERE rn = 1)""".stripMargin
   }
 
-  /** One EM round: lattice join, unrolled DP levels, level union,
-    * unrolled backtrace, piece extraction, counts + smoothing,
-    * renormalized vocab. */
-  private def roundCtes(r: Int): String = {
+  /** The E-step of round `r` as CTEs: lattice join against
+    * voc_{r−1}, unrolled DP levels, level union, unrolled backtrace,
+    * piece extraction → pc_r(w, piece). Shared by the training
+    * rounds and q157's final encode pass. */
+  private def segCtes(r: Int): String = {
     val lvls = (1 to MaxWordLen).map(i => lvlCte(r, i)).mkString(",\n")
     val lvUnion = (1 to MaxWordLen)
       .map(i => s"SELECT $i AS i, w, cost, k FROM lvl_${r}_$i")
@@ -179,10 +214,16 @@ object UnigramLM {
        |lv_$r AS MATERIALIZED ($lvUnion),
        |bt_${r}_0 AS (SELECT w, len(w) AS pos FROM words),
        |$btSteps,
-       |pc_$r AS (
+       |pc_$r AS MATERIALIZED (
        |  SELECT v.w, substr(v.w, v.pos - lv.k + 1, lv.k) AS piece
        |  FROM ($btUnion) v
-       |  JOIN lv_$r lv ON lv.w = v.w AND lv.i = v.pos),
+       |  JOIN lv_$r lv ON lv.w = v.w AND lv.i = v.pos)""".stripMargin
+  }
+
+  /** One EM round: the E-step plus counts + smoothing + the
+    * renormalized vocab. */
+  private def roundCtes(r: Int): String = {
+    s"""${segCtes(r)},
        |pn_$r AS (
        |  SELECT piece, sum(c) AS n
        |  FROM pc_$r JOIN words USING (w) GROUP BY piece),
@@ -199,9 +240,11 @@ object UnigramLM {
        |  FROM cn_$r, tt_$r)""".stripMargin
   }
 
-  private def oracle155: String = {
+  /** Seed preamble (words → substring occurrences → seed vocab) +
+    * the K unrolled training rounds — shared by both oracles. */
+  private def trainChainCtes: String = {
     val rounds = (1 to Rounds).map(roundCtes).mkString(",\n")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT w, count(*) AS c FROM (
        |    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z0-9]+$$') AND len(w) <= $MaxWordLen
@@ -221,12 +264,40 @@ object UnigramLM {
        |    CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE))
        |      * 1000000.0) AS BIGINT) AS cost
        |  FROM cn_0, tt_0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def oracle155: String =
+    s"""WITH $trainChainCtes
        |SELECT piece, CAST(cnt AS BIGINT) AS cnt, cost AS cost_unats
        |FROM voc_$Rounds""".stripMargin
+
+  /** q157: the q155 chain + ONE more E-step over the final vocab
+    * (round Rounds+1's segmentation fragment, no count/renorm), then
+    * the per-source occurrence join. */
+  private def oracle157: String = {
+    val enc = Rounds + 1
+    s"""WITH $trainChainCtes,
+       |${segCtes(enc)},
+       |pw AS (SELECT w, count(*) AS nseg FROM pc_$enc GROUP BY w),
+       |occ AS (
+       |  SELECT source, w FROM (
+       |    SELECT source, unnest(string_split_regex(text, '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z0-9]+$$') AND len(w) <= $MaxWordLen)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nseg) AS BIGINT) AS n_pieces,
+       |  CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       |  CAST((1000000 * sum(nseg)) // sum(len(w)) AS BIGINT)
+       |    AS compression_ppm
+       |FROM occ JOIN pw USING (w)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "q155_unigram_lm" -> oracle155,
+    "q157_unigram_segment" -> oracle157,
   )
 }

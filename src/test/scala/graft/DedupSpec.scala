@@ -226,6 +226,37 @@ class DedupSpec extends SparkSpec {
     assert(real.count() < d.count(), "corpus has planted near-dups")
   }
 
+  test("q159: upweight budget — cross-source cluster shifts the mixture to the canonical's source") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    // 3-cluster spanning two sources; canonical (lowest id 2) is srcA
+    val planted = Seq(
+      (2L, "srcA", t), (5L, "srcB", t), (9L, "srcB", t),
+      (1L, "srcA", "completely different words here nothing shared at all"),
+      (7L, "srcC", "another standalone document with its very own text")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Dedup.upweightBudget(planted)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    val a = out.find(_._1 == "srcA").get
+    val b = out.find(_._1 == "srcB").get
+    val c = out.find(_._1 == "srcC").get
+    // srcA's canonical carries the WHOLE cluster: effective = 8·3 + 8
+    assert(a._4 === 2L && a._6 === 8L * 3 + 8L)
+    assert(a._7 > 1000000L, s"srcA should gain budget: ${a._7}")
+    // srcB loses BOTH its docs to the cluster: zero canonicals
+    assert(b._4 === 0L && b._6 === 0L && b._7 === 0L)
+    // untouched source: effective == raw exactly
+    assert(c._6 === c._2 * 0 + c._3 && c._7 === 1000000L)
+    // real corpus: per-source unique <= raw; canonical totals match q149
+    val d = Tables.load(spark, sf0001, "documents")
+    val real = graft.operators.Dedup.upweightBudget(d).collect()
+    assert(real.forall(r => r.getLong(4) <= r.getLong(2)))
+    assert(real.map(_.getLong(3)).sum ===
+      graft.operators.Dedup.dedupUpweight(d).count())
+  }
+
   test("q145: best match is the max-Jaccard corpus doc, ties to the lowest id") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta"

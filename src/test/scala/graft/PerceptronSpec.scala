@@ -63,6 +63,41 @@ class PerceptronSpec extends SparkSpec {
     assert(tp === pos, s"positive recall $tp/$pos")
   }
 
+  test("q158: calibration conserves the corpus and is perfectly ordered on a planted separable split") {
+    val pos = (0L until 4L).map(i =>
+      (i, "src7", "alpha beta alpha beta alpha"))
+    val neg = (4L until 64L).map(i =>
+      (i, "src0", "gamma delta gamma delta gamma"))
+    val cal = Perceptron.calibration(corpus(pos ++ neg)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // conservation: every doc in exactly one bin, all positives found
+    assert(cal.map(_._2).sum === 64L)
+    assert(cal.map(_._3).sum === 4L)
+    // separable split: the TOP bin is pure positive (1e6 ppm), every
+    // bin below it pure negative — the reliability diagram is a step
+    assert(cal.last._4 === 1000000L && cal.last._3 === 4L)
+    assert(cal.init.forall(_._3 === 0L))
+    // ppm bounds hold everywhere
+    assert(cal.forall(c => c._4 >= 0L && c._4 <= 1000000L))
+  }
+
+  test("q158: real corpus — rates bounded, census conserved, top-half rate above bottom-half") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val cal = Perceptron.calibration(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(cal.map(_._2).sum === d.count())
+    val mid = cal.map(_._1).max / 2
+    val (hi, lo) = cal.partition(_._1 > mid)
+    def rate(xs: Array[(Long, Long, Long, Long)]) =
+      xs.map(_._3).sum.toDouble / math.max(xs.map(_._2).sum, 1L)
+    // the score RANKS even when the pocket's hard sign is majority:
+    // the top half of bins carries a higher positive rate
+    assert(rate(hi) > rate(lo),
+      s"top-half rate ${rate(hi)} not above bottom-half ${rate(lo)}")
+  }
+
   test("q144: zero-positive corpus degenerates safely (ratio guard)") {
     val neg = (0L until 12L).map(i => (i, "src0", "gamma delta gamma"))
     val out = run(neg)

@@ -67,6 +67,29 @@ class UnigramLMSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("q157 segment stats: piece budgets bounded by words and chars; toy corpus compresses to the trigram rate") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i => (i.toLong, "abcabc abcabcabc", "s0"))
+      .toDF("doc_id", "text", "source")
+    val stats = UnigramLM.segmentStats(docs).collect()
+    assert(stats.length === 1)
+    val r = stats(0)
+    val (nw, np, nc, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))
+    assert(nw === 60L)            // 2 words × 30 docs
+    assert(np === 30L * (2 + 3))  // 'abc' pieces: 2 + 3 per doc
+    assert(nc === 30L * (6 + 9))
+    assert(ppm === 1000000L * np / nc) // = 333333: 1 piece per 3 chars
+    // real corpus: every eligible occurrence segments, and piece
+    // counts sit between word count and char count
+    val real = UnigramLM.segmentStats(Tables.load(spark, sf0001, "documents"))
+      .collect()
+    assert(real.nonEmpty)
+    real.foreach { s =>
+      assert(s.getLong(2) >= s.getLong(1) && s.getLong(2) <= s.getLong(3))
+    }
+  }
+
   test("char smoothing keeps every word segmentable across rounds (no word ever drops)") {
     import spark.implicits._
     val docs = Seq((1L, "zzzz qqq zq"), (2L, "zzzz zzzz qqq"))
