@@ -126,7 +126,7 @@ object ScaleProbe {
     // nothing and exit via the early return).
     val sections: Set[String] =
       if (args.length > 1) args(1).split(',').toSet else Set("all")
-    val KnownSections = Set("all", "r8b", "motifs", "r9")
+    val KnownSections = Set("all", "r8b", "motifs", "r9", "r9b")
     val unknown = sections.diff(KnownSections)
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s): ${unknown.toSeq.sorted.mkString(",")}" +
@@ -407,6 +407,48 @@ object ScaleProbe {
       val a144w = wOf(g144.map(r => (r._1, r._3)))
       val a144e = wOf(g144.map(r => (r._1, r._4)))
       println(f"""{"metric":"r9_probe_exponents","alpha":{"q149_rows":$a149%.2f,"q149_wall":$a149w%.2f,"q143_wall":$a143w%.2f,"q144_wall":$a144w%.2f,"q144_per_epoch":$a144e%.2f},"note":"q149 rows ~1 (per-replica clusters exact, census invariant asserted); q143 stage fractions scale-invariant, ladder occupancy ~constant; q144 wall and marginal epoch cost ~linear"}""")
+    }
+
+    // ---- round-9b probe: q156 image-pair candidate generation -----
+    // (CLAUDE.md rule: probe ANY new dedup/similarity candidate
+    // generation). Null model: replica r shifts ids and permutes the
+    // 16 HISTOGRAM dims through a seeded bijection — every image in a
+    // replica gets the SAME permutation, so within-replica L1
+    // structure (and the planted near-dup pairs) is EXACTLY
+    // preserved, while cross-replica fingerprints decorrelate (the
+    // hyperplanes are not symmetric under dim permutation). Claim:
+    // chunk-collision candidates grow ~k, verified pairs exactly k×.
+    if (runAll || sections("r9b")) {
+      val f0 = spark.read
+        .parquet(graft.operators.ImageDedup.FeaturesPath)
+      val g156 = scales.map { k =>
+        val f = (0 until k).map { r =>
+          val base = f0.select((col("id") + lit(r * 100000L)).as("id"),
+            col("d"), col("v"))
+          if (r == 0) base
+          else {
+            val rng = new scala.util.Random(4000 + r)
+            val perm = rng.shuffle((3 to 18).toList)
+            val pmap = (0 to 2).map(d => (d, d)) ++
+              (3 to 18).zip(perm)
+            val mapExpr = pmap.map { case (from, to) =>
+              s"WHEN d = $from THEN $to" }.mkString(" ")
+            base.withColumn("d", expr(s"CASE $mapExpr END").cast("int"))
+          }
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        val nImg = f.select(col("id")).distinct().count()
+        val (nPairs, t156) = timed(
+          graft.operators.ImageDedup.featurePairs(f).count())
+        println(f"""{"metric":"q156_probe","scale":$k,"n_images":$nImg,"verified_pairs":$nPairs,"sec":$t156%.2f}""")
+        (k, nPairs, t156)
+      }
+      def aOf2(vs: Seq[(Int, Long)]): Double = {
+        val (ka, va) = vs.head; val (kb, vb) = vs.last
+        if (va == 0 || vb == 0) Double.NaN
+        else math.log(vb.toDouble / va) / math.log(kb.toDouble / ka)
+      }
+      val a156 = aOf2(g156.map(r => (r._1, r._2)))
+      println(f"""{"metric":"r9b_probe_exponents","alpha":{"q156_pairs":$a156%.2f},"note":"q156 verified pairs ~1 under dim-permutation replication (planted structure exactly preserved per replica)"}""")
     }
 
     if (!runAll) { spark.stop(); return }

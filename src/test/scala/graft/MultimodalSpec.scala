@@ -248,6 +248,16 @@ class MultimodalSpec extends SparkSpec {
         l1 > 0 && l1 <= graft.operators.ImageDedup.L1Max })
   }
 
+  test("q160 manifest: one canonical per planted pair, census conserved") {
+    val out = graft.operators.ImageDedup.imageManifest(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 120 planted pairs → 120 canonicals (the even id of each pair),
+    // each carrying multiplicity 2; Σ multiplicity = |images|
+    assert(out.length === 120)
+    assert(out.map(_._2).sum === 240L)
+    assert(out.forall { case (id, m) => id % 2 == 0 && m == 2L })
+  }
+
   test("features flow back into DataFrame surface for downstream joins") {
     val feats = Multimodal.extractFeatures(media).toDF()
     val joined = feats.join(
