@@ -106,4 +106,24 @@ object DocStreams {
         sink(flagBatch(batch, idx), id)
       }
       .start()
+
+  /** Streaming QUALITY scoring (round 9) — the MODEL analog of the
+    * dedup index: each micro-batch of arriving docs is scored against
+    * a pre-trained pocket weight table
+    * (graft.operators.Perceptron.trainPocket output, persisted by the
+    * caller; refresh = retrain + swap, like [[mergeIndex]]). Per-doc
+    * scores depend only on the doc and the STATIC weights, so the
+    * union of micro-batch outputs ≡ the batch
+    * `Perceptron.scoreDocs` over the same docs BY CONSTRUCTION
+    * (DocStreamsSpec proves it doc-for-doc) — zero cross-trigger
+    * state, the classic stream-static enrichment shape. 100 TB
+    * posture: the ≤(B+1)-row weight dim broadcasts into each
+    * trigger's feature stream; per-trigger work is batch-sized. */
+  def scoreStream(docStream: DataFrame, weights: DataFrame,
+                  sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.Perceptron.scoreDocs(batch, weights), id)
+      }
+      .start()
 }

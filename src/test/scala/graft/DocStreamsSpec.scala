@@ -93,6 +93,42 @@ class DocStreamsSpec extends SparkSpec {
     merged.unpersist(); rebuilt.unpersist()
   }
 
+  test("streaming quality scoring ≡ batch scoreDocs, across micro-batch boundaries") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val w = graft.operators.Perceptron.trainPocket(d).persist()
+    w.count()
+    val docs = d.select(col("doc_id"), col("text"))
+    val want = graft.operators.Perceptron.scoreDocs(docs, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val tmp = java.nio.file.Files.createTempDirectory("graftscorestream")
+    val watch = tmp.resolve("in"); java.nio.file.Files.createDirectories(watch)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length / 2)
+    docs.filter(col("doc_id") <= cut).coalesce(1)
+      .write.parquet(watch.resolve("b0").toString)
+    docs.filter(col("doc_id") > cut).coalesce(1)
+      .write.parquet(watch.resolve("b1").toString)
+
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch.toString + "/*")
+    val q = DocStreams.scoreStream(stream, w, (scores, _) =>
+      got.synchronized {
+        got ++= scores.collect().map(r => (r.getLong(0), r.getLong(1)))
+      })
+    q.processAllAvailable()
+    q.stop()
+    w.unpersist()
+
+    assert(got.toSet === want, "streamed scores diverged from batch scoreDocs")
+    assert(got.size === ids.length, "every streamed doc must be scored once")
+    // the model is informative, not a constant column
+    assert(want.map(_._2).size > 1)
+  }
+
   test("q154 gate output: day-2 catches a dup of a day-1 SURVIVOR — the merge is load-bearing") {
     val out = graft.operators.Dedup.indexMaintenance(
       Tables.load(spark, sf0001, "documents").select(col("doc_id"), col("text")))
