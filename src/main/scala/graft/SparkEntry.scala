@@ -49,6 +49,7 @@ object SparkEntry {
       (HashedVectors.queries, HashedVectors.oracles),
       (UnigramLM.queries, UnigramLM.oracles),
       (ImageDedup.queries, ImageDedup.oracles),
+      (AudioDedup.queries, AudioDedup.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -294,6 +294,65 @@ object Multimodal {
     }
   }
 
+  /** ALL-INTEGER audio features, exploded to (id, d, v) rows — the
+    * audio analog of [[imageIntFeatures]] (q161's seam): dims 0–15
+    * are the 16-segment energy profile (per-segment Σ|sample| of
+    * channel 0 as a PPM share of the total — the coarse "loudness
+    * silhouette" audio fingerprinters hash), dim 16 the
+    * zero-crossing rate in PPM of frames. Pure integer arithmetic on
+    * the decoded PCM, so a checked-in feature fixture replays
+    * bit-identically (DuckDB cannot decode WAV — the q156 honest-seam
+    * pattern). Non-audio / non-16-bit-PCM payloads emit no rows. */
+  def audioIntFeatures(media: Dataset[Media],
+                       segments: Int = 16): Dataset[ImageFeatRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.flatMap { m =>
+        decodeAudio(m.payload).toSeq.flatMap { in =>
+          val fmt = in.getFormat
+          val ok = fmt.getSampleSizeInBits == 16 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (!ok) { in.close(); Seq.empty }
+          else {
+            val bytes = in.readAllBytes(); in.close()
+            val ch = fmt.getChannels
+            val frameBytes = 2 * ch
+            val nFrames = bytes.length / frameBytes
+            val big = fmt.isBigEndian
+            def sample(frame: Int): Int = {
+              val o = frame * frameBytes // channel 0
+              if (big) (bytes(o) << 8) | (bytes(o + 1) & 0xFF)
+              else (bytes(o + 1) << 8) | (bytes(o) & 0xFF)
+            }
+            if (nFrames == 0) Seq.empty
+            else {
+              val segLen = (nFrames + segments - 1) / segments
+              val segAbs = new Array[Long](segments)
+              var zc = 0L
+              var prevSign = 0
+              var f = 0
+              while (f < nFrames) {
+                val s0 = sample(f)
+                segAbs(f / segLen) += math.abs(s0.toLong)
+                val sign = if (s0 > 0) 1 else if (s0 < 0) -1 else 0
+                if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+                if (sign != 0) prevSign = sign
+                f += 1
+              }
+              val tot = math.max(segAbs.sum, 1L)
+              val shares = segAbs.zipWithIndex.map { case (a, i) =>
+                ImageFeatRow(m.id, i, a * 1000000L / tot)
+              }
+              shares.toSeq :+
+                ImageFeatRow(m.id, segments, zc * 1000000L / nFrames)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** REAL video container path: MJPEG-in-AVI. AVI is a RIFF file —
     * fourcc + little-endian size chunks, video frames in the 'movi'
     * LIST as 'NNdc'/'NNdb' chunks whose payloads are plain JPEGs for

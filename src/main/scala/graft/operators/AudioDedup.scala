@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.SplitMix64Kernel
+import graft.multimodal.{Media, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q161/q162 — audio near-dup pairs + dedup manifest: the AUDIO
+  * instantiation of the q156/q160 machinery, closing the third
+  * modality the way images closed the second. Decode (real
+  * javax.sound.sampled WAV/PCM path) → all-integer features
+  * ([[graft.multimodal.Multimodal.audioIntFeatures]]: 16-segment
+  * energy-profile ppm shares + zero-crossing-rate ppm — the coarse
+  * loudness silhouette audio fingerprinters hash) → the SHARED
+  * centered sign-LSH kernel ([[ImageDedup.signLshPairs]], audio's
+  * own 64×17 plane/center literals) → chunk-collision candidates →
+  * exact integer L1 verify → CC clusters → canonical + multiplicity.
+  *
+  * Same honest seam as q156 (DuckDB cannot decode WAV): the engine
+  * decodes `fixtures/audio.parquet` LIVE; the oracle replays
+  * features → pairs → manifest from the spec-pinned
+  * `fixtures/audio_features.parquet`, both written by one
+  * deterministic tool run (graft.tools.GenAudioFixture — 240 clips,
+  * 120 planted near-dup pairs: the odd clip's 3rd segment amplitude
+  * nudged ~1%); MultimodalSpec pins decode → features bit-exact and
+  * fixture ≡ live recompute.
+  *
+  * Scale shape: identical to q156 — plane/center literals broadcast,
+  * map-side-combined dot partials, chunk-keyed equi-join candidates,
+  * candidate-sized verifies, linear CC additions. */
+object AudioDedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private[graft] val AudioPath = s"${ImageDedup.FixturesDir}/audio.parquet"
+  private[graft] val FeaturesPath =
+    s"${ImageDedup.FixturesDir}/audio_features.parquet"
+
+  private[graft] val Planes = 64
+  private[graft] val FeatDims = 17
+
+  /** Exact-verify bound: a ~1%-of-one-segment amplitude nudge moves
+    * the ppm profile by a few hundred; distinct waveform families
+    * measure orders of magnitude farther (measured on the fixture). */
+  private[graft] val L1Max = 40000L
+
+  /** Centering literals: the uniform-profile share for the 16 energy
+    * dims (10⁶/16), a mid-range zero-crossing rate for dim 16. */
+  private[graft] val Center: IndexedSeq[Long] =
+    IndexedSeq.fill(16)(62500L) :+ 250000L
+
+  /** Audio's own integer hyperplane literals (fresh salt). */
+  private[graft] val PlaneCoef: IndexedSeq[(Int, Int, Long)] =
+    for { j <- 0 until Planes; d <- 0 until FeatDims } yield {
+      val m = SplitMix64Kernel.mix(0x161A0D10L + j * 32L + d)
+      (j, d, ((m % 2001) + 2001) % 2001 - 1000)
+    }
+
+  private[graft] def audioNearDups(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val media = s.read.parquet(AudioPath)
+      .select(col("id"), lit("audio/wav").as("media_type"),
+        col("payload"), map().cast("map<string,string>").as("meta"))
+      .as[Media]
+    ImageDedup.signLshPairs(
+      Multimodal.audioIntFeatures(media).toDF(), PlaneCoef, Center, L1Max)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // -- audio near-dup pairs over the checked-in WAV corpus (engine
+    //    decodes live; oracle replays from the pinned features). --
+    "q161_audio_neardup" -> { (s, _) => audioNearDups(s) },
+
+    // -- the audio dedup manifest: pairs → CC → canonical +
+    //    multiplicity, Σ multiplicity = |clips| (the q160 shape). --
+    "q162_audio_dedup_manifest" -> { (s, _) =>
+      ImageDedup.manifestFrom(
+        s.read.parquet(AudioPath).select(col("id")), audioNearDups(s))
+    },
+  )
+
+  private def pairCtes: String =
+    ImageDedup.signLshPairSql(FeaturesPath, PlaneCoef, Center, L1Max)
+
+  val oracles: Map[String, String] = Map(
+    "q161_audio_neardup" ->
+      s"""WITH $pairCtes
+         |SELECT id_a, id_b, hamming, l1_dist FROM pairs""".stripMargin,
+    "q162_audio_dedup_manifest" ->
+      s"""WITH RECURSIVE $pairCtes,
+         |${ImageDedup.manifestSql(AudioPath)}""".stripMargin,
+  )
+}

@@ -248,6 +248,50 @@ class MultimodalSpec extends SparkSpec {
         l1 > 0 && l1 <= graft.operators.ImageDedup.L1Max })
   }
 
+  test("q161 integer audio features: decode → (id, d, v) bit-exact on a drawn clip") {
+    // 16 segments × 400 frames; constant-amplitude square waves —
+    // every segment carries the same |sample| mass, so each of the
+    // 16 profile shares is exactly 10⁶/16 = 62500 ppm
+    val clip = graft.tools.GenAudioFixture.wavBytes(
+      Array.tabulate(16 * 400)(i => (if (i % 2 == 0) 1000 else -1000).toShort))
+    val f = Multimodal.audioIntFeatures(mediaOf(1L -> clip))
+      .collect().map(r => r.d -> r.v).toMap
+    assert(f.size === 17)
+    (0 to 15).foreach(d => assert(f(d) === 62500L, s"dim $d = ${f(d)}"))
+    // alternating sign every frame → a crossing at every frame but
+    // the first: zc = nFrames − 1 → ppm = (6399 · 10⁶) div 6400
+    assert(f(16) === 6399L * 1000000L / 6400L)
+  }
+
+  test("q161 fixture parity: checked-in audio features ≡ live recompute from checked-in clips") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val live = Multimodal.audioIntFeatures(
+      spark.read.parquet(graft.operators.AudioDedup.AudioPath)
+        .select(col("id"), lit("audio/wav").as("media_type"),
+          col("payload"), map().cast("map<string,string>").as("meta"))
+        .as[Media]).toDF()
+    val pinned = spark.read.parquet(graft.operators.AudioDedup.FeaturesPath)
+    assert(pinned.count() === 240L * 17)
+    assert(live.exceptAll(pinned).count() === 0)
+    assert(pinned.exceptAll(live).count() === 0)
+  }
+
+  test("q161/q162 gates: exactly the planted audio pairs with nonzero distance; manifest census conserved") {
+    val pairs = graft.operators.AudioDedup.audioNearDups(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pairs.length === 120)
+    assert(pairs.forall { case (a, b, _, _) => a % 2 == 0 && b == a + 1 })
+    assert(pairs.forall { case (_, _, h, l1) =>
+      h <= graft.operators.ImageDedup.HammingMax &&
+        l1 > 0 && l1 <= graft.operators.AudioDedup.L1Max })
+    val man = graft.operators.ImageDedup.manifestFrom(
+      spark.read.parquet(graft.operators.AudioDedup.AudioPath).select(col("id")),
+      graft.operators.AudioDedup.audioNearDups(spark)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(man.length === 120 && man.map(_._2).sum === 240L)
+  }
+
   test("q160 manifest: one canonical per planted pair, census conserved") {
     val out = graft.operators.ImageDedup.imageManifest(spark).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
