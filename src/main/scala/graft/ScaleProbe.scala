@@ -414,10 +414,15 @@ object ScaleProbe {
     // generation). Null model: replica r shifts ids and permutes the
     // 16 HISTOGRAM dims through a seeded bijection — every image in a
     // replica gets the SAME permutation, so within-replica L1
-    // structure (and the planted near-dup pairs) is EXACTLY
-    // preserved, while cross-replica fingerprints decorrelate (the
-    // hyperplanes are not symmetric under dim permutation). Claim:
-    // chunk-collision candidates grow ~k, verified pairs exactly k×.
+    // structure is EXACTLY preserved, while cross-replica fingerprints
+    // decorrelate (the hyperplanes are not symmetric under dim
+    // permutation). NOTE the fingerprints themselves are NOT
+    // permutation-invariant: a permuted replica's planted pair could
+    // in principle drift past the Hamming ≤ 3 candidate gate, so
+    // "verified pairs ~k×" is an EMPIRICAL recall claim (measured
+    // α≈1.01), not preservation by construction — only the L1 verify
+    // side is invariant (round-9 advice #3). Claim: chunk-collision
+    // candidates grow ~k, verified pairs ~k×.
     if (runAll || sections("r9b")) {
       val f0 = spark.read
         .parquet(graft.operators.ImageDedup.FeaturesPath)
@@ -448,7 +453,7 @@ object ScaleProbe {
         else math.log(vb.toDouble / va) / math.log(kb.toDouble / ka)
       }
       val a156 = aOf2(g156.map(r => (r._1, r._2)))
-      println(f"""{"metric":"r9b_probe_exponents","alpha":{"q156_pairs":$a156%.2f},"note":"q156 verified pairs ~1 under dim-permutation replication (planted structure exactly preserved per replica)"}""")
+      println(f"""{"metric":"r9b_probe_exponents","alpha":{"q156_pairs":$a156%.2f},"note":"q156 verified pairs ~1 under dim-permutation replication (within-replica L1 preserved by construction; candidate recall empirical)"}""")
     }
 
     if (!runAll) { spark.stop(); return }

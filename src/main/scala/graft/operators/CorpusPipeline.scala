@@ -229,6 +229,17 @@ object CorpusPipeline {
       |  }
       |}""".stripMargin
 
+  /** q163 — the v4 chain with the training node swapped for its
+    * SAMPLED sibling (`Perceptron.trainPocketSampled`): the trained
+    * gate's 100 TB posture — K epochs over a ~fixed-size deterministic
+    * splitmix64 doc sample instead of K full-corpus scans, the full
+    * corpus touched only by the scoring pass. The spec is the v4
+    * document with one node renamed — the declarative surface is the
+    * point: swapping a training strategy is a spec edit, not a
+    * pipeline rewrite. */
+  private[graft] val specJsonV5 =
+    specJsonV4.replace("train_quality", "train_quality_sampled")
+
   private def in(args: Map[String, Any]): DataFrame =
     args("df").asInstanceOf[DataFrame]
 
@@ -266,6 +277,9 @@ object CorpusPipeline {
       // the dedup hot-gram precedent); classifier_keep's output is
       // read twice by temperatureKeep → persisted
       "train_quality" -> Transform(a => Perceptron.trainPocket(in(a))),
+      // q163: the sampled sibling — per-epoch work is sample-sized
+      "train_quality_sampled" ->
+        Transform(a => Perceptron.trainPocketSampled(in(a))),
       "classifier_keep" -> Transform(a => cached(Perceptron.classifierKeep(
         in(a), a("weights").asInstanceOf[DataFrame]))),
       "temperature_mix" -> Transform(a => Mixing.temperatureKeep(in(a))),
@@ -322,7 +336,48 @@ object CorpusPipeline {
     "q153_corpus_prep_v4" -> { (s, dir) =>
       materialized(s, dir, specJsonV4)
     },
+    "q163_corpus_prep_sampled" -> { (s, dir) =>
+      materialized(s, dir, specJsonV5)
+    },
   )
+
+  /** The v4 composed oracle parameterized over the training CTE
+    * chain — q153 passes the full-corpus `trainCtes`, q163 the
+    * sampled `trainCtesSampled`; both end at `wp(b, w)`, which the
+    * shared classifier-keep fragment scores with. */
+  private def v4OracleWith(trainCtes: String): String =
+    s"""WITH $trainCtes,
+       |scrubbed AS MATERIALIZED (
+       |${RepeatedSpans.scrubSql("documents")}),
+       |cleaned AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM scrubbed d JOIN (
+       |${TextAnalysis.cleanKeepIdsSql("scrubbed")}
+       |) k USING (doc_id)),
+       |headkept AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM cleaned d JOIN (
+       |${Curation.headKeepIdsSql("cleaned")}
+       |) k USING (doc_id)),
+       |embsub AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding
+       |  FROM embeddings e JOIN headkept h ON e.vec_id = h.doc_id),
+       |semkept AS MATERIALIZED (
+       |  SELECT doc_id, lang, text FROM headkept
+       |  WHERE doc_id NOT IN (SELECT vec_id FROM (
+       |${Similarity.semDedupRemovedSql("embsub", "0.4")}
+       |))),
+       |clskept AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM semkept d JOIN (
+       |${Perceptron.classifierKeepIdsSql("semkept")}
+       |) k USING (doc_id)),
+       |mixed AS (
+       |${Mixing.temperatureSql("clskept", "d.doc_id, d.lang, d.text")}),
+       |packed AS (
+       |${Mixing.shardPackSql("mixed", "doc_id, lang, text, shard")}),
+       |${TextAnalysis.chunkSql("packed", "doc_id, lang, shard, bin")
+            .stripPrefix("WITH ")}""".stripMargin
 
   /** Composed oracle: each stage's OWN generated SQL, scoped to the
     * previous stage's CTE (DuckDB allows a WITH inside a CTE body;
@@ -402,39 +457,12 @@ object CorpusPipeline {
     // MATERIALIZED (read by the scoring featurization AND the keep
     // join); the binned threshold replays the engine's shifted
     // nonnegative integer div.
-    "q153_corpus_prep_v4" ->
-      s"""WITH ${Perceptron.trainCtes},
-         |scrubbed AS MATERIALIZED (
-         |${RepeatedSpans.scrubSql("documents")}),
-         |cleaned AS MATERIALIZED (
-         |  SELECT d.doc_id, d.lang, d.text
-         |  FROM scrubbed d JOIN (
-         |${TextAnalysis.cleanKeepIdsSql("scrubbed")}
-         |) k USING (doc_id)),
-         |headkept AS MATERIALIZED (
-         |  SELECT d.doc_id, d.lang, d.text
-         |  FROM cleaned d JOIN (
-         |${Curation.headKeepIdsSql("cleaned")}
-         |) k USING (doc_id)),
-         |embsub AS MATERIALIZED (
-         |  SELECT e.vec_id, e.embedding
-         |  FROM embeddings e JOIN headkept h ON e.vec_id = h.doc_id),
-         |semkept AS MATERIALIZED (
-         |  SELECT doc_id, lang, text FROM headkept
-         |  WHERE doc_id NOT IN (SELECT vec_id FROM (
-         |${Similarity.semDedupRemovedSql("embsub", "0.4")}
-         |))),
-         |clskept AS (
-         |  SELECT d.doc_id, d.lang, d.text
-         |  FROM semkept d JOIN (
-         |${Perceptron.classifierKeepIdsSql("semkept")}
-         |) k USING (doc_id)),
-         |mixed AS (
-         |${Mixing.temperatureSql("clskept", "d.doc_id, d.lang, d.text")}),
-         |packed AS (
-         |${Mixing.shardPackSql("mixed", "doc_id, lang, text, shard")}),
-         |${TextAnalysis.chunkSql("packed", "doc_id, lang, shard, bin")
-              .stripPrefix("WITH ")}""".stripMargin,
+    "q153_corpus_prep_v4" -> v4OracleWith(Perceptron.trainCtes),
+
+    // q163: the identical composed chain — the training CTEs swap to
+    // the sampled variant (tok reads the splitmix64-filtered
+    // documents), everything downstream byte-identical.
+    "q163_corpus_prep_sampled" -> v4OracleWith(Perceptron.trainCtesSampled),
 
     "q104_corpus_prep_scrubbed" ->
       s"""WITH scrubbed AS MATERIALIZED (

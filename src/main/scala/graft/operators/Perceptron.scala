@@ -193,6 +193,43 @@ object Perceptron {
     pocket
   }
 
+  /** q163 — SAMPLED training, the 100 TB posture for the trained
+    * gate: q144/q153 train over the FULL corpus features for K
+    * epochs (8 corpus scans to fit a ≤2¹⁶-row model); production
+    * quality filters fit on ~10⁵–10⁶ SAMPLED docs and spend the
+    * corpus-linear budget once, on scoring. The sample is a
+    * deterministic splitmix64 keep (the q70/q88 replay contract —
+    * the oracle replays the identical draw) targeting a FIXED count
+    * of ~[[SampleTarget]] docs: rate = T/n off a 1-row count dim.
+    * The rate is corpus-ADAPTIVE (the q153 bin-width lesson applied
+    * prospectively) — a fixed FRACTION would still scan corpus/K per
+    * epoch at 100 TB, a fixed TARGET makes the training wall ~flat
+    * in corpus size (ScaleProbe r10) with scoring the only linear
+    * pass. T/n is one integer-by-integer IEEE division, exact on
+    * both engines (the division-needs-no-quantization contract), and
+    * at tiny scales rate ≥ 1 degrades gracefully to full-corpus
+    * training. */
+  private[graft] val SampleTarget = 256L
+  private[graft] val SampleSalt = 163L
+
+  /** Deterministic doc sample: keep where uniform(doc_id, salt) <
+    * T/n. The 1-row count dim broadcasts; the draw is keyed by
+    * doc_id, so the sample is partitioning-independent. */
+  private[graft] def sampleDocs(d: DataFrame): DataFrame = {
+    val n = broadcast(d.agg(count(lit(1)).as("n_all")))
+    d.crossJoin(n)
+      .filter(SplitMix64.uniform(col("doc_id"), SampleSalt) <
+        lit(SampleTarget.toDouble) / col("n_all").cast("double"))
+      .drop("n_all")
+  }
+
+  /** Train the pocket on the deterministic sample — the q163
+    * pipeline's `train_quality_sampled` node. Per-epoch work is
+    * sample-sized (~[[SampleTarget]] docs); the full corpus is only
+    * ever touched by the downstream scoring pass. */
+  private[graft] def trainPocketSampled(d: DataFrame): DataFrame =
+    trainPocket(sampleDocs(d))
+
   /** Score ANY documents-shaped frame with a trained weight table:
     * (doc_id, score), every doc scored (the bias bucket guarantees a
     * feature row). Scale shape: feature explode is map-side; one
@@ -206,7 +243,7 @@ object Perceptron {
   /** q153's classifier-keep: score `docs` with the pocket weights
     * trained on `labeled`, keep the TOP HALF by score at SCORE-BIN
     * granularity — the q123 binned-threshold pattern: the global-
-    * order step runs over a bounded bin table (≤ range/2¹² bins),
+    * order step runs over a bounded bin table (≤ 2¹⁴+1 rows),
     * never a corpus-sized sort, and every doc in a bin gets the same
     * verdict, so the rule is deterministic on any engine and
     * partitioning. Top-fraction rather than sign(score): on a
@@ -290,6 +327,28 @@ object Perceptron {
         "(1000000L * n_pos) div n_docs AS pos_rate_ppm")
   }
 
+  /** Calibration table over a labeled frame and a GIVEN weight table
+    * — the q158 harness generalized so PerceptronSpec can ask the
+    * q163 question directly: do the SAMPLED weights' scores still
+    * RANK the positive class on the full corpus? Same adaptive bins,
+    * same integer census as [[calibration]]. */
+  private[graft] def calibrationOf(d: DataFrame, w: DataFrame): DataFrame = {
+    val labels = d.select(col("doc_id"),
+      when(col("source") === Curation.DsirTarget, 1L).otherwise(-1L).as("y"))
+    val scored = scoreDocs(d, w).join(labels, "doc_id").localCheckpoint(true)
+    val ext = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    scored.crossJoin(broadcast(ext))
+      .select(
+        expr(s"(score - lo) div greatest((hi - lo) div ${CalBins}L, 1L)")
+          .as("sb"),
+        col("y"))
+      .groupBy(col("sb"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"))
+      .selectExpr("sb", "n_docs", "n_pos",
+        "(1000000L * n_pos) div n_docs AS pos_rate_ppm")
+  }
+
   /** Generated oracle: the SAME K epochs unrolled as a CTE chain
     * (the q114/q118 playbook) — shared feature CTEs, per epoch
     * scores → mistakes → bucket update → merged weights, one extra
@@ -306,7 +365,21 @@ object Perceptron {
     * RAW `documents` table, ending at `wp(b, w)` — shared by the q144
     * oracle and the q153 composed-pipeline oracle (whose
     * classifier_keep stage scores with exactly these weights). */
-  private[operators] def trainCtes: String = {
+  private[operators] def trainCtes: String = trainCtesOver("documents")
+
+  /** The q163 sample predicate, replayed: the identical splitmix64
+    * draw against the identical corpus-adaptive rate T/n (both
+    * divisions IEEE-exact). */
+  private[operators] def sampleWhereSql: String =
+    s"${SplitMix64.uniformSql("doc_id", SampleSalt)} < " +
+      s"CAST($SampleTarget AS DOUBLE) / " +
+      s"CAST((SELECT count(*) FROM documents) AS DOUBLE)"
+
+  /** [[trainCtes]] over the deterministic q163 doc sample. */
+  private[operators] def trainCtesSampled: String =
+    trainCtesOver(s"(SELECT * FROM documents WHERE $sampleWhereSql)")
+
+  private def trainCtesOver(src: String): String = {
     val ph = SplitMix64.polyHashSql("g")
     val mx = SplitMix64.mixSql("p")
     val cost = "CASE WHEN y = 1 THEN (SELECT r FROM ratio) ELSE 1 END"
@@ -333,7 +406,7 @@ object Perceptron {
        |  SELECT doc_id,
        |    CASE WHEN source = '${Curation.DsirTarget}' THEN 1 ELSE -1 END AS y,
        |    string_split_regex(text, '\\s+') AS t
-       |  FROM documents),
+       |  FROM $src),
        |gi AS (
        |  SELECT doc_id, y, t,
        |    unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i

@@ -248,6 +248,34 @@ class MultimodalSpec extends SparkSpec {
         l1 > 0 && l1 <= graft.operators.ImageDedup.L1Max })
   }
 
+  test("q164 closed form: analytic features ≡ decoded features across pair and unique ids") {
+    import graft.multimodal.ImageGen
+    // covers both branches: pair groups (g%4==0) and unique images,
+    // through the REAL draw → PNG → decode → pixel-loop path
+    val ids = (0L until 64L) ++ (490L until 500L)
+    val media = mediaOf(ids.map(id => id -> ImageGen.drawScaled(id)): _*)
+    val live = Multimodal.imageIntFeatures(media)
+      .collect().map(r => (r.id, r.d) -> r.v).toMap
+    assert(live.size === ids.size * 19)
+    ids.foreach { id =>
+      ImageGen.featuresOfScaled(id).foreach { case (d, v) =>
+        assert(live((id, d)) === v,
+          s"id=$id d=$d closed-form $v != decoded ${live((id, d))}")
+      }
+    }
+  }
+
+  test("q164 gate: planted pairs recovered on the sf0.001-scaled corpus") {
+    val pairs = graft.operators.ImageDedup
+      .scaledImageNearDups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted: (2g, 2g+1) for g % 4 == 0, ids < 500 → 63 pairs
+    val planted = (0L until 250L).filter(_ % 4 == 0)
+      .map(g => (2 * g, 2 * g + 1)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing planted pairs: ${(planted -- pairs).take(5)}")
+  }
+
   test("q161 integer audio features: decode → (id, d, v) bit-exact on a drawn clip") {
     // 16 segments × 400 frames; constant-amplitude square waves —
     // every segment carries the same |sample| mass, so each of the

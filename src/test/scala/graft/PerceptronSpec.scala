@@ -105,6 +105,39 @@ class PerceptronSpec extends SparkSpec {
     assert(out.forall(_._4 === -1L))
   }
 
+  test("q163: the sample is deterministic, ~target-sized, and partitioning-independent") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val n = d.count()
+    val s1 = Perceptron.sampleDocs(d).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val s2 = Perceptron.sampleDocs(d.repartition(7, col("text")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(s1.toSeq === s2.toSeq, "sample must not depend on partitioning")
+    // rate = T/n with T=256, n=500 → expect ~256 kept; allow wide
+    // binomial slack but refuse both degenerate extremes
+    assert(s1.length > n / 4 && s1.length < n,
+      s"sample size ${s1.length} of $n")
+  }
+
+  test("q163: sampled-vs-full calibration — the sampled score still RANKS on the full corpus") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val wS = Perceptron.trainPocketSampled(d)
+    val cal = Perceptron.calibrationOf(d, wS).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // census conservation: every doc scored (bias bucket) and binned
+    assert(cal.map(_._2).sum === d.count())
+    val mid = cal.map(_._1).max / 2
+    val (hi, lo) = cal.partition(_._1 > mid)
+    def rate(xs: Array[(Long, Long, Long, Long)]) =
+      xs.map(_._3).sum.toDouble / math.max(xs.map(_._2).sum, 1L)
+    // the q158 question asked of the SAMPLED weights: training on
+    // ~half the docs (T/n at sf0.001) must still put a higher
+    // positive rate in the top half of score bins
+    assert(rate(hi) > rate(lo),
+      s"sampled top-half rate ${rate(hi)} not above bottom-half ${rate(lo)}")
+  }
+
   test("q144: bit-identical across reruns and input partitioning") {
     val base = Seq((0L, "src7", "alpha beta alpha"),
       (1L, "src0", "gamma delta gamma"), (2L, "src0", "alpha delta gamma"),

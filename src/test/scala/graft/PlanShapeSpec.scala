@@ -352,8 +352,7 @@ class PlanShapeSpec extends SparkSpec {
     // the only broadcast sides
     assert(p.contains("BroadcastHashJoin"), p)
     // chunk-collision candidates: an equi-join on (chunk_id, chunk)
-    assert(keyedExchanges(p, "chunk_id") >= 1 ||
-      p.contains("chunk_id"), p)
+    assert(keyedExchanges(p, "chunk_id") >= 1, p)
   }
 
   test("q155: E-step is a piece-keyed merge join (vocab never broadcasts) feeding the codegen Viterbi kernel; counts map-side combine") {

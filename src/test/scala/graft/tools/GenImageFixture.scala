@@ -1,6 +1,5 @@
 package graft.tools
 
-import graft.functions.SplitMix64Kernel
 import graft.multimodal.{Media, Multimodal}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -27,37 +26,16 @@ import org.apache.spark.sql.functions._
 object GenImageFixture {
 
   val NumImages = 240
-  val W = 32
-  val H = 24
 
-  /** Deterministic parameter stream for group g. */
-  private def p(g: Long, salt: Long, mod: Int): Int = {
-    val m = SplitMix64Kernel.mix(0x1336F00DL + g * 131L + salt)
-    (((m % mod) + mod) % mod).toInt
-  }
-
-  def drawPng(id: Long): Array[Byte] = {
-    val g = id / 2
-    val shift = (id % 2).toInt // the near-dup perturbation
-    val img = new java.awt.image.BufferedImage(
-      W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g2 = img.createGraphics()
-    g2.setColor(new java.awt.Color(p(g, 1, 256), p(g, 2, 256), p(g, 3, 256)))
-    g2.fillRect(0, 0, W, H)
-    g2.setColor(new java.awt.Color(p(g, 4, 256), p(g, 5, 256), p(g, 6, 256)))
-    // the odd image's rectangle is one pixel WIDER — a shift would
-    // leave every pixel count (hence every feature) identical; the
-    // size change moves the features by one pixel-column's worth, a
-    // true small-but-nonzero perturbation
-    g2.fillRect(2 + p(g, 7, W / 2), 2 + p(g, 8, H / 2),
-      4 + p(g, 9, W / 4) + shift, 4 + p(g, 10, H / 4))
-    g2.setColor(new java.awt.Color(p(g, 11, 256), p(g, 12, 256), p(g, 13, 256)))
-    g2.fillRect(0, p(g, 14, H), W, 2)
-    g2.dispose()
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  /** The drawing moved to main scope in round 10 (q164 shares it):
+    * [[graft.multimodal.ImageGen.drawPair]] is byte-identical to the
+    * round-9 in-file version — the odd image's rectangle one pixel
+    * WIDER (a shift would leave every pixel count, hence every
+    * feature, identical; the size change is a true near-dup
+    * perturbation). MultimodalSpec's fixture-parity test pins the
+    * checked-in parquet against this function. */
+  def drawPng(id: Long): Array[Byte] =
+    graft.multimodal.ImageGen.drawPair(id)
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/fixtures")
