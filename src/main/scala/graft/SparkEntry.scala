@@ -50,6 +50,8 @@ object SparkEntry {
       (UnigramLM.queries, UnigramLM.oracles),
       (ImageDedup.queries, ImageDedup.oracles),
       (AudioDedup.queries, AudioDedup.oracles),
+      (VideoDedup.queries, VideoDedup.oracles),
+      (CrossModal.queries, CrossModal.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

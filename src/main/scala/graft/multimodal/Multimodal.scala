@@ -163,6 +163,37 @@ object Multimodal {
     * honest-seam precedent, with MultimodalSpec pinning
     * decode → features bit-exact). Undecodable payloads emit no
     * rows. */
+  /** The per-image integer feature vector (length bins+3): dims 0–2
+    * milli-level channel means, dims 3.. the ppm luminance histogram —
+    * the shared pixel loop of [[imageIntFeatures]] and the per-frame
+    * step of [[videoIntFeatures]]. */
+  private[graft] def intFeatureVec(img: java.awt.image.BufferedImage,
+      bins: Int = 16): Array[Long] = {
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](bins)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        sr += r; sg += g; sb += b
+        val lum = (r * 299 + g * 587 + b * 114) / 1000
+        hist(lum * bins / 256) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val out = new Array[Long](bins + 3)
+    out(0) = sr * 1000L / n; out(1) = sg * 1000L / n; out(2) = sb * 1000L / n
+    var i = 0
+    while (i < bins) { out(3 + i) = hist(i) * 1000000L / n; i += 1 }
+    out
+  }
+
   def imageIntFeatures(media: Dataset[Media], bins: Int = 16): Dataset[ImageFeatRow] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -170,31 +201,53 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)   // once per partition
       iter.flatMap { m =>
         decodeImage(m.payload).toSeq.flatMap { img =>
-          val w = img.getWidth; val h = img.getHeight
-          var sr = 0L; var sg = 0L; var sb = 0L
-          val hist = new Array[Long](bins)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
-              val b = rgb & 0xFF
-              sr += r; sg += g; sb += b
-              val lum = (r * 299 + g * 587 + b * 114) / 1000
-              hist(lum * bins / 256) += 1L
-              x += 1
-            }
-            y += 1
+          intFeatureVec(img, bins).zipWithIndex.map { case (v, d) =>
+            ImageFeatRow(m.id, d, v)
           }
-          val n = w.toLong * h
-          val means = Array(sr, sg, sb).zipWithIndex.map { case (s, i) =>
-            ImageFeatRow(m.id, i, s * 1000L / n)
+        }
+      }
+    }
+  }
+
+  /** ALL-INTEGER per-clip VIDEO features (q165's seam): decode the
+    * MJPEG-AVI frames ([[aviVideoFrames]] + the imageio JPEG path),
+    * extract each frame's integer image features, then TEMPORAL-POOL
+    * — per segment s of the frame sequence (ceil-split like the audio
+    * segmenter), the per-dim integer MEAN (sum div count) of the
+    * frame features, exploded to (id, d = s·(bins+3)+dim, v). This is
+    * the coarse "feature silhouette over time" that video
+    * fingerprinters hash — robust to single-frame noise, sensitive to
+    * content. Pure integer arithmetic above the (deterministic) JPEG
+    * decode, so a checked-in feature fixture replays bit-identically
+    * (the q156/q161 honest-seam pattern — DuckDB cannot parse AVI).
+    * Non-AVI payloads emit no rows. */
+  def videoIntFeatures(media: Dataset[Media], segments: Int = 4,
+      bins: Int = 16): Dataset[ImageFeatRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val dims = bins + 3
+    media.mapPartitions { iter =>
+      javax.imageio.ImageIO.setUseCache(false)   // once per partition
+      iter.flatMap { m =>
+        val frames = aviVideoFrames(m.payload).flatMap(decodeImage(_))
+        if (frames.isEmpty) Seq.empty
+        else {
+          val n = frames.length
+          val segLen = (n + segments - 1) / segments
+          val sums = Array.ofDim[Long](segments, dims)
+          val cnts = new Array[Long](segments)
+          frames.zipWithIndex.foreach { case (img, f) =>
+            val s = f / segLen
+            val fv = intFeatureVec(img, bins)
+            var d = 0
+            while (d < dims) { sums(s)(d) += fv(d); d += 1 }
+            cnts(s) += 1
           }
-          val shares = hist.zipWithIndex.map { case (c, i) =>
-            ImageFeatRow(m.id, 3 + i, c * 1000000L / n)
+          (0 until segments).flatMap { s =>
+            if (cnts(s) == 0) Seq.empty
+            else (0 until dims).map(d =>
+              ImageFeatRow(m.id, s * dims + d, sums(s)(d) / cnts(s)))
           }
-          means ++ shares
         }
       }
     }

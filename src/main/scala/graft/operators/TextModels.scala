@@ -125,6 +125,103 @@ object TextModels {
       .agg(count(lit(1)).cast("long").as("n_docs"))
   }
 
+  // ---- q168 trainable char-n-gram langid ------------------------------
+
+  /** q168 — a langid that can actually RECOVER labels (round-9 verdict
+    * #5): the honest q152 finding stood two rounds — the q42 stop-word
+    * scorer predicts en/und only on this synthetic corpus, because the
+    * corpus has no real language signal for es/fr/de. This query
+    * PLANTS the signal and trains the classifier: a deterministic
+    * pseudo-language per doc (doc_id mod 3) realized as a per-language
+    * character substitution (`translate` — evaluable identically on
+    * both engines), then a char-BIGRAM multinomial Naive Bayes (the
+    * q110 machinery with characters for words: counts = keyed
+    * groupBys, +1-smoothed micro-nat likelihoods quantized per cell)
+    * trained on the q70 'train' split and evaluated on 'test' through
+    * the q152 confusion harness (recall/precision in flooring ppm per
+    * cell). The planted substitutions shift the char-bigram
+    * distribution hard, so the diagonal is non-trivial — the
+    * train → classify → evaluate loop closed for the second
+    * classifier family (TextModelsSpec pins the planted recovery).
+    *
+    * Scale shape: the char-bigram explode is map-side (one row per
+    * character — the same corpus-linear shape as every tokenizer
+    * query); training collapses immediately to (bigram × class)
+    * vocabulary scale; the likelihood table joins the test profile on
+    * the bigram key (merge, never broadcast — char-bigram vocab grows
+    * with the alphabet², bounded, but the hint keeps the plan shape
+    * uniform with q110); the confusion matrix is ≤ 9 cells. */
+  private[graft] def charLangidConfusion(d: DataFrame): DataFrame = {
+    val m3 = pmod(col("doc_id"), lit(3))
+    val ptext = when(m3 === 0, col("text"))
+      .when(m3 === 1, translate(col("text"), "aeiou", "xqzwy"))
+      .otherwise(translate(col("text"), "rstln", "vkpgj"))
+    val ds = d.select(col("doc_id"),
+      concat(lit("L"), m3.cast("string")).as("gold_lang"),
+      ptext.as("ptext"), splitCol.as("split"))
+    val train = ds.filter(col("split") === "train")
+    val test = ds.filter(col("split") === "test")
+
+    // char bigrams by position explode; sequence(1, max(len-1, 1))
+    // + the i ≤ len−1 filter keeps the frame total on 0/1-char texts
+    // (sequence would run DESCENDING on an empty range)
+    def bigrams(df: DataFrame, keep: String*): DataFrame =
+      df.select(keep.map(col) :+ col("ptext") :+ explode(expr(
+        "sequence(1, greatest(length(ptext) - 1, 1))")).as("i"): _*)
+        .filter(col("i") <= length(col("ptext")) - 1)
+        .select(keep.map(col) :+
+          expr("substring(ptext, CAST(i AS INT), 2)").as("w"): _*)
+
+    val cls = train.groupBy(col("gold_lang").as("cls"))
+      .agg(count(lit(1)).as("n_c"))
+    val nd = train.agg(count(lit(1)).as("n"))
+    val pri = cls.crossJoin(broadcast(nd))
+      .select(col("cls"),
+        round(log(col("n_c").cast("double") / col("n").cast("double")) * U)
+          .cast("long").as("prior_unats"))
+
+    val tocc = bigrams(train, "gold_lang")
+      .select(col("gold_lang").as("cls"), col("w"))
+    val cwc = tocc.groupBy(col("w"), col("cls")).agg(count(lit(1)).as("c_wc"))
+    val tc = tocc.groupBy(col("cls")).agg(count(lit(1)).as("t_c"))
+    val vocab = tocc.select(col("w")).distinct()
+    val vv = vocab.agg(count(lit(1)).as("v"))
+    val lw = vocab.crossJoin(broadcast(tc))
+      .join(cwc.hint("shuffle_merge"), Seq("w", "cls"), "left")
+      .crossJoin(broadcast(vv))
+      .select(col("w"), col("cls"),
+        round(log((coalesce(col("c_wc"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t_c") + col("v")).cast("double")) * U)
+          .cast("long").as("lw_unats"))
+
+    val docw = bigrams(test, "doc_id", "gold_lang")
+      .groupBy(col("doc_id"), col("gold_lang"), col("w"))
+      .agg(count(lit(1)).as("n_w"))
+    val sdc = docw.join(lw.hint("shuffle_merge"), "w")
+      .groupBy(col("doc_id"), col("gold_lang"), col("cls"))
+      .agg(sum(col("n_w") * col("lw_unats")).as("tok_unats"))
+    val scored = test.select(col("doc_id"), col("gold_lang"))
+      .crossJoin(broadcast(pri))
+      .join(sdc.hint("shuffle_merge"),
+        Seq("doc_id", "gold_lang", "cls"), "left")
+      .select(col("doc_id"), col("gold_lang"), col("cls"),
+        (col("prior_unats") + coalesce(col("tok_unats"), lit(0L)))
+          .as("score_unats"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_unats").desc, col("cls"))
+    val m = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("gold_lang"), col("cls").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    m.withColumn("n_gold",
+        sum(col("n_docs")).over(Window.partitionBy(col("gold_lang"))))
+      .withColumn("n_pred",
+        sum(col("n_docs")).over(Window.partitionBy(col("pred_lang"))))
+      .selectExpr("gold_lang", "pred_lang", "n_docs", "n_gold", "n_pred",
+        "n_docs * 1000000 div n_gold AS cell_of_gold_ppm",
+        "n_docs * 1000000 div n_pred AS cell_of_pred_ppm")
+  }
+
   // ---- q111 weighted log-odds ---------------------------------------
 
   private[graft] val LoTopK = 10
@@ -358,6 +455,9 @@ object TextModels {
     "q138_kneser_ney" -> { (s, dir) =>
       kneserNey(Tables.load(s, dir, "documents"))
     },
+    "q168_char_langid" -> { (s, dir) =>
+      charLangidConfusion(Tables.load(s, dir, "documents"))
+    },
   )
 
   // ---- DuckDB oracles ----------------------------------------------
@@ -582,10 +682,83 @@ object TextModels {
        |    // CAST(sum(n_occ) AS BIGINT) AS BIGINT) AS mean_kn_surprisal_unats
        |FROM sg GROUP BY doc_id""".stripMargin
 
+  /** q168: the q110 replay pattern over char bigrams of the planted
+    * pseudo-language texts + the q152 window censuses. */
+  private val oracle168: String =
+    s"""WITH ds AS (
+       |  SELECT doc_id,
+       |    'L' || CAST(doc_id % 3 AS VARCHAR) AS gold_lang,
+       |    CASE WHEN doc_id % 3 = 0 THEN text
+       |         WHEN doc_id % 3 = 1 THEN translate(text, 'aeiou', 'xqzwy')
+       |         ELSE translate(text, 'rstln', 'vkpgj') END AS ptext,
+       |    $splitSql AS split
+       |  FROM documents),
+       |tr AS (SELECT * FROM ds WHERE split = 'train'),
+       |te AS (SELECT * FROM ds WHERE split = 'test'),
+       |cls AS (SELECT gold_lang AS cls, count(*) AS n_c
+       |        FROM tr GROUP BY gold_lang),
+       |nd AS (SELECT count(*) AS n FROM tr),
+       |pri AS (
+       |  SELECT cls, CAST(round(ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+       |    * 1000000) AS BIGINT) AS prior FROM cls, nd),
+       |tri AS (
+       |  SELECT gold_lang AS cls, ptext,
+       |    unnest(generate_series(1, greatest(length(ptext) - 1, 1))) AS i
+       |  FROM tr),
+       |tocc AS MATERIALIZED (
+       |  SELECT cls, substring(ptext, CAST(i AS INT), 2) AS w
+       |  FROM tri WHERE i <= length(ptext) - 1),
+       |cwc AS (SELECT w, cls, count(*) AS c_wc FROM tocc GROUP BY w, cls),
+       |tc AS (SELECT cls, count(*) AS t_c FROM tocc GROUP BY cls),
+       |vocab AS (SELECT DISTINCT w FROM tocc),
+       |vv AS (SELECT count(*) AS v FROM vocab),
+       |lw AS MATERIALIZED (
+       |  SELECT vocab.w, tc.cls,
+       |    CAST(round(ln(CAST(coalesce(c_wc, 0) + 1 AS DOUBLE)
+       |      / CAST(t_c + v AS DOUBLE)) * 1000000) AS BIGINT) AS lw
+       |  FROM vocab CROSS JOIN tc
+       |  LEFT JOIN cwc ON cwc.w = vocab.w AND cwc.cls = tc.cls
+       |  CROSS JOIN vv),
+       |tei AS (
+       |  SELECT doc_id, gold_lang, ptext,
+       |    unnest(generate_series(1, greatest(length(ptext) - 1, 1))) AS i
+       |  FROM te),
+       |docw AS (
+       |  SELECT doc_id, gold_lang, w, count(*) AS n_w FROM (
+       |    SELECT doc_id, gold_lang,
+       |      substring(ptext, CAST(i AS INT), 2) AS w
+       |    FROM tei WHERE i <= length(ptext) - 1)
+       |  GROUP BY doc_id, gold_lang, w),
+       |sdc AS (
+       |  SELECT doc_id, gold_lang, cls, sum(n_w * lw) AS tok
+       |  FROM docw JOIN lw USING (w) GROUP BY doc_id, gold_lang, cls),
+       |scored AS (
+       |  SELECT t.doc_id, t.gold_lang, p.cls,
+       |    p.prior + coalesce(s.tok, 0) AS score
+       |  FROM te t CROSS JOIN pri p
+       |  LEFT JOIN sdc s ON s.doc_id = t.doc_id AND s.cls = p.cls),
+       |prd AS (
+       |  SELECT doc_id, gold_lang, cls AS pred_lang FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |m AS (
+       |  SELECT gold_lang, pred_lang, count(*) AS n_docs
+       |  FROM prd GROUP BY gold_lang, pred_lang)
+       |SELECT gold_lang, pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(sum(n_docs) OVER (PARTITION BY gold_lang) AS BIGINT) AS n_gold,
+       |  CAST(sum(n_docs) OVER (PARTITION BY pred_lang) AS BIGINT) AS n_pred,
+       |  CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY gold_lang)
+       |    AS BIGINT) AS cell_of_gold_ppm,
+       |  CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY pred_lang)
+       |    AS BIGINT) AS cell_of_pred_ppm
+       |FROM m""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q110_naive_bayes" -> oracle110,
     "q111_logodds_terms" -> oracle111,
     "q112_stupid_backoff" -> oracle112,
     "q138_kneser_ney" -> oracle138,
+    "q168_char_langid" -> oracle168,
   )
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.SplitMix64Kernel
+import graft.multimodal.{Media, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q165/q166 — video near-dup pairs + dedup manifest: the FOURTH
+  * modality through the shared fingerprint machinery (round-9 verdict
+  * #3), closing the one decode path that did not yet feed the dedup
+  * family. Decode (the real pure-JVM MJPEG-in-AVI walk +
+  * javax.imageio JPEG frames) → per-clip TEMPORAL POOLING
+  * ([[graft.multimodal.Multimodal.videoIntFeatures]]: per-segment
+  * integer means of the per-frame image features — the coarse
+  * "feature silhouette over time" video fingerprinters hash; 4
+  * segments × 19 dims = 76) → the SAME generalized centered sign-LSH
+  * kernel ([[ImageDedup.signLshPairs]], video's own 64×76
+  * plane/center literals) → chunk-collision candidates → exact
+  * integer L1 verify → CC clusters → canonical + multiplicity.
+  *
+  * Same honest seam as q156/q161 (DuckDB cannot parse AVI or decode
+  * JPEG): the engine decodes `fixtures/video.parquet` LIVE; the
+  * oracle replays features → pairs → manifest from the spec-pinned
+  * `fixtures/video_features.parquet`, both written by one
+  * deterministic tool run (graft.tools.GenVideoFixture — 240 clips ×
+  * 8 frames, 120 planted near-dup pairs: ONE deterministic frame of
+  * the odd clip has its rectangle one pixel wider, so exactly one
+  * temporal segment's pooled features move — the q156
+  * perturb-the-FEATURES lesson applied to video; measured planted L1
+  * ∈ [59, 62480] vs ≥ 3.4M for unrelated clips);
+  * MultimodalSpec pins decode → pooled features and fixture ≡ live
+  * recompute.
+  *
+  * Scale shape: identical to q156/q161 — the frame walk + decode +
+  * pooling is map-side over the media scan (no shuffle added; one
+  * output row per (clip, dim), never per frame), plane/center
+  * literals broadcast, chunk-keyed equi-join candidates,
+  * candidate-sized verifies, linear CC additions. */
+object VideoDedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private[graft] val VideoPath = s"${ImageDedup.FixturesDir}/video.parquet"
+  private[graft] val FeaturesPath =
+    s"${ImageDedup.FixturesDir}/video_features.parquet"
+
+  private[graft] val Planes = 64
+  private[graft] val Segments = 4
+  private[graft] val FeatDims = Segments * 19 // 76
+
+  /** Exact-verify bound: a one-pixel rectangle grow in ONE frame,
+    * pooled over its 2-frame segment through JPEG decode, measures
+    * L1 ∈ [59, 62480] on the fixture; unrelated clips measure
+    * ≥ 3.4M — a 54× gap above this bound. */
+  private[graft] val L1Max = 80000L
+
+  /** Centering literals: the image centers (half the level range for
+    * the 3 mean dims, the uniform-histogram share for the 16 ppm
+    * dims), repeated per temporal segment — pooled means of centered
+    * quantities center the same way. */
+  private[graft] val Center: IndexedSeq[Long] =
+    IndexedSeq.fill(Segments)(
+      IndexedSeq(127500L, 127500L, 127500L) ++ IndexedSeq.fill(16)(62500L))
+      .flatten
+
+  /** Video's own integer hyperplane literals (fresh salt). */
+  private[graft] val PlaneCoef: IndexedSeq[(Int, Int, Long)] =
+    for { j <- 0 until Planes; d <- 0 until FeatDims } yield {
+      val m = SplitMix64Kernel.mix(0x165B1DE0L + j * 128L + d)
+      (j, d, ((m % 2001) + 2001) % 2001 - 1000)
+    }
+
+  private[graft] def videoNearDups(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val media = s.read.parquet(VideoPath)
+      .select(col("id"), lit("video/avi").as("media_type"),
+        col("payload"), map().cast("map<string,string>").as("meta"))
+      .as[Media]
+    ImageDedup.signLshPairs(
+      Multimodal.videoIntFeatures(media, Segments).toDF(),
+      PlaneCoef, Center, L1Max)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // -- video near-dup pairs over the checked-in MJPEG-AVI corpus
+    //    (engine walks the RIFF container and decodes frames live;
+    //    oracle replays from the pinned pooled features). --
+    "q165_video_neardup" -> { (s, _) => videoNearDups(s) },
+
+    // -- the video dedup manifest: pairs → CC → canonical +
+    //    multiplicity, Σ multiplicity = |clips| (the q160/q162
+    //    shape — all four modalities now end at the same table). --
+    "q166_video_dedup_manifest" -> { (s, _) =>
+      ImageDedup.manifestFrom(
+        s.read.parquet(VideoPath).select(col("id")), videoNearDups(s))
+    },
+  )
+
+  private def pairCtes: String =
+    ImageDedup.signLshPairSql(FeaturesPath, PlaneCoef, Center, L1Max)
+
+  val oracles: Map[String, String] = Map(
+    "q165_video_neardup" ->
+      s"""WITH $pairCtes
+         |SELECT id_a, id_b, hamming, l1_dist FROM pairs""".stripMargin,
+    "q166_video_dedup_manifest" ->
+      s"""WITH RECURSIVE $pairCtes,
+         |${ImageDedup.manifestSql(VideoPath)}""".stripMargin,
+  )
+}

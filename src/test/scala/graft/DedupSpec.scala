@@ -257,6 +257,34 @@ class DedupSpec extends SparkSpec {
       graft.operators.Dedup.dedupUpweight(d).count())
   }
 
+  test("q167: cross-modal manifest — per-modality conservation and the expected modality set") {
+    val out = graft.operators.CrossModal
+      .crossModalManifest(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val mods = out.map(_._2).toSet
+    assert(mods === Set("text", "image", "audio", "video"))
+    // conservation per modality: a cluster's whole multiplicity lands
+    // on its canonical's source, so Σ effective = Σ raw WITHIN a
+    // modality (the q149 invariant, asserted cross-modally)
+    mods.foreach { m =>
+      val rows = out.filter(_._2 == m)
+      assert(rows.map(_._3).sum === rows.map(_._5).sum,
+        s"$m: Σ items ${rows.map(_._3).sum} != Σ effective ${rows.map(_._5).sum}")
+      // canonicals never exceed raw items
+      assert(rows.map(_._4).sum <= rows.map(_._3).sum, m)
+    }
+    // fixture modalities: the planted 120-pair corpora, census 240
+    Seq("audio", "video").foreach { m =>
+      val Array((src, _, n, c, e)) = out.filter(_._2 == m)
+      assert(src === "fixtures" && n === 240L && c === 120L && e === 240L, m)
+    }
+    // text + image: one row per real source, items grow with sf
+    assert(out.count(_._2 == "text") === 20)
+    assert(out.count(_._2 == "image") === 20)
+    assert(out.filter(_._2 == "image").map(_._3).sum === 500L)
+  }
+
   test("q145: best match is the max-Jaccard corpus doc, ties to the lowest id") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta"

@@ -320,6 +320,66 @@ class MultimodalSpec extends SparkSpec {
     assert(man.length === 120 && man.map(_._2).sum === 240L)
   }
 
+  test("q165 pooled video features: AVI walk → frame decode → per-segment integer means, bit-exact") {
+    // a 2-frame clip of solid colors: segment pooling with segLen =
+    // ceil(2/4) = 1 puts one frame per segment, segments 2-3 empty
+    val f0 = png(8, 4)((_, _) => (200 << 16) | (100 << 8) | 50)
+    val f1 = png(8, 4)((_, _) => (40 << 16) | (80 << 8) | 120)
+    def jpeg(p: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos); bos.toByteArray
+    }
+    val j0 = jpeg(f0); val j1 = jpeg(f1)
+    val avi = graft.tools.GenVideoFixture.aviBytes(Seq(j0, j1))
+    val out = Multimodal.videoIntFeatures(mediaOf(7L -> avi), segments = 4)
+      .collect().map(r => (r.d, r.v)).toMap
+    // only segments 0 and 1 emit rows (19 dims each)
+    assert(out.size === 38, s"${out.size} rows")
+    // each segment's pooled mean over ONE frame = that frame's own
+    // integer features (JPEG decode included — replay the same path)
+    val exp0 = Multimodal.imageIntFeatures(mediaOf(1L -> j0)).collect()
+      .map(r => r.d -> r.v).toMap
+    val exp1 = Multimodal.imageIntFeatures(mediaOf(1L -> j1)).collect()
+      .map(r => r.d -> r.v).toMap
+    (0 until 19).foreach { d =>
+      assert(out(d) === exp0(d), s"seg0 d=$d")
+      assert(out(19 + d) === exp1(d), s"seg1 d=$d")
+    }
+    // non-AVI payloads emit no rows
+    assert(Multimodal.videoIntFeatures(
+      mediaOf(9L -> "junk".getBytes("UTF-8"))).collect().isEmpty)
+  }
+
+  test("q165 fixture parity: checked-in video features ≡ live recompute from checked-in clips") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val live = Multimodal.videoIntFeatures(
+      spark.read.parquet(graft.operators.VideoDedup.VideoPath)
+        .select(col("id"), lit("video/avi").as("media_type"),
+          col("payload"), map().cast("map<string,string>").as("meta"))
+        .as[Media]).toDF()
+    val pinned = spark.read.parquet(graft.operators.VideoDedup.FeaturesPath)
+    assert(pinned.count() === 240L * 76)
+    assert(live.exceptAll(pinned).count() === 0)
+    assert(pinned.exceptAll(live).count() === 0)
+  }
+
+  test("q165/q166 gates: exactly the planted video pairs with nonzero distance; manifest census conserved") {
+    val out = graft.operators.VideoDedup.videoNearDups(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 120, s"${out.length} pairs")
+    assert(out.forall { case (a, b, _, _) => a % 2 == 0 && b == a + 1 })
+    assert(out.forall { case (_, _, h, l1) =>
+      h <= graft.operators.ImageDedup.HammingMax &&
+        l1 > 0 && l1 <= graft.operators.VideoDedup.L1Max })
+    val man = graft.operators.VideoDedup
+      .queries("q166_video_dedup_manifest")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(man.length === 120 && man.map(_._2).sum === 240L)
+    assert(man.forall(_._2 === 2L)) // every clip in a planted pair
+  }
+
   test("q160 manifest: one canonical per planted pair, census conserved") {
     val out = graft.operators.ImageDedup.imageManifest(spark).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -355,6 +355,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(keyedExchanges(p, "chunk_id") >= 1, p)
   }
 
+  test("q164: draw+decode is map-side over the documents scan; kernel shape inherited from q156 — no cartesian, chunk-keyed candidates") {
+    val p = executedPlan("q164_image_neardup_scaled")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the synthetic corpus is one MapPartitions over the scan — no
+    // exchange between the parquet read and the feature explode
+    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // plane/center literals
+    assert(keyedExchanges(p, "chunk_id") >= 1, p)
+  }
+
   test("q155: E-step is a piece-keyed merge join (vocab never broadcasts) feeding the codegen Viterbi kernel; counts map-side combine") {
     val d = Tables.load(spark, sf0001, "documents")
     val (sp, voc) = graft.operators.UnigramLM.train(d, rounds = 0)

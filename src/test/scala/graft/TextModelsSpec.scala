@@ -143,6 +143,51 @@ class TextModelsSpec extends SparkSpec {
     assert(got.toSeq === Seq((3L, 1L, math.round(-math.log(0.2) * 1e6))))
   }
 
+  test("q168: the trained char-bigram langid recovers a NON-TRIVIAL diagonal on the planted corpus") {
+    // the whole point of q168 vs q42 (the honest q152 finding): a
+    // TRAINED classifier on a corpus with planted language signal
+    // must recover the labels, not collapse to one class
+    val out = TextModels.charLangidConfusion(
+      Tables.load(spark, sf0001, "documents")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    val langs = Set("L0", "L1", "L2")
+    assert(out.map(_._1).toSet === langs)
+    // every gold class's DIAGONAL cell dominates its row: recall
+    // > 90% per planted language (the substitutions shift the char
+    // bigram distribution hard — near-perfect recovery expected)
+    langs.foreach { l =>
+      val diag = out.find(c => c._1 == l && c._2 == l)
+      assert(diag.isDefined, s"$l has no diagonal cell")
+      assert(diag.get._5 > 900000L,
+        s"$l recall ${diag.get._5} ppm not > 900000")
+    }
+    // census: Σ n_docs = |test split| and each row's n_gold consistent
+    val total = out.map(_._3).sum
+    val gold = out.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    out.foreach { c => assert(gold(c._1) === c._4) }
+    assert(total > 0)
+  }
+
+  test("q168: planted toy corpus — substitution languages perfectly separable, unknown-script doc goes to prior argmax") {
+    // three 'languages' by doc_id%3; doc 9 (L0) is all-digits → its
+    // bigrams are OOV-ish but shared; the classifier still assigns it
+    // SOMETHING deterministic (prior argmax tie-broken by cls)
+    val docs = (0L until 9L).map { i =>
+      (i, "srcX", "the quick brown fox jumps over the lazy dog again and again")
+    }
+    val out = TextModels.charLangidConfusion(
+      docs.toDF("doc_id", "source", "text")).collect()
+    // md5 split puts some of the 9 docs in test; every test doc must
+    // be classified (no dropped rows: Σ n_docs = n_test)
+    val n = out.map(_.getLong(2)).sum
+    assert(n >= 1, "at least one test doc under the md5 split")
+    // the text is identical per language up to the planted
+    // substitution, so every test doc's gold == pred (separable)
+    assert(out.forall(r => r.getString(0) === r.getString(1)),
+      out.mkString(", "))
+  }
+
   test("stupid backoff: repeated trigrams weight the mean by occurrence count") {
     val d = Seq(
       (1L, "srcA", "a b c d"),
