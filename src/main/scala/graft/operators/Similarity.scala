@@ -317,6 +317,25 @@ object Similarity {
       knnJoinQuery(e, Centroids94.table.take(c), adaptiveNProbe(c))
     },
 
+    // -- q169 ANN RECALL AUDIT (round 10): the evaluation harness for
+    //    the similarity family — the q152/q158 pattern asked of the
+    //    index: per query, recall@5 of the q94 IVF batch-kNN against
+    //    the exact brute-force top-5. This is exactly how ANN
+    //    deployments validate an index configuration: a deterministic
+    //    thin query sample (the q94 vec_id % 50 set), ground truth by
+    //    brute force ON THE SAMPLE ONLY (queries broadcast, ONE
+    //    linear corpus pass — never all-pairs), and the production
+    //    index path unchanged. The measured numbers become the
+    //    recall-vs-cost datum the q94b/q94c frontier table cites.
+    //    Scale shape: broadcast(|Q| queries) × corpus scan → per-query
+    //    window top-5; the IVF side is the audited q94 plan verbatim;
+    //    the recall join is (|Q|·5)-sized. EXACT-gated: both sides
+    //    round-6 cosine with (cos desc, vec_id) tie-break, integer
+    //    intersection counts. --
+    "q169_ann_recall" -> { (s, dir) =>
+      annRecallAudit(Tables.load(s, dir, "embeddings"))
+    },
+
     // -- SemDeDup (Abbas et al. 2023): cluster-scoped near-dup
     //    pruning — assign every vector to its adaptive IVF cell
     //    (the q94b Centroids94 ladder), compare pairs WITHIN a cell
@@ -575,6 +594,32 @@ object Similarity {
       .filter(col("rank") <= 5)
   }
 
+  /** q169: per-query recall@5 of the q94 IVF batch-kNN vs exact
+    * brute force over the same query sample. (q_id, n_hits,
+    * recall_ppm) — |Q| rows. */
+  private[graft] def annRecallAudit(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ivf = knnJoinQuery(e, Centroids86.table)
+      .select(col("q_id"), col("vec_id"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val bf = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorExprs.cosineFast(col("embedding"), col("q_emb")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val bfTop = bf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select(col("q_id"), col("vec_id"))
+    val hits = bfTop.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+      .selectExpr("q_id", "coalesce(n_hits, 0L) AS n_hits",
+        "(1000000L * coalesce(n_hits, 0L)) div 5 AS recall_ppm")
+  }
+
   /** q83's DuckDB oracle is CODE-GENERATED from the same quantized
     * plane constants the Spark expression uses (the oracle replays
     * the full composed algorithm: band keys → Hamming-1 probe
@@ -801,6 +846,39 @@ object Similarity {
        |    ORDER BY cos_sim DESC, vec_id) AS rank
        |  FROM cand)
        |WHERE rank <= 5""".stripMargin
+  }
+
+  /** q169: the q94 oracle nested verbatim as the IVF side (the q93
+    * nested-WITH scoping), the brute-force side one query-sample ×
+    * corpus window, integer intersection. */
+  private def oracle169: String = {
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def sumsq(a: String) =
+      s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def cosE(a: String, b: String) =
+      s"(${dotE(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
+    val ivfSub = oracle94.linesIterator.mkString("\n  ")
+    s"""WITH ivf AS MATERIALIZED (
+       |  $ivfSub
+       |),
+       |queries AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |bf AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(${cosE("e.embedding", "q.q_emb")}, 6) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM queries q JOIN embeddings e ON e.vec_id <> q.q_id)
+       |  WHERE rank <= 5),
+       |hits AS (
+       |  SELECT q_id, count(*) AS n_hits
+       |  FROM bf JOIN ivf USING (q_id, vec_id) GROUP BY q_id)
+       |SELECT q.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST((1000000 * coalesce(n_hits, 0)) // 5 AS BIGINT) AS recall_ppm
+       |FROM queries q LEFT JOIN hits USING (q_id)""".stripMargin
   }
 
   /** Shared adaptive-codebook oracle (q94b / q94c): oracle94 with the
@@ -1038,6 +1116,7 @@ object Similarity {
     "q87_semantic_dedup_adaptive" -> oracle87,
     "q86_ann_ivf" -> oracle86,
     "q94_knn_join" -> oracle94,
+    "q169_ann_recall" -> oracle169,
     "q94b_knn_join_adaptive" -> oracle94Adaptive("6"),
     "q94c_knn_join_nprobe" -> oracle94Adaptive(nprobeLadderSql),
     "q102_semdedup" -> oracle102,

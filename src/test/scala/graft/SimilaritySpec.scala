@@ -257,6 +257,43 @@ class SimilaritySpec extends SparkSpec {
       s"fraction-matched recall ${p64c._1} below 16-cell end ${p16._1}")
   }
 
+  test("q169: the audit's recall numbers equal an independent intersection, rows = |queries|, bounds hold") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val out = Similarity.annRecallAudit(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val nQ = e.filter(col("vec_id") % 50 === 0).count()
+    assert(out.length === nQ, s"${out.length} rows for $nQ queries")
+    assert(out.forall { case (_, h, p) =>
+      h >= 0 && h <= 5 && p === h * 1000000L / 5 })
+    // independent cross-check: recompute the intersection from the
+    // two sides' own collected top-5 sets (the q94 spec machinery)
+    val ivf = Similarity.queries("q94_knn_join")(spark, sf0001)
+      .select("q_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val brute = e.crossJoin(q).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorExprs.cosineFast(
+          col("embedding"), col("q_emb")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (qid, h, _) =>
+      val expect = ivf.getOrElse(qid, Set.empty)
+        .intersect(brute.getOrElse(qid, Set.empty)).size
+      assert(h === expect.toLong, s"q$qid audit says $h, recompute $expect")
+    }
+    // the corpus-wide sanity floor the q94 spec already pins
+    val mean = out.map(_._2).sum.toDouble / (5.0 * out.length)
+    assert(mean >= 0.5, s"mean recall@5 $mean below q94's floor")
+  }
+
   test("q49 cross-engine safety margins: plane-sign dots bounded away from 0") {
     // the oracle replays bucket bits as sign(dot); noise between the
     // two ordered-fold evaluations is ~1e-13, so every |dot| must be
