@@ -320,6 +320,14 @@ object Dedup {
     "q159_upweight_budget" -> { (s, dir) =>
       upweightBudget(Tables.load(s, dir, "documents"))
     },
+
+    // -- q170 (round 10): the mix planner CONSUMING q159 — per-source
+    //    temperature rates over raw vs dedup-effective token counts,
+    //    with the rate shift a planner applies when re-running the
+    //    q89 mix on deduped data. --
+    "q170_effective_mix" -> { (s, dir) =>
+      effectiveMixRates(Tables.load(s, dir, "documents"))
+    },
   )
 
   /** q159 over any documents-shaped frame (needs `doc_id`, `text`,
@@ -346,6 +354,46 @@ object Dedup {
         "coalesce(n_tokens_unique, 0L) AS n_tokens_unique",
         "coalesce(n_tokens_effective, 0L) AS n_tokens_effective",
         "(1000000L * coalesce(n_tokens_effective, 0L)) div greatest(n_tokens_raw, 1L) AS effective_vs_raw_ppm")
+  }
+
+  /** q170 over any documents-shaped frame (needs `doc_id`, `text`,
+    * `source`) — the planner CONSUMING q159's finding: the q89
+    * temperature rule (rate = sqrt(min/size), τ = 2) computed twice
+    * per source, over RAW token counts and over dedup-EFFECTIVE
+    * token counts (a cluster's whole multiplicity lands on its
+    * canonical's source), with the per-source rate shift — the
+    * decision table that says how much each source's sampling rate
+    * must move when the mix is planned on deduped data. q159
+    * measured that dedup shifts the mixture ±5%; this turns the
+    * shift into the actual rates a mix planner applies. Exactness:
+    * sqrt and division are IEEE-exact cross-engine (the memory
+    * contract), ×10⁶ and floor likewise — the q89 rate_ppm
+    * convention. Scale shape: rides the checkpointed q149 labels;
+    * token counts map-side; two source-keyed censuses; the rate
+    * formula runs on a ≤|sources|-row table with a broadcast 1-row
+    * min dim. */
+  private[graft] def effectiveMixRates(d: DataFrame): DataFrame = {
+    val up = dedupUpweight(d).localCheckpoint(true)
+    val toks = d.select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("nt"))
+    val raw = toks.groupBy(col("source")).agg(sum(col("nt")).as("t_raw"))
+    val eff = toks.join(up.hint("shuffle_merge"), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("multiplicity") * col("nt")).as("t_eff"))
+    val j = raw.join(eff, Seq("source"), "left")
+      .select(col("source"), col("t_raw"),
+        coalesce(col("t_eff"), lit(0L)).as("t_eff"))
+    val mins = j.agg(min(col("t_raw")).as("r_min"), min(col("t_eff")).as("e_min"))
+    j.crossJoin(broadcast(mins))
+      .select(col("source"), col("t_raw"), col("t_eff"),
+        floor(sqrt(col("r_min").cast("double") /
+          greatest(col("t_raw"), lit(1L)).cast("double")) * 1000000.0)
+          .cast("long").as("rate_raw_ppm"),
+        floor(sqrt(col("e_min").cast("double") /
+          greatest(col("t_eff"), lit(1L)).cast("double")) * 1000000.0)
+          .cast("long").as("rate_eff_ppm"))
+      .withColumn("rate_shift_ppm",
+        col("rate_eff_ppm") - col("rate_raw_ppm"))
   }
 
   /** q154 over any documents-shaped frame (needs `doc_id`, `text`):
@@ -834,6 +882,46 @@ object Dedup {
         |  CAST((1000000 * coalesce(n_tokens_effective, 0))
         |    // greatest(n_tokens_raw, 1) AS BIGINT) AS effective_vs_raw_ppm
         |FROM raw r LEFT JOIN eff e ON r.source = e.source""".stripMargin,
+
+    // q170: the q149 up table + raw/effective token censuses + the
+    // q89 temperature formula over both (sqrt + division + ×10⁶ +
+    // floor — all IEEE-exact cross-engine), shift = difference.
+    "q170_effective_mix" ->
+      s"""WITH RECURSIVE $ccLabelCtes,
+        |up AS MATERIALIZED (
+        |  SELECT l.doc_id, CAST(m AS BIGINT) AS multiplicity FROM labels l
+        |  JOIN (SELECT cluster_id, count(*) AS m FROM labels
+        |        GROUP BY cluster_id) cs ON l.cluster_id = cs.cluster_id
+        |  WHERE l.doc_id = l.cluster_id
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS multiplicity FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)),
+        |nt AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |raw AS (SELECT source, sum(nt) AS t_raw FROM nt GROUP BY source),
+        |eff AS (
+        |  SELECT source, sum(multiplicity * nt) AS t_eff
+        |  FROM nt JOIN up USING (doc_id) GROUP BY source),
+        |j AS (
+        |  SELECT r.source, CAST(t_raw AS BIGINT) AS t_raw,
+        |    CAST(coalesce(t_eff, 0) AS BIGINT) AS t_eff
+        |  FROM raw r LEFT JOIN eff e ON r.source = e.source),
+        |m AS (SELECT min(t_raw) AS r_min, min(t_eff) AS e_min FROM j)
+        |SELECT source, t_raw, t_eff,
+        |  CAST(floor(sqrt(CAST(r_min AS DOUBLE)
+        |    / CAST(greatest(t_raw, 1) AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS rate_raw_ppm,
+        |  CAST(floor(sqrt(CAST(e_min AS DOUBLE)
+        |    / CAST(greatest(t_eff, 1) AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS rate_eff_ppm,
+        |  CAST(floor(sqrt(CAST(e_min AS DOUBLE)
+        |    / CAST(greatest(t_eff, 1) AS DOUBLE)) * 1000000) AS BIGINT)
+        |  - CAST(floor(sqrt(CAST(r_min AS DOUBLE)
+        |    / CAST(greatest(t_raw, 1) AS DOUBLE)) * 1000000) AS BIGINT)
+        |    AS rate_shift_ppm
+        |FROM j, m""".stripMargin,
 
     // q149: the q69 labels + cluster sizes; canonicals = cluster
     // minima; docs outside the near-dup graph are singletons at 1.

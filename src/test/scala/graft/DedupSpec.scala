@@ -285,6 +285,43 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_._2 == "image").map(_._3).sum === 500L)
   }
 
+  test("q170: effective-mix rates — bounds, anchor source at 10^6, planted cluster moves the canonical's rate DOWN") {
+    import spark.implicits._
+    // real corpus: rates in (0, 1e6], the minimum source anchors at
+    // exactly 10^6 (sqrt(min/min) = 1) on both the raw and effective
+    // scales, and shift ≡ eff − raw
+    val out = graft.operators.Dedup.effectiveMixRates(
+      Tables.load(spark, sf0001, "documents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length === 20)
+    assert(out.forall { case (_, _, _, rr, re, sh) =>
+      rr > 0 && rr <= 1000000L && re > 0 && re <= 1000000L &&
+        sh === re - rr })
+    assert(out.exists(_._4 === 1000000L), "raw anchor source")
+    assert(out.exists(_._5 === 1000000L), "effective anchor source")
+    // planted: a 3-cluster whose canonical sits in srcA while two
+    // members donate from srcB — srcA's effective tokens grow, so its
+    // temperature rate must move DOWN relative to its raw rate, and
+    // srcB's up (the q159 budget transfer expressed as rates)
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = Seq(
+      (1L, "srcA", t), (2L, "srcB", t), (3L, "srcB", t),
+      (4L, "srcA", "own words completely unshared here notably"),
+      (5L, "srcB", "different standalone text with unique content"),
+      (6L, "srcC", "third source filler document entirely separate")
+    ).toDF("doc_id", "source", "text")
+    val p = graft.operators.Dedup.effectiveMixRates(planted).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toMap
+    val (aRaw, aEff, aShift) = p("srcA")
+    val (bRaw, bEff, bShift) = p("srcB")
+    assert(aEff > aRaw, s"canonical source gains tokens: $aEff <= $aRaw")
+    assert(bEff < bRaw, s"donor source loses tokens: $bEff >= $bRaw")
+    assert(aShift < 0, s"canonical's rate must drop: $aShift")
+    assert(bShift > 0, s"donor's rate must rise: $bShift")
+  }
+
   test("q145: best match is the max-Jaccard corpus doc, ties to the lowest id") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta"
