@@ -355,6 +355,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(keyedExchanges(p, "chunk_id") >= 1, p)
   }
 
+  test("q163: the doc sample is a broadcast-dim predicate — one single-partition count agg, ZERO keyed exchanges") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val p = graft.operators.Perceptron.sampleDocs(d)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the 1-row corpus count only ever broadcasts onto the scan —
+    // the sample adds NO keyed exchange to q144's audited train shape
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Arguments: hashpartitioning("), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q164: draw+decode is map-side over the documents scan; kernel shape inherited from q156 — no cartesian, chunk-keyed candidates") {
     val p = executedPlan("q164_image_neardup_scaled")
     assert(!p.contains("CartesianProduct"), p)
