@@ -220,7 +220,16 @@ object Multimodal {
     * content. Pure integer arithmetic above the (deterministic) JPEG
     * decode, so a checked-in feature fixture replays bit-identically
     * (the q156/q161 honest-seam pattern — DuckDB cannot parse AVI).
-    * Non-AVI payloads emit no rows. */
+    * Non-AVI payloads emit no rows.
+    *
+    * Empty temporal segments (clips shorter than `segments` frames,
+    * or frame counts that leave trailing ceil-split segments unfilled)
+    * emit ZERO rows for every dim — full-dim coverage, so the L1
+    * verify between clips of DIFFERENT frame counts compares a real
+    * silhouette against zeros (a large distance) instead of silently
+    * dropping the unshared dims and deflating the distance (round-10
+    * advice #1; latent before because every checked-in clip is
+    * uniformly 8 frames). */
   def videoIntFeatures(media: Dataset[Media], segments: Int = 4,
       bins: Int = 16): Dataset[ImageFeatRow] = {
     val spark = media.sparkSession
@@ -244,7 +253,8 @@ object Multimodal {
             cnts(s) += 1
           }
           (0 until segments).flatMap { s =>
-            if (cnts(s) == 0) Seq.empty
+            if (cnts(s) == 0)
+              (0 until dims).map(d => ImageFeatRow(m.id, s * dims + d, 0L))
             else (0 until dims).map(d =>
               ImageFeatRow(m.id, s * dims + d, sums(s)(d) / cnts(s)))
           }

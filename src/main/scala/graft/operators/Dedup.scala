@@ -383,7 +383,15 @@ object Dedup {
     val j = raw.join(eff, Seq("source"), "left")
       .select(col("source"), col("t_raw"),
         coalesce(col("t_eff"), lit(0L)).as("t_eff"))
-    val mins = j.agg(min(col("t_raw")).as("r_min"), min(col("t_eff")).as("e_min"))
+    // e_min over sources with t_eff > 0 only (round-10 advice #2): a
+    // source with zero canonical docs coalesces to t_eff = 0, and a
+    // raw min over that column would zero EVERY source's rate_eff_ppm
+    // — the q89 temperature rule's min is over participating sources.
+    // coalesce(…, 0) documents the fully-degenerate case (no source
+    // has any effective tokens → all effective rates 0), same on both
+    // engines.
+    val mins = j.agg(min(col("t_raw")).as("r_min"),
+      coalesce(min(when(col("t_eff") > 0, col("t_eff"))), lit(0L)).as("e_min"))
     j.crossJoin(broadcast(mins))
       .select(col("source"), col("t_raw"), col("t_eff"),
         floor(sqrt(col("r_min").cast("double") /
@@ -908,7 +916,8 @@ object Dedup {
         |  SELECT r.source, CAST(t_raw AS BIGINT) AS t_raw,
         |    CAST(coalesce(t_eff, 0) AS BIGINT) AS t_eff
         |  FROM raw r LEFT JOIN eff e ON r.source = e.source),
-        |m AS (SELECT min(t_raw) AS r_min, min(t_eff) AS e_min FROM j)
+        |m AS (SELECT min(t_raw) AS r_min,
+        |  coalesce(min(t_eff) FILTER (WHERE t_eff > 0), 0) AS e_min FROM j)
         |SELECT source, t_raw, t_eff,
         |  CAST(floor(sqrt(CAST(r_min AS DOUBLE)
         |    / CAST(greatest(t_raw, 1) AS DOUBLE)) * 1000000) AS BIGINT)

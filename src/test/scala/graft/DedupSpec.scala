@@ -322,6 +322,27 @@ class DedupSpec extends SparkSpec {
     assert(bShift > 0, s"donor's rate must rise: $bShift")
   }
 
+  test("q170: a source with zero canonicals does not zero every effective rate (round-10 advice #2)") {
+    import spark.implicits._
+    // srcZ's only doc is absorbed into srcA's cluster (canonical =
+    // cluster min = doc 1 in srcA), so t_eff(srcZ) = 0 — e_min must
+    // come from the sources that still HAVE effective tokens, not
+    // collapse to 0 and zero the whole rate column
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = Seq(
+      (1L, "srcA", t), (2L, "srcZ", t),
+      (3L, "srcA", "own words completely unshared here notably"),
+      (4L, "srcB", "different standalone text with unique content")
+    ).toDF("doc_id", "source", "text")
+    val p = graft.operators.Dedup.effectiveMixRates(planted).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(p("srcZ")._1 === 0L, "srcZ has no effective tokens")
+    assert(p("srcA")._2 > 0L && p("srcB")._2 > 0L,
+      s"participating sources keep positive effective rates: $p")
+    assert(p.values.exists(_._2 === 1000000L),
+      "the effective-min source still anchors at 10^6")
+  }
+
   test("q145: best match is the max-Jaccard corpus doc, ties to the lowest id") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta"

@@ -334,8 +334,10 @@ class MultimodalSpec extends SparkSpec {
     val avi = graft.tools.GenVideoFixture.aviBytes(Seq(j0, j1))
     val out = Multimodal.videoIntFeatures(mediaOf(7L -> avi), segments = 4)
       .collect().map(r => (r.d, r.v)).toMap
-    // only segments 0 and 1 emit rows (19 dims each)
-    assert(out.size === 38, s"${out.size} rows")
+    // FULL dim coverage: the empty trailing segments (2-3) zero-fill
+    // instead of dropping out, so clips with differing frame counts
+    // compare every dim in the L1 verify (round-10 advice #1)
+    assert(out.size === 76, s"${out.size} rows")
     // each segment's pooled mean over ONE frame = that frame's own
     // integer features (JPEG decode included — replay the same path)
     val exp0 = Multimodal.imageIntFeatures(mediaOf(1L -> j0)).collect()
@@ -345,6 +347,8 @@ class MultimodalSpec extends SparkSpec {
     (0 until 19).foreach { d =>
       assert(out(d) === exp0(d), s"seg0 d=$d")
       assert(out(19 + d) === exp1(d), s"seg1 d=$d")
+      assert(out(38 + d) === 0L, s"empty seg2 d=$d zero-fills")
+      assert(out(57 + d) === 0L, s"empty seg3 d=$d zero-fills")
     }
     // non-AVI payloads emit no rows
     assert(Multimodal.videoIntFeatures(
