@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.SplitMix64Kernel
-import graft.multimodal.{Media, Multimodal}
+import graft.multimodal.{AudioGen, Media, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,6 +65,42 @@ object AudioDedup {
       Multimodal.audioIntFeatures(media).toDF(), PlaneCoef, Center, L1Max)
   }
 
+  /** Exact-verify bound for the SCALED corpus: the planted ~1%
+    * segment-3 amplitude nudge moves the ppm energy profile by at
+    * most ~2.5k (measured ≤ 2.3k at sf0.1); independent compositions
+    * measure orders of magnitude farther (every share is an
+    * independent uniform draw). */
+  private[graft] val ScaledL1Max = 20000L
+
+  /** q171/q172 — the SCALE-TIED audio corpus (round-10 verdict #1,
+    * the q164 pattern applied to the third modality): one synthesized
+    * WAV per `documents` row ([[graft.multimodal.AudioGen]]
+    * .synthScaled — square-wave segments parameterized by doc_id,
+    * near-dup pairs planted for 1-in-4 id groups), so the corpus is
+    * 500/500/5000 clips across sf and the candidate equi-join sees
+    * real growth. The engine path is FULLY real — synthesize →
+    * RIFF/WAVE encode → javax.sound.sampled decode → PCM loop → the
+    * shared kernel — while the oracle derives the features in CLOSED
+    * FORM (segment energy of a constant-amplitude square wave is
+    * segLen·amp; zero crossings of a fixed-period wave are a floor
+    * division — AudioGen.featureSql), the q164 seam generalized to
+    * audio exactly as the round-10 verdict predicted. Scale shape:
+    * synth+decode is map-side over the documents scan; everything
+    * downstream is the audited q156/q161 kernel. */
+  private[graft] def scaledAudio(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Media] = {
+    import s.implicits._
+    graft.Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        Media(id, "audio/wav", AudioGen.synthScaled(id), Map.empty)))
+  }
+
+  private[graft] def scaledAudioNearDups(s: SparkSession,
+      dir: String): DataFrame =
+    ImageDedup.signLshPairs(
+      Multimodal.audioIntFeatures(scaledAudio(s, dir)).toDF(),
+      PlaneCoef, Center, ScaledL1Max)
+
   val queries: Map[String, Q] = Map(
     // -- audio near-dup pairs over the checked-in WAV corpus (engine
     //    decodes live; oracle replays from the pinned features). --
@@ -76,10 +112,34 @@ object AudioDedup {
       ImageDedup.manifestFrom(
         s.read.parquet(AudioPath).select(col("id")), audioNearDups(s))
     },
+
+    // -- q171: the scale-tied audio corpus — one WAV per documents
+    //    row, synthesized + decoded live; oracle replays the features
+    //    in closed form (no fixture). Output rows GROW with sf. --
+    "q171_audio_neardup_scaled" -> { (s, dir) =>
+      scaledAudioNearDups(s, dir)
+    },
+
+    // -- q172: the scaled audio dedup manifest over the documents id
+    //    universe (the q160/q162/q166 shape at real data growth). --
+    "q172_audio_manifest_scaled" -> { (s, dir) =>
+      ImageDedup.manifestFrom(
+        graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id").as("id")),
+        scaledAudioNearDups(s, dir))
+    },
   )
 
   private def pairCtes: String =
     ImageDedup.signLshPairSql(FeaturesPath, PlaneCoef, Center, L1Max)
+
+  /** The scaled family's kernel chain over AudioGen's closed-form
+    * feature CTEs (no fixture read — both engines derive the features
+    * from doc_id independently). */
+  private def scaledPairCtes: String =
+    s"""${AudioGen.featureSql},
+       |${ImageDedup.signLshChainSql(PlaneCoef, Center, ScaledL1Max)}"""
+      .stripMargin
 
   val oracles: Map[String, String] = Map(
     "q161_audio_neardup" ->
@@ -88,5 +148,12 @@ object AudioDedup {
     "q162_audio_dedup_manifest" ->
       s"""WITH RECURSIVE $pairCtes,
          |${ImageDedup.manifestSql(AudioPath)}""".stripMargin,
+    "q171_audio_neardup_scaled" ->
+      s"""WITH $scaledPairCtes
+         |SELECT id_a, id_b, hamming, l1_dist FROM pairs""".stripMargin,
+    "q172_audio_manifest_scaled" ->
+      s"""WITH RECURSIVE $scaledPairCtes,
+         |${ImageDedup.manifestSqlOver(
+              "SELECT doc_id AS id FROM documents")}""".stripMargin,
   )
 }

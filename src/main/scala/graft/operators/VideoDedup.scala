@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.SplitMix64Kernel
-import graft.multimodal.{Media, Multimodal}
+import graft.multimodal.{Media, Multimodal, VideoGen}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,47 @@ object VideoDedup {
       PlaneCoef, Center, L1Max)
   }
 
+  /** Exact-verify bound for the SCALED corpus: the planted 1-px
+    * rectangle grow in one frame, pooled over its 2-frame segment,
+    * moves the 76-dim census by at most ~half the q164 frame-level
+    * delta; unrelated clips differ in every segment's composition. */
+  private[graft] val ScaledL1Max = 40000L
+
+  /** q173/q174 — the SCALE-TIED video corpus (round-10 verdict #1,
+    * the q164 pattern applied to the fourth modality): one
+    * synthesized AVI per `documents` row
+    * ([[graft.multimodal.VideoGen.synthScaled]] — 4 segments × 2
+    * PNG frames of the 4-fill ImageGen drawing, near-dup pairs
+    * planted for 1-in-4 id groups). The engine path is FULLY real —
+    * draw → PNG encode → AVI container → RIFF walk → javax.imageio
+    * decode per frame → pixel loop → temporal pooling → the shared
+    * kernel — while the oracle derives the pooled features in CLOSED
+    * FORM (lossless PNG frames make the per-frame census the ImageGen
+    * region arithmetic, and pooling is one integer mean —
+    * VideoGen.featureSql): the q164 seam generalized to video, which
+    * the JPEG fixture corpus (q165) cannot do (JPEG quantization is
+    * decoder-deterministic but not region arithmetic — that gate
+    * keeps the pinned-fixture seam as the honest maximum for the
+    * lossy codec). Scale shape: synth+walk+decode+pool is map-side
+    * over the documents scan, one row per (clip, dim), frames never
+    * shuffle; everything downstream is the audited kernel. */
+  private[graft] def scaledVideo(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Media] = {
+    import s.implicits._
+    graft.Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        it.map(id =>
+          Media(id, "video/avi", VideoGen.synthScaled(id), Map.empty))
+      }
+  }
+
+  private[graft] def scaledVideoNearDups(s: SparkSession,
+      dir: String): DataFrame =
+    ImageDedup.signLshPairs(
+      Multimodal.videoIntFeatures(scaledVideo(s, dir), Segments).toDF(),
+      PlaneCoef, Center, ScaledL1Max)
+
   val queries: Map[String, Q] = Map(
     // -- video near-dup pairs over the checked-in MJPEG-AVI corpus
     //    (engine walks the RIFF container and decodes frames live;
@@ -93,10 +134,34 @@ object VideoDedup {
       ImageDedup.manifestFrom(
         s.read.parquet(VideoPath).select(col("id")), videoNearDups(s))
     },
+
+    // -- q173: the scale-tied video corpus — one AVI per documents
+    //    row, synthesized + decoded live; oracle replays the pooled
+    //    features in closed form (no fixture). Rows GROW with sf. --
+    "q173_video_neardup_scaled" -> { (s, dir) =>
+      scaledVideoNearDups(s, dir)
+    },
+
+    // -- q174: the scaled video dedup manifest over the documents id
+    //    universe (all four modalities now manifest at real data
+    //    growth). --
+    "q174_video_manifest_scaled" -> { (s, dir) =>
+      ImageDedup.manifestFrom(
+        graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id").as("id")),
+        scaledVideoNearDups(s, dir))
+    },
   )
 
   private def pairCtes: String =
     ImageDedup.signLshPairSql(FeaturesPath, PlaneCoef, Center, L1Max)
+
+  /** The scaled family's kernel chain over VideoGen's closed-form
+    * pooled-feature CTEs (no fixture read). */
+  private def scaledPairCtes: String =
+    s"""${VideoGen.featureSql},
+       |${ImageDedup.signLshChainSql(PlaneCoef, Center, ScaledL1Max)}"""
+      .stripMargin
 
   val oracles: Map[String, String] = Map(
     "q165_video_neardup" ->
@@ -105,5 +170,12 @@ object VideoDedup {
     "q166_video_dedup_manifest" ->
       s"""WITH RECURSIVE $pairCtes,
          |${ImageDedup.manifestSql(VideoPath)}""".stripMargin,
+    "q173_video_neardup_scaled" ->
+      s"""WITH $scaledPairCtes
+         |SELECT id_a, id_b, hamming, l1_dist FROM pairs""".stripMargin,
+    "q174_video_manifest_scaled" ->
+      s"""WITH RECURSIVE $scaledPairCtes,
+         |${ImageDedup.manifestSqlOver(
+              "SELECT doc_id AS id FROM documents")}""".stripMargin,
   )
 }

@@ -276,6 +276,59 @@ class MultimodalSpec extends SparkSpec {
       s"missing planted pairs: ${(planted -- pairs).take(5)}")
   }
 
+  test("q171 closed form: analytic audio features ≡ decoded features across pair and unique ids") {
+    import graft.multimodal.AudioGen
+    // covers both branches (pair groups g%4==0 and unique clips)
+    // through the REAL synth → WAV → javax.sound decode → PCM loop
+    val ids = (0L until 64L) ++ (490L until 500L)
+    val media = ids.map(id =>
+      Media(id, "audio/wav", AudioGen.synthScaled(id), Map.empty))
+    import spark.implicits._
+    val live = Multimodal.audioIntFeatures(media.toDS())
+      .collect().map(r => (r.id, r.d) -> r.v).toMap
+    assert(live.size === ids.size * 17)
+    ids.foreach { id =>
+      AudioGen.featuresOfScaled(id).foreach { case (d, v) =>
+        assert(live((id, d)) === v,
+          s"id=$id d=$d closed-form $v != decoded ${live((id, d))}")
+      }
+    }
+  }
+
+  test("q173 closed form: analytic pooled video features ≡ decoded features across pair and unique ids") {
+    import graft.multimodal.VideoGen
+    // the REAL path: draw2 → PNG → AVI container → RIFF walk →
+    // imageio decode per frame → pixel loop → temporal pooling
+    val ids = (0L until 32L) ++ (490L until 500L)
+    val media = ids.map(id =>
+      Media(id, "video/avi", VideoGen.synthScaled(id), Map.empty))
+    import spark.implicits._
+    val live = Multimodal.videoIntFeatures(media.toDS(),
+      VideoGen.Segments).collect().map(r => (r.id, r.d) -> r.v).toMap
+    assert(live.size === ids.size * 76)
+    ids.foreach { id =>
+      VideoGen.featuresOfScaled(id).foreach { case (d, v) =>
+        assert(live((id, d)) === v,
+          s"id=$id d=$d closed-form $v != decoded ${live((id, d))}")
+      }
+    }
+  }
+
+  test("q171/q173 gates: planted pairs recovered on the sf0.001-scaled corpora") {
+    val planted = (0L until 250L).filter(_ % 4 == 0)
+      .map(g => (2 * g, 2 * g + 1)).toSet
+    val aud = graft.operators.AudioDedup
+      .scaledAudioNearDups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(aud),
+      s"missing planted audio pairs: ${(planted -- aud).take(5)}")
+    val vid = graft.operators.VideoDedup
+      .scaledVideoNearDups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(vid),
+      s"missing planted video pairs: ${(planted -- vid).take(5)}")
+  }
+
   test("q161 integer audio features: decode → (id, d, v) bit-exact on a drawn clip") {
     // 16 segments × 400 frames; constant-amplitude square waves —
     // every segment carries the same |sample| mass, so each of the

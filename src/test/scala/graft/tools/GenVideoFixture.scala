@@ -45,35 +45,12 @@ object GenVideoFixture {
     (((m % mod) + mod) % mod).toInt
   }
 
-  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
-
-  /** Minimal-but-real MJPEG AVI: RIFF(AVI LIST(hdrl avih)
-    * LIST(movi 00dc...)). Chunk sizes little-endian, frames padded to
-    * even length (the RIFF rule aviVideoFrames honors). */
-  def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
-    val avih = new Array[Byte](56) // zeroed header struct is valid enough
-    val bbh = java.nio.ByteBuffer.wrap(avih)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bbh.putInt(0, 66666)            // dwMicroSecPerFrame (~15 fps)
-    bbh.putInt(16, 0x10)            // AVIF_HASINDEX off, flags minimal
-    bbh.putInt(24, frames.length)   // dwTotalFrames
-    val moviBody = frames.flatMap { f =>
-      val pad = f.length & 1
-      fourcc("00dc").toSeq ++ le32(f.length) ++ f.toSeq ++
-        Seq.fill(pad)(0.toByte)
-    }
-    val hdrlBody = fourcc("hdrl").toSeq ++
-      fourcc("avih").toSeq ++ le32(56) ++ avih.toSeq
-    val moviList = fourcc("LIST").toSeq ++ le32(4 + moviBody.length) ++
-      fourcc("movi").toSeq ++ moviBody
-    val hdrlList = fourcc("LIST").toSeq ++ le32(hdrlBody.length) ++ hdrlBody
-    val body = fourcc("AVI ").toSeq ++ hdrlList ++ moviList
-    (fourcc("RIFF").toSeq ++ le32(body.length) ++ body).toArray
-  }
-
-  private def le32(v: Int): Seq[Byte] =
-    Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
-      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  /** The AVI container builder moved to main scope in round 11
+    * (graft.multimodal.VideoGen — the scaled corpus synthesizes the
+    * same layout per documents row); this delegation keeps the
+    * checked-in fixtures byte-identical across the refactor. */
+  def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] =
+    graft.multimodal.VideoGen.aviBytes(frames)
 
   private def jpegOf(key: Long, shift: Int): Array[Byte] = {
     val png = ImageGen.draw(key, VideoBase, shift)
