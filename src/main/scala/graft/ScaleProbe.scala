@@ -126,7 +126,7 @@ object ScaleProbe {
     // nothing and exit via the early return).
     val sections: Set[String] =
       if (args.length > 1) args(1).split(',').toSet else Set("all")
-    val KnownSections = Set("all", "r8b", "motifs", "r9", "r9b", "r10")
+    val KnownSections = Set("all", "r8b", "motifs", "r9", "r9b", "r10", "r11")
     val unknown = sections.diff(KnownSections)
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s): ${unknown.toSeq.sorted.mkString(",")}" +
@@ -570,6 +570,99 @@ object ScaleProbe {
       val a155v = aOfR10(g155.map(r => (r._1, r._2)))
       val a155w = wOfR10(g155.map(r => (r._1, r._3)))
       println(f"""{"metric":"r10_probe_exponents","alpha":{"q163_train_wall":$a163t%.2f,"q153_keep_wall":$a163k%.2f,"q155_vocab":$a155v%.2f,"q155_wall":$a155w%.2f,"q164_pairs":$a164p%.2f,"q164_wall":$a164w%.2f},"note":"q163 sampled-training wall ~flat (sample pinned to target, bin table bounded ASSERTED, kept frac ~half at every k); q155 vocab sub-linear (char inventory invariant under bijective renaming, only learned multi-char pieces grow) and wall ~flat (lattice work collapses to vocabulary scale); q164 planted pairs ~n, organic near-dups ~n^2 by birthday collision in the finite synthetic composition space (corpus density, not kernel: per-bucket candidate work bounded)"}""")
+    }
+
+    // ---- round-11 probes: q171/q173 scaled audio + video corpora ---
+    // (CLAUDE.md rule: probe ANY new dedup/similarity candidate
+    // generation). Features from the closed forms (featuresOfScaled —
+    // no synthesis/decode needed to probe the join), ids 0..n−1 like
+    // the gate corpora. Expected decomposition: planted pairs grow
+    // exactly n/8 and ORGANIC pairs stay ZERO at every k — unlike
+    // q164's finite 19-dim composition space, the audio (~10⁶⁷
+    // compositions) and video (4-fill) spaces were DESIGNED not to
+    // saturate; the probe asserts that design claim rather than
+    // assuming it. The organic-L1 census (round-11 advice #4) is the
+    // second assertion: the MINIMUM feature-space L1 between any two
+    // independent compositions, measured over ALL pairs at n = 5000
+    // (the sf0.1 corpus size), must clear the verify bound by an
+    // order of magnitude — so the bound can never admit an organic
+    // pair that happens to collide in the LSH buckets.
+    if (runAll || sections("r11")) {
+      def aOfR11(vs: Seq[(Int, Long)]): Double = {
+        val (ka, va) = vs.head; val (kb, vb) = vs.last
+        if (va == 0 || vb == 0) Double.NaN
+        else math.log(vb.toDouble / va) / math.log(kb.toDouble / ka)
+      }
+      def wOfR11(vs: Seq[(Int, Double)]): Double = {
+        val (ka, va) = vs.head; val (kb, vb) = vs.last
+        if (va <= 0 || vb <= 0) Double.NaN
+        else math.log(vb / va) / math.log(kb.toDouble / ka)
+      }
+      // driver-side all-pairs L1 census over the closed-form features
+      // (n = 5000 → 12.5M pairs; a probe-only ground-truth sweep, the
+      // same role as the spec's n = 500 sweep)
+      def l1Census(feat: Long => Array[Long], n: Int)
+          : (Long, Long) = {
+        val fs = Array.tabulate(n)(i => feat(i.toLong))
+        var plantedMax = 0L; var organicMin = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            var s = 0L; var d = 0
+            val a = fs(i); val b = fs(j)
+            while (d < a.length) { s += math.abs(a(d) - b(d)); d += 1 }
+            if (j == i + 1 && i % 2 == 0 && (i / 2) % 4 == 0)
+              plantedMax = math.max(plantedMax, s)
+            else organicMin = math.min(organicMin, s)
+            j += 1
+          }
+          i += 1
+        }
+        (plantedMax, organicMin)
+      }
+      def probeModality(name: String, feat: Long => Seq[(Int, Long)],
+          planeCoef: Seq[(Int, Int, Long)], center: Seq[Long],
+          l1Max: Long): Seq[(Int, Long, Double)] = {
+        val (pMax, oMin) = l1Census(id => feat(id).map(_._2).toArray, 5000)
+        println(f"""{"metric":"${name}_l1_census","n":5000,"planted_max_l1":$pMax,"organic_min_l1":$oMin,"bound":$l1Max,"headroom_x":${oMin / l1Max}}""")
+        assert(pMax <= l1Max,
+          s"$name planted max L1 $pMax exceeds the verify bound $l1Max")
+        assert(oMin > 10L * l1Max,
+          s"$name organic min L1 $oMin within 10x of the bound $l1Max")
+        scales.map { k =>
+          val n = 5000L * k
+          import spark.implicits._
+          val f = spark.range(n).flatMap(id =>
+              feat(id).map { case (d, v) => (id, d, v) })
+            .toDF("id", "d", "v")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(true)
+          val (nPairs, t) = timed(graft.operators.ImageDedup
+            .signLshPairs(f, planeCoef, center, l1Max).count())
+          val planted = n / 8
+          assert(nPairs == planted,
+            s"$name at k=$k: $nPairs pairs != $planted planted — " +
+              "organic admission, the no-saturation design claim broke")
+          println(f"""{"metric":"${name}_probe","scale":$k,"n_clips":$n,"verified_pairs":$nPairs,"planted":$planted,"organic":${nPairs - planted},"sec":$t%.2f}""")
+          (k, nPairs, t)
+        }
+      }
+      val gAud = probeModality("q171_audio",
+        graft.multimodal.AudioGen.featuresOfScaled,
+        graft.operators.AudioDedup.PlaneCoef,
+        graft.operators.AudioDedup.Center,
+        graft.operators.AudioDedup.ScaledL1Max)
+      val gVid = probeModality("q173_video",
+        graft.multimodal.VideoGen.featuresOfScaled,
+        graft.operators.VideoDedup.PlaneCoef,
+        graft.operators.VideoDedup.Center,
+        graft.operators.VideoDedup.ScaledL1Max)
+      val aAud = aOfR11(gAud.map(r => (r._1, r._2)))
+      val aVid = aOfR11(gVid.map(r => (r._1, r._2)))
+      val wAud = wOfR11(gAud.map(r => (r._1, r._3)))
+      val wVid = wOfR11(gVid.map(r => (r._1, r._3)))
+      println(f"""{"metric":"r11_probe_exponents","alpha":{"q171_pairs":$aAud%.2f,"q171_wall":$wAud%.2f,"q173_pairs":$aVid%.2f,"q173_wall":$wVid%.2f},"note":"audio/video scaled corpora: pairs exactly n/8 with ZERO organic at every k (ASSERTED, not assumed — the composition spaces designed out q164's birthday saturation); organic min L1 asserted >10x the verify bound at n=5000 all-pairs"}""")
     }
 
     if (!runAll) { spark.stop(); return }

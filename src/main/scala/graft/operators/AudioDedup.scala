@@ -65,12 +65,13 @@ object AudioDedup {
       Multimodal.audioIntFeatures(media).toDF(), PlaneCoef, Center, L1Max)
   }
 
-  /** Exact-verify bound for the SCALED corpus: the planted ~1%
-    * segment-3 amplitude nudge moves the ppm energy profile by at
-    * most ~2.5k (measured ≤ 2.3k at sf0.1); independent compositions
-    * measure orders of magnitude farther (every share is an
-    * independent uniform draw). */
-  private[graft] val ScaledL1Max = 20000L
+  /** Exact-verify bound for the SCALED corpus, MEASURED both ways
+    * (round-11 advice #4 — the all-pairs closed-form L1 census at
+    * n = 5000, ScaleProbe r11 + MultimodalSpec): planted pairs max
+    * 2,402 (the ~1% segment-3 amplitude nudge), nearest independent
+    * composition 139,991 — the bound sits 4.2× above every planted
+    * pair and 14× below the nearest organic one, both asserted. */
+  private[graft] val ScaledL1Max = 10000L
 
   /** q171/q172 — the SCALE-TIED audio corpus (round-10 verdict #1,
     * the q164 pattern applied to the third modality): one synthesized

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.pipeline.{DagCompiler, PipelineSpec, Transform, TransformRegistry}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** q93 — the north-star LLM corpus-prep chain, driven END-TO-END by
   * the §2.10 declarative DAG compiler rather than hand-wired code:
@@ -240,6 +241,44 @@ object CorpusPipeline {
   private[graft] val specJsonV5 =
     specJsonV4.replace("train_quality", "train_quality_sampled")
 
+  /** q176 — the MULTIMODAL pipeline spec, v6 (round-10 verdict #4):
+    * the DAG compiler carrying the multimodal families the way
+    * v1–v5 carry text — scrub → text dedup-upweight (over the
+    * SCRUBBED text: the pipeline's state, not the raw table) in one
+    * branch, the scale-tied image corpus → near-dup pairs → manifest
+    * in the other, merged into the per-(source, modality) census and
+    * finished by the cross-modal temperature planner. Three new node
+    * kinds (`image_neardups`, `image_manifest`, `manifest_merge`,
+    * `effective_mix`) and the DAG's first DIAMOND over load_documents
+    * (both branches and the merge bind it) — all compiled into ONE
+    * plan. Audio/video ride the identical machinery (q167b proves the
+    * four-way composition); the compiled gate keeps the two-modality
+    * form so the pipeline's cost stays the sum of its audited stages. */
+  private[graft] val specJsonV6 =
+    """{
+      |  "Main": {
+      |    "load_documents": {
+      |      "needed-data": ["documents"],
+      |      "op": {"kind": "table", "table": "documents"}
+      |    },
+      |    "scrub": {"dependencies": {"load_documents": "df"}},
+      |    "text_manifest": {"dependencies": {"scrub": "df"}},
+      |    "image_neardups": {"dependencies": {"load_documents": "df"}},
+      |    "image_manifest": {
+      |      "dependencies": {"load_documents": "ids", "image_neardups": "pairs"}
+      |    },
+      |    "manifest_merge": {
+      |      "dependencies": {"load_documents": "docs",
+      |                       "text_manifest": "text_man",
+      |                       "image_manifest": "img_man"}
+      |    },
+      |    "effective_mix": {
+      |      "dependencies": {"manifest_merge": "census"},
+      |      "is-output": true
+      |    }
+      |  }
+      |}""".stripMargin
+
   private def in(args: Map[String, Any]): DataFrame =
     args("df").asInstanceOf[DataFrame]
 
@@ -283,7 +322,26 @@ object CorpusPipeline {
       "classifier_keep" -> Transform(a => cached(Perceptron.classifierKeep(
         in(a), a("weights").asInstanceOf[DataFrame]))),
       "temperature_mix" -> Transform(a => Mixing.temperatureKeep(in(a))),
-      "shard_pack" -> Transform(a => Mixing.shardPack(in(a))))
+      "shard_pack" -> Transform(a => Mixing.shardPack(in(a))),
+      // q176 multimodal nodes: the text manifest runs on the SCRUBBED
+      // text (the pipeline's state); the image branch synthesizes the
+      // scale-tied corpus from the DAG's own loaded table; the census
+      // checkpoint lives inside mergeCensus (read twice by the mix)
+      "text_manifest" -> Transform(a => Dedup.dedupUpweight(in(a))
+        .select(col("doc_id").as("id"), col("multiplicity"))),
+      "image_neardups" ->
+        Transform(a => ImageDedup.scaledNearDupsFrom(in(a))),
+      "image_manifest" -> Transform(a => ImageDedup.manifestFrom(
+        a("ids").asInstanceOf[DataFrame]
+          .select(col("doc_id").as("id")),
+        a("pairs").asInstanceOf[DataFrame])),
+      "manifest_merge" -> Transform(a => CrossModal.mergeCensus(
+        a("docs").asInstanceOf[DataFrame],
+        a("text_man").asInstanceOf[DataFrame],
+        a("img_man").asInstanceOf[DataFrame])),
+      "effective_mix" ->
+        Transform(a => CrossModal.mixRatesFrom(
+          a("census").asInstanceOf[DataFrame])))
   }
 
   /** The compiled (UN-materialized) pipeline plus the stage frames the
@@ -339,6 +397,9 @@ object CorpusPipeline {
     "q163_corpus_prep_sampled" -> { (s, dir) =>
       materialized(s, dir, specJsonV5)
     },
+    "q176_multimodal_pipeline" -> { (s, dir) =>
+      materialized(s, dir, specJsonV6)
+    },
   )
 
   /** The v4 composed oracle parameterized over the training CTE
@@ -378,6 +439,57 @@ object CorpusPipeline {
        |${Mixing.shardPackSql("mixed", "doc_id, lang, text, shard")}),
        |${TextAnalysis.chunkSql("packed", "doc_id, lang, shard, bin")
             .stripPrefix("WITH ")}""".stripMargin
+
+  private def oracle176: String = {
+    def sub(q: String): String = q.linesIterator.mkString("\n  ")
+    s"""WITH text_up AS MATERIALIZED (
+       |  WITH RECURSIVE scrubbed AS MATERIALIZED (
+       |  ${sub(RepeatedSpans.scrubSql("documents"))}),
+       |  ${sub(Dedup.ccLabelCtesOver("scrubbed"))}
+       |  SELECT l.doc_id AS id, CAST(m AS BIGINT) AS multiplicity
+       |  FROM labels l
+       |  JOIN (SELECT cluster_id, count(*) AS m FROM labels
+       |        GROUP BY cluster_id) cs ON l.cluster_id = cs.cluster_id
+       |  WHERE l.doc_id = l.cluster_id
+       |  UNION ALL
+       |  SELECT doc_id AS id, 1 AS multiplicity FROM scrubbed
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+       |),
+       |img_man AS MATERIALIZED (
+       |  WITH RECURSIVE ${sub(graft.multimodal.ImageGen.featureSql)},
+       |  ${sub(ImageDedup.signLshChainSql(ImageDedup.PlaneCoef,
+                ImageDedup.Center, ImageDedup.L1Max))},
+       |  ${sub(ImageDedup.manifestSqlOver(
+                "SELECT doc_id AS id FROM documents"))}
+       |),
+       |src AS (SELECT doc_id AS id, source FROM documents),
+       |census AS MATERIALIZED (
+       |  ${sub(CrossModal.censusSql("text_up", "text", "id"))}
+       |  UNION ALL
+       |  ${sub(CrossModal.censusSql("img_man", "image", "id"))}),
+       |mins AS (
+       |  SELECT modality, min(n_items) AS m_min,
+       |    coalesce(min(n_effective) FILTER (WHERE n_effective > 0), 0)
+       |      AS e_min
+       |  FROM census GROUP BY modality)
+       |SELECT c.source, c.modality, c.n_items, c.n_canonical,
+       |  c.n_effective,
+       |  CAST(floor(sqrt(CAST(m_min AS DOUBLE)
+       |    / CAST(c.n_items AS DOUBLE)) * 1000000) AS BIGINT)
+       |    AS rate_raw_ppm,
+       |  CASE WHEN c.n_effective = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor(sqrt(CAST(e_min AS DOUBLE)
+       |      / CAST(c.n_effective AS DOUBLE)) * 1000000) AS BIGINT)
+       |    END AS rate_eff_ppm,
+       |  CASE WHEN c.n_effective = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor(sqrt(CAST(e_min AS DOUBLE)
+       |      / CAST(c.n_effective AS DOUBLE)) * 1000000) AS BIGINT)
+       |    END
+       |  - CAST(floor(sqrt(CAST(m_min AS DOUBLE)
+       |    / CAST(c.n_items AS DOUBLE)) * 1000000) AS BIGINT)
+       |    AS rate_shift_ppm
+       |FROM census c JOIN mins m USING (modality)""".stripMargin
+  }
 
   /** Composed oracle: each stage's OWN generated SQL, scoped to the
     * previous stage's CTE (DuckDB allows a WITH inside a CTE body;
@@ -463,6 +575,16 @@ object CorpusPipeline {
     // the sampled variant (tok reads the splitmix64-filtered
     // documents), everything downstream byte-identical.
     "q163_corpus_prep_sampled" -> v4OracleWith(Perceptron.trainCtesSampled),
+
+    // q176: the compiled multimodal chain replayed — the text
+    // manifest's CC labels run over the SCRUBBED text (the nested
+    // scrubbed CTE, exactly the pipeline's state), the image manifest
+    // is the q164 closed-form chain, then the shared census fragments
+    // and the per-modality temperature rates (the q170 convention,
+    // zero-effective clamp included). text_up/img_man MATERIALIZED:
+    // each is read by its census's two legs, and DuckDB's default CTE
+    // inlining would re-run the recursive chains per reference.
+    "q176_multimodal_pipeline" -> oracle176,
 
     "q104_corpus_prep_scrubbed" ->
       s"""WITH scrubbed AS MATERIALIZED (

@@ -397,9 +397,14 @@ object Dedup {
         floor(sqrt(col("r_min").cast("double") /
           greatest(col("t_raw"), lit(1L)).cast("double")) * 1000000.0)
           .cast("long").as("rate_raw_ppm"),
-        floor(sqrt(col("e_min").cast("double") /
-          greatest(col("t_eff"), lit(1L)).cast("double")) * 1000000.0)
-          .cast("long").as("rate_eff_ppm"))
+        // rate_eff_ppm clamps to 0 when t_eff = 0 (round-11 advice
+        // #1): a source with no effective tokens has nothing to
+        // sample — sqrt(e_min/1) would hand it the LARGEST rate in
+        // the table, semantically wrong for a planner decision table
+        when(col("t_eff") === 0, lit(0L)).otherwise(
+          floor(sqrt(col("e_min").cast("double") /
+            greatest(col("t_eff"), lit(1L)).cast("double")) * 1000000.0)
+            .cast("long")).as("rate_eff_ppm"))
       .withColumn("rate_shift_ppm",
         col("rate_eff_ppm") - col("rate_raw_ppm"))
   }
@@ -922,11 +927,14 @@ object Dedup {
         |  CAST(floor(sqrt(CAST(r_min AS DOUBLE)
         |    / CAST(greatest(t_raw, 1) AS DOUBLE)) * 1000000) AS BIGINT)
         |    AS rate_raw_ppm,
-        |  CAST(floor(sqrt(CAST(e_min AS DOUBLE)
-        |    / CAST(greatest(t_eff, 1) AS DOUBLE)) * 1000000) AS BIGINT)
-        |    AS rate_eff_ppm,
-        |  CAST(floor(sqrt(CAST(e_min AS DOUBLE)
-        |    / CAST(greatest(t_eff, 1) AS DOUBLE)) * 1000000) AS BIGINT)
+        |  CASE WHEN t_eff = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(sqrt(CAST(e_min AS DOUBLE)
+        |      / CAST(greatest(t_eff, 1) AS DOUBLE)) * 1000000) AS BIGINT)
+        |    END AS rate_eff_ppm,
+        |  CASE WHEN t_eff = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(sqrt(CAST(e_min AS DOUBLE)
+        |      / CAST(greatest(t_eff, 1) AS DOUBLE)) * 1000000) AS BIGINT)
+        |    END
         |  - CAST(floor(sqrt(CAST(r_min AS DOUBLE)
         |    / CAST(greatest(t_raw, 1) AS DOUBLE)) * 1000000) AS BIGINT)
         |    AS rate_shift_ppm
@@ -949,7 +957,11 @@ object Dedup {
 
   /** The q69 connected-components label chain (exact J ≥ 0.5 pairs →
     * symmetric edges → recursive reachability → min-reach labels) —
-    * shared by the q69 and q149 oracles. */
+    * shared by the q69 and q149 oracles; the parameterized form
+    * serves the q176 composed oracle (labels over SCRUBBED text). */
+  private[operators] def ccLabelCtesOver(src: String): String =
+    ccLabelCtes.replace("FROM documents", s"FROM $src")
+
   private def ccLabelCtes: String =
     """tok AS (
       |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),

@@ -317,6 +317,29 @@ object Similarity {
       knnJoinQuery(e, Centroids94.table.take(c), adaptiveNProbe(c))
     },
 
+    // -- q175 ANN RECALL-VS-COST FRONTIER (round-11 verdict #1): the
+    //    operator decision q169's single datum cannot make — per index
+    //    CONFIG (the q94 fixed-16-cell codebook and the q94b/q94c
+    //    adaptive codebook, each swept over nprobe ∈ {1,2,4,6} plus
+    //    the q94c √-ladder point), the recall@5 AND the candidate
+    //    volume the config pays for it. This is the table an ANN
+    //    deployment reads to pick its operating point: recall is
+    //    monotone non-decreasing in nprobe, candidates grow ~linearly
+    //    with it, and the knee of the curve is the config to ship.
+    //    Scale shape: the brute-force truth is ONE broadcast(|Q|) ×
+    //    corpus pass shared by every config; per codebook the
+    //    assignment scan and the per-query probe ranking are computed
+    //    ONCE and shared by its nprobe sweep (checkpointed — the
+    //    frontier never rescans the corpus per config); each config
+    //    adds only its own cell-keyed candidate join, sized by its
+    //    nprobe budget. Output: 9 rows. EXACT-gated: the oracle
+    //    replays every config from the same codebook literals with
+    //    prefixed CTE chains (shared bf/assignment/ranking CTEs
+    //    MATERIALIZED), integer hit counts, integer-div recall ppm. --
+    "q175_ann_frontier" -> { (s, dir) =>
+      recallFrontier(Tables.load(s, dir, "embeddings"))
+    },
+
     // -- q169 ANN RECALL AUDIT (round 10): the evaluation harness for
     //    the similarity family — the q152/q158 pattern asked of the
     //    index: per query, recall@5 of the q94 IVF batch-kNN against
@@ -620,6 +643,85 @@ object Similarity {
         "(1000000L * coalesce(n_hits, 0L)) div 5 AS recall_ppm")
   }
 
+  /** q175's config grid, shared with the generated oracle: the fixed
+    * 16-cell q94 codebook and the adaptive q94b/q94c codebook, each
+    * at nprobe ∈ {1, 2, 4, 6}, plus the q94c √-ladder point. */
+  private[graft] val FrontierProbes = Seq(1, 2, 4, 6)
+
+  /** q175: the recall-vs-cost frontier — per (codebook, nprobe)
+    * config, the candidate volume scanned and the recall@5 against
+    * the shared brute-force truth. The per-query probe ranking here
+    * is an independent window derivation (vs the gate path's per-row
+    * struct-sort) with the identical (cos desc, cid) order — the
+    * oracle replays the same window. */
+  private[graft] def recallFrontier(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellsA = adaptiveCells(e.count())
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val nq = q.count() // scalar: |Q| (1-in-50 sample, bounded)
+    // brute-force truth: ONE broadcast(|Q|) × corpus pass, shared by
+    // all 9 configs (checkpointed — never recomputed per config)
+    val bfW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val bf = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorExprs.cosineFast(col("embedding"), col("q_emb")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(bfW))
+      .filter(col("rank") <= 5).select(col("q_id"), col("vec_id"))
+      .localCheckpoint(true)
+    // per CODEBOOK (not per config): assignment scan + per-query
+    // probe ranking, computed once and shared by the nprobe sweep
+    def ranked(cents: Seq[Seq[Double]]): (DataFrame, DataFrame) = {
+      val sims = array(cents.map(c =>
+        VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+        .localCheckpoint(true)
+      val qsims = array(cents.map(c =>
+        VectorExprs.cosineFast(col("q_emb"), typedlit(c))): _*)
+      val prW = Window.partitionBy(col("q_id"))
+        .orderBy(col("qc").desc, col("cid"))
+      val qrank = q.select(col("q_id"), col("q_emb"), posexplode(qsims))
+        .withColumnRenamed("pos", "cid").withColumnRenamed("col", "qc")
+        .withColumn("pr", row_number().over(prW))
+        .select(col("q_id"), col("q_emb"), col("cid"), col("pr"))
+        .localCheckpoint(true)
+      (assigned, qrank)
+    }
+    def cfgRow(label: String, assigned: DataFrame, qrank: DataFrame,
+        ncells: Int, np: Int): DataFrame = {
+      val cand = assigned.as("a")
+        .join(qrank.filter(col("pr") <= np).as("p"),
+          col("a.cell") === col("p.cid") && col("a.vec_id") =!= col("p.q_id"))
+        .select(col("p.q_id"), col("a.vec_id"),
+          round(VectorExprs.cosineFast(col("a.embedding"), col("p.q_emb")), 6)
+            .as("cos_sim"))
+        .localCheckpoint(true) // read by the count AND the top-5 window
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val ivf = cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5).select(col("q_id"), col("vec_id"))
+      val candN = cand.agg(count(lit(1)).as("candidates"))
+      val hits = bf.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("sum_hits"))
+      candN.crossJoin(hits)
+        .select(lit(label).as("config"), lit(ncells.toLong).as("ncells"),
+          lit(np.toLong).as("nprobe"), col("candidates"), col("sum_hits"),
+          expr(s"(1000000L * sum_hits) div ${5L * nq}L").as("recall_ppm"))
+    }
+    val (fA, fQ) = ranked(Centroids86.table)
+    val (aA, aQ) = ranked(Centroids94.table.take(cellsA))
+    val rows =
+      FrontierProbes.map(p => cfgRow(s"ivf16_p$p", fA, fQ, 16, p)) ++
+        FrontierProbes.map(p => cfgRow(s"ivfA_p$p", aA, aQ, cellsA, p)) :+
+        cfgRow("ivfA_sqrt", aA, aQ, cellsA, adaptiveNProbe(cellsA))
+    rows.reduce(_.unionByName(_))
+  }
+
   /** q83's DuckDB oracle is CODE-GENERATED from the same quantized
     * plane constants the Spark expression uses (the oracle replays
     * the full composed algorithm: band keys → Hamming-1 probe
@@ -881,6 +983,108 @@ object Similarity {
        |FROM queries q LEFT JOIN hits USING (q_id)""".stripMargin
   }
 
+  /** q175: every config replayed from the same codebook literals in
+    * ONE flat WITH — shared bf / assignment / probe-ranking CTEs
+    * MATERIALIZED (each is read by 4–9 downstream legs; DuckDB's
+    * default CTE inlining would re-evaluate them per reference — the
+    * CLAUDE.md q144 lesson), per-config chains name-prefixed. */
+  private def oracle175: String = {
+    def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def sumsq(a: String) =
+      s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def cosE(a: String, b: String) =
+      s"(${dotE(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
+    def centStructs(cents: Seq[Seq[Double]]) = cents.zipWithIndex
+      .map { case (c, i) => s"struct_pack(cid := $i, ce := ${lst(c)})" }
+      .mkString(",\n    ")
+    def simList(cents: Seq[Seq[Double]]) =
+      cents.map(c => cosE("embedding", lst(c)))
+        .mkString("[\n      ", ",\n      ", "]")
+    // per-config chain: candidates from the codebook's shared ranked
+    // CTEs at this config's probe budget, then the count + top-5-hit
+    // scalar row (cand MATERIALIZED: two scalar-subquery reads)
+    def cfg(p: String, label: String, rankCte: String, assignCte: String,
+        ncellsSql: String, npSql: String): String =
+      s"""${p}cand AS MATERIALIZED (
+         |  SELECT r.q_id, a.vec_id,
+         |    round(${cosE("a.embedding", "r.q_emb")}, 6) AS cos_sim
+         |  FROM $rankCte r JOIN $assignCte a
+         |    ON a.cell = r.cid AND a.vec_id <> r.q_id
+         |  WHERE r.pr <= ($npSql)),
+         |${p}row AS (
+         |  SELECT '$label' AS config, CAST(($ncellsSql) AS BIGINT) AS ncells,
+         |    CAST(($npSql) AS BIGINT) AS nprobe,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ${p}cand) AS candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bf JOIN (
+         |       SELECT q_id, vec_id FROM (
+         |         SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos_sim DESC, vec_id) AS rank FROM ${p}cand)
+         |       WHERE rank <= 5) i USING (q_id, vec_id)) AS sum_hits)"""
+        .stripMargin
+    val fixedCfgs = FrontierProbes.zipWithIndex.map { case (np, i) =>
+      cfg(s"f$i", s"ivf16_p$np", "fqrank", "fassigned", "16", np.toString)
+    }
+    val adaptCfgs = FrontierProbes.zipWithIndex.map { case (np, i) =>
+      cfg(s"a$i", s"ivfA_p$np", "aqrank", "aassigned",
+        "SELECT ncells FROM cc", np.toString)
+    } :+ cfg("asq", "ivfA_sqrt", "aqrank", "aassigned",
+      "SELECT ncells FROM cc",
+      "SELECT CASE WHEN ncells <= 16 THEN 6 WHEN ncells <= 32 THEN 8 ELSE 12 END FROM cc")
+    val rowUnion = (FrontierProbes.indices.map(i => s"f${i}row") ++
+      FrontierProbes.indices.map(i => s"a${i}row") :+ "asqrow")
+      .map(r => s"SELECT * FROM $r").mkString("\n  UNION ALL ")
+    s"""WITH queries AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |nq AS (SELECT count(*) AS n FROM queries),
+       |bf AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(${cosE("e.embedding", "q.q_emb")}, 6) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM queries q JOIN embeddings e ON e.vec_id <> q.q_id)
+       |  WHERE rank <= 5),
+       |cc AS (
+       |  SELECT CASE WHEN count(*) <= 512 THEN 16
+       |              WHEN count(*) <= 1024 THEN 32
+       |              ELSE 64 END AS ncells
+       |  FROM embeddings),
+       |fcents AS (
+       |  SELECT u.cid AS cid, u.ce AS ce
+       |  FROM UNNEST([${centStructs(Centroids86.table)}]) AS t(u)),
+       |acents AS (
+       |  SELECT u.cid AS cid, u.ce AS ce
+       |  FROM UNNEST([${centStructs(Centroids94.table)}]) AS t(u)),
+       |fassigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_position(l, list_max(l)) - 1 AS INTEGER) AS cell
+       |  FROM (SELECT vec_id, embedding, ${simList(Centroids86.table)} AS l
+       |        FROM embeddings)),
+       |aassigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_position(lc, list_max(lc)) - 1 AS INTEGER) AS cell
+       |  FROM (SELECT vec_id, embedding,
+       |          (${simList(Centroids94.table)})[1:ncells] AS lc
+       |        FROM embeddings, cc)),
+       |fqrank AS MATERIALIZED (
+       |  SELECT q_id, q_emb, cid,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY qc DESC, cid) AS pr
+       |  FROM (SELECT q_id, q_emb, cid, ${cosE("q_emb", "ce")} AS qc
+       |        FROM queries, fcents)),
+       |aqrank AS MATERIALIZED (
+       |  SELECT q_id, q_emb, cid,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY qc DESC, cid) AS pr
+       |  FROM (SELECT q_id, q_emb, cid, ${cosE("q_emb", "ce")} AS qc
+       |        FROM queries, acents, cc WHERE cid < ncells)),
+       |${(fixedCfgs ++ adaptCfgs).mkString(",\n")}
+       |SELECT config, ncells, nprobe, candidates, sum_hits,
+       |  CAST((1000000 * sum_hits) // (5 * n) AS BIGINT) AS recall_ppm
+       |FROM ($rowUnion), nq""".stripMargin
+  }
+
   /** Shared adaptive-codebook oracle (q94b / q94c): oracle94 with the
     * ADAPTIVE prefix — the cell count comes from count(*) through the
     * same integer ladder as [[adaptiveCells]], the per-vector argmax
@@ -1117,6 +1321,7 @@ object Similarity {
     "q86_ann_ivf" -> oracle86,
     "q94_knn_join" -> oracle94,
     "q169_ann_recall" -> oracle169,
+    "q175_ann_frontier" -> oracle175,
     "q94b_knn_join_adaptive" -> oracle94Adaptive("6"),
     "q94c_knn_join_nprobe" -> oracle94Adaptive(nprobeLadderSql),
     "q102_semdedup" -> oracle102,

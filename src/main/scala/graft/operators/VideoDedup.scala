@@ -80,10 +80,13 @@ object VideoDedup {
       PlaneCoef, Center, L1Max)
   }
 
-  /** Exact-verify bound for the SCALED corpus: the planted 1-px
-    * rectangle grow in one frame, pooled over its 2-frame segment,
-    * moves the 76-dim census by at most ~half the q164 frame-level
-    * delta; unrelated clips differ in every segment's composition. */
+  /** Exact-verify bound for the SCALED corpus, MEASURED both ways
+    * (round-11 advice #4 — the all-pairs closed-form L1 census at
+    * n = 5000, ScaleProbe r11 + MultimodalSpec): planted pairs max
+    * 14,983 (the 1-px rectangle grow pooled over its 2-frame
+    * segment), nearest independent composition 1,178,189 — the bound
+    * sits 2.7× above every planted pair and 29× below the nearest
+    * organic one, both asserted. */
   private[graft] val ScaledL1Max = 40000L
 
   /** q173/q174 — the SCALE-TIED video corpus (round-10 verdict #1,

@@ -285,6 +285,65 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_._2 == "image").map(_._3).sum === 500L)
   }
 
+  test("q167b: fully-scaled manifest — every modality per REAL source, conservation holds") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val nDocs = docs.count()
+    val srcN = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = graft.operators.CrossModal
+      .crossModalManifestScaled(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val mods = out.map(_._2).toSet
+    assert(mods === Set("text", "image", "audio", "video"))
+    mods.foreach { m =>
+      val rows = out.filter(_._2 == m)
+      // one row per REAL source in EVERY modality (no 'fixtures')
+      assert(rows.map(_._1).toSet === srcN.keySet, s"$m sources")
+      // raw items per (source, modality) = the source's doc census
+      rows.foreach { case (src, _, n, _, _) =>
+        assert(n === srcN(src), s"$m/$src raw $n != ${srcN(src)}") }
+      // conservation: Σ effective = Σ raw = |docs| within a modality
+      assert(rows.map(_._5).sum === nDocs, s"$m Σ effective")
+      assert(rows.map(_._4).sum <= nDocs, s"$m canonicals")
+      // the scaled corpora plant 1-in-4 near-dup pairs: every media
+      // modality (and the planted text dups) must dedupe SOMETHING
+      assert(rows.map(_._4).sum < nDocs, s"$m must have clusters")
+    }
+  }
+
+  test("q176: compiled multimodal pipeline — conservation, anchors, and the q170 zero clamp") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val nDocs = docs.count()
+    val out = graft.operators.CorpusPipeline
+      .queries("q176_multimodal_pipeline")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(out.map(_._2).toSet === Set("text", "image"))
+    // the text branch budgets the PIPELINE's state: scrub drops
+    // fully-boilerplate docs (their every token is span-marked), so
+    // text conservation is over the scrub SURVIVORS; the image branch
+    // synthesizes from raw doc_ids, so it conserves the full corpus
+    val nScrub = graft.operators.RepeatedSpans.scrubKeep(docs).count()
+    assert(nScrub < nDocs, "sf0.001 has fully-scrubbed docs")
+    Seq("text", "image").foreach { m =>
+      val rows = out.filter(_._2 == m)
+      assert(rows.length === 20, s"$m: one row per real source")
+      // conservation through the compiled DAG
+      assert(rows.map(_._3).sum === nDocs, s"$m raw census")
+      assert(rows.map(_._5).sum ===
+        (if (m == "text") nScrub else nDocs), s"$m effective census")
+      // temperature anchors per modality: the min source at 10^6 on
+      // both scales; rates in (0, 10^6] unless clamped; shift ≡ diff
+      assert(rows.exists(_._6 === 1000000L), s"$m raw anchor")
+      assert(rows.exists(_._7 === 1000000L), s"$m effective anchor")
+      assert(rows.forall { case (_, _, _, _, ne, rr, re, sh) =>
+        rr > 0 && rr <= 1000000L && sh === re - rr &&
+          (if (ne == 0) re === 0L else re > 0 && re <= 1000000L) })
+    }
+  }
+
   test("q170: effective-mix rates — bounds, anchor source at 10^6, planted cluster moves the canonical's rate DOWN") {
     import spark.implicits._
     // real corpus: rates in (0, 1e6], the minimum source anchors at
@@ -337,6 +396,11 @@ class DedupSpec extends SparkSpec {
     val p = graft.operators.Dedup.effectiveMixRates(planted).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
     assert(p("srcZ")._1 === 0L, "srcZ has no effective tokens")
+    // round-11 advice #1: a source with zero effective tokens gets
+    // rate 0, not sqrt(e_min/1)·10⁶ (which would be the LARGEST rate
+    // in the table for a source with nothing to sample)
+    assert(p("srcZ")._2 === 0L,
+      s"zero effective tokens clamp to rate 0: ${p("srcZ")}")
     assert(p("srcA")._2 > 0L && p("srcB")._2 > 0L,
       s"participating sources keep positive effective rates: $p")
     assert(p.values.exists(_._2 === 1000000L),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Media, Multimodal}
+import graft.multimodal.{AudioGen, Media, Multimodal, VideoGen}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -445,6 +445,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length === 120)
     assert(out.map(_._2).sum === 240L)
     assert(out.forall { case (id, m) => id % 2 == 0 && m == 2L })
+  }
+
+  test("q171/q173 separation: planted L1 within the scaled bounds, organic compositions an order of magnitude farther (round-11 advice #4)") {
+    // the ADVICE gap: ScaledL1Max (audio 20000, video 40000) had ~9x
+    // headroom over the documented planted delta, but no assertion
+    // pinned the ORGANIC side of the gap. This sweep measures the
+    // ground truth over ALL pairs of the gate corpus (ids 0..499 — the
+    // sf0.001/sf0.01 universe) from the closed-form features: every
+    // planted pair's L1 must sit within the verify bound, and the
+    // NEAREST pair of independent compositions must clear it by >10x,
+    // so the bound can never admit an organic pair (ScaleProbe's r11
+    // section asserts the same census at n = 5000, the sf0.1 size).
+    def sweep(name: String, feat: Long => Array[Long], bound: Long)
+        : (Long, Long) = {
+      val n = 500
+      val fs = Array.tabulate(n)(i => feat(i.toLong))
+      var plantedMax = 0L; var plantedMin = Long.MaxValue
+      var organicMin = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          var s = 0L; var d = 0
+          val a = fs(i); val b = fs(j)
+          while (d < a.length) { s += math.abs(a(d) - b(d)); d += 1 }
+          if (j == i + 1 && i % 2 == 0 && (i / 2) % 4 == 0) {
+            plantedMax = math.max(plantedMax, s)
+            plantedMin = math.min(plantedMin, s)
+          } else organicMin = math.min(organicMin, s)
+          j += 1
+        }
+        i += 1
+      }
+      assert(plantedMin > 0L, s"$name: a planted pair is byte-identical")
+      assert(plantedMax <= bound,
+        s"$name planted max L1 $plantedMax exceeds the bound $bound")
+      assert(organicMin > 10L * bound,
+        s"$name organic min L1 $organicMin within 10x of the bound $bound")
+      (plantedMax, organicMin)
+    }
+    val (apm, aom) = sweep("audio",
+      id => AudioGen.featuresOfScaled(id).map(_._2).toArray,
+      graft.operators.AudioDedup.ScaledL1Max)
+    val (vpm, vom) = sweep("video",
+      id => VideoGen.featuresOfScaled(id).map(_._2).toArray,
+      graft.operators.VideoDedup.ScaledL1Max)
+    info(s"audio: planted max $apm vs organic min $aom (bound 10000)")
+    info(s"video: planted max $vpm vs organic min $vom (bound 40000)")
   }
 
   test("features flow back into DataFrame surface for downstream joins") {

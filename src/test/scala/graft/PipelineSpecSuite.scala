@@ -52,6 +52,30 @@ class PipelineSpecSuite extends AnyFunSuite {
     assert(e.getMessage.contains("missing_impl"))
   }
 
+  test("v6 multimodal spec: parses, topo-orders, and carries the diamond over load_documents") {
+    val blocks = PipelineSpec.fromJson(
+      graft.operators.CorpusPipeline.specJsonV6)
+    val specs = blocks("Main")
+    val ordered = DagCompiler.topoSort(specs).map(_.name)
+    assert(ordered.head === "load_documents")
+    assert(ordered.last === "effective_mix")
+    DagCompiler.validateOutput(DagCompiler.topoSort(specs))
+    // the DAG's first diamond: BOTH modality branches and the merge
+    // bind the same loaded table (text via scrub; image directly;
+    // merge for the source map) — three consumers of one node
+    val consumers = specs.filter(_.dependencies.contains("load_documents"))
+    assert(consumers.map(_.name).toSet ===
+      Set("scrub", "image_neardups", "image_manifest", "manifest_merge"))
+    // output aliasing: image_manifest binds the table as `ids` and
+    // the pair node as `pairs` (the utils.py dict-form contract)
+    val im = specs.find(_.name == "image_manifest").get
+    assert(im.argNameFor("load_documents") === "ids")
+    assert(im.argNameFor("image_neardups") === "pairs")
+    val mm = specs.find(_.name == "manifest_merge").get
+    assert(mm.argNameFor("text_manifest") === "text_man")
+    assert(mm.argNameFor("image_manifest") === "img_man")
+  }
+
   test("dependency aliasing binds outputs under the alias (utils.py:195-199)") {
     val s = node("consumer", Map("compute_radius" -> "catalog"))
     val args = DagCompiler.bindArgs(s, Map("compute_radius" -> 42), Map.empty, Map.empty, Map.empty)

@@ -294,6 +294,48 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@5 $mean below q94's floor")
   }
 
+  test("q175: frontier monotone in nprobe per codebook; ivf16_p6 reproduces the q169 datum") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val out = Similarity.recallFrontier(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length === 9, s"9 config points: ${out.length}")
+    // within each codebook, widening the probe budget can only ADD
+    // candidate cells: candidates and recall are monotone
+    // non-decreasing in nprobe (the frontier's defining property)
+    for (fam <- Seq("ivf16_p", "ivfA_p")) {
+      val sweep = out.filter(_._1.startsWith(fam)).sortBy(_._3)
+      assert(sweep.length === 4, s"$fam sweep: ${sweep.length}")
+      sweep.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo._4 <= hi._4, s"candidates monotone: $lo vs $hi")
+        assert(lo._6 <= hi._6, s"recall monotone: $lo vs $hi")
+      }
+    }
+    // the √-ladder point rides the adaptive codebook at its ladder
+    // budget — at 16 cells that IS nprobe 6 (ivfA_p6), so the two
+    // rows must agree exactly (the ladder replayed, not re-derived)
+    val sqrtRow = out.find(_._1 == "ivfA_sqrt").get
+    val cellsA = Similarity.adaptiveCells(e.count())
+    assert(sqrtRow._3 === Similarity.adaptiveNProbe(cellsA).toLong)
+    if (Similarity.adaptiveNProbe(cellsA) == 6) {
+      val p6 = out.find(_._1 == "ivfA_p6").get
+      assert(sqrtRow._4 === p6._4 && sqrtRow._6 === p6._6,
+        s"ladder point ≡ p6 at 16 cells: $sqrtRow vs $p6")
+    }
+    // consistency with the gate audit: ivf16_p6 is exactly the q94
+    // config q169 audits — its recall_ppm must equal the integer-div
+    // aggregate of q169's per-query hits
+    val audit = Similarity.annRecallAudit(e).collect()
+      .map(r => (r.getLong(1)))
+    val expect = (1000000L * audit.sum) / (5L * audit.length)
+    val p6f = out.find(_._1 == "ivf16_p6").get
+    assert(p6f._6 === expect,
+      s"frontier ivf16_p6 ${p6f._6} != q169 aggregate $expect")
+    // sanity bounds: hits ≤ 5·|Q|, candidates positive
+    val nQ = e.filter(col("vec_id") % 50 === 0).count()
+    assert(out.forall(r => r._5 >= 0 && r._5 <= 5 * nQ && r._4 > 0))
+  }
+
   test("q49 cross-engine safety margins: plane-sign dots bounded away from 0") {
     // the oracle replays bucket bits as sign(dot); noise between the
     // two ordered-fold evaluations is ~1e-13, so every |dot| must be
