@@ -340,6 +340,23 @@ object Similarity {
       recallFrontier(Tables.load(s, dir, "embeddings"))
     },
 
+    // -- q177 LSH PROBE-DEPTH FRONTIER (round 12): the LSH side of
+    //    the q175 decision table — per (plane family, Hamming probe
+    //    depth) config, candidates scanned and recall@5 against the
+    //    SAME brute-force truth and query sample, so the deployment
+    //    decision spans index FAMILIES: the IVF nprobe ladder (q175)
+    //    and the LSH probe-depth ladder (this) share one
+    //    recall-vs-cost axis pair. Families: the shipped 4-plane q49
+    //    buckets and an 8-plane family (256 buckets — the pruning
+    //    regime 16 buckets cannot reach), depths 0/1/2. EXACT-gated:
+    //    the oracle replays bucket bits from the same 3-decimal
+    //    plane literals, the mask-enumerated probe neighborhoods,
+    //    and the round-6 re-rank, per-config prefixed CTE chains
+    //    over shared MATERIALIZED bf/bucket stages. --
+    "q177_lsh_frontier" -> { (s, dir) =>
+      lshFrontier(Tables.load(s, dir, "embeddings"))
+    },
+
     // -- q169 ANN RECALL AUDIT (round 10): the evaluation harness for
     //    the similarity family — the q152/q158 pattern asked of the
     //    index: per query, recall@5 of the q94 IVF batch-kNN against
@@ -648,20 +665,16 @@ object Similarity {
     * at nprobe ∈ {1, 2, 4, 6}, plus the q94c √-ladder point. */
   private[graft] val FrontierProbes = Seq(1, 2, 4, 6)
 
-  /** q175: the recall-vs-cost frontier — per (codebook, nprobe)
-    * config, the candidate volume scanned and the recall@5 against
-    * the shared brute-force truth. The per-query probe ranking here
-    * is an independent window derivation (vs the gate path's per-row
-    * struct-sort) with the identical (cos desc, cid) order — the
-    * oracle replays the same window. */
-  private[graft] def recallFrontier(e: DataFrame): DataFrame = {
+  /** Shared frontier plumbing (q175 IVF / q177 LSH): the
+    * deterministic query sample, its size, and the checkpointed
+    * brute-force top-5 truth — ONE broadcast(|Q|) × corpus pass,
+    * never recomputed per config. */
+  private def frontierBase(e: DataFrame)
+      : (DataFrame, Long, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val cellsA = adaptiveCells(e.count())
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val nq = q.count() // scalar: |Q| (1-in-50 sample, bounded)
-    // brute-force truth: ONE broadcast(|Q|) × corpus pass, shared by
-    // all 9 configs (checkpointed — never recomputed per config)
     val bfW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     val bf = e.select(col("vec_id"), col("embedding"))
@@ -673,6 +686,40 @@ object Similarity {
       .withColumn("rank", row_number().over(bfW))
       .filter(col("rank") <= 5).select(col("q_id"), col("vec_id"))
       .localCheckpoint(true)
+    (q, nq, bf)
+  }
+
+  /** One frontier row from a checkpointed candidate frame
+    * (q_id, vec_id, cos_sim): candidate count, top-5 ∩ truth hits,
+    * integer-div recall ppm, with config-identifying extras. */
+  private def frontierRow(cand: DataFrame, bf: DataFrame, nq: Long,
+      label: String, extras: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val ivf = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select(col("q_id"), col("vec_id"))
+    val candN = cand.agg(count(lit(1)).as("candidates"))
+    val hits = bf.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("sum_hits"))
+    candN.crossJoin(hits)
+      .select(lit(label).as("config") +:
+        extras.map { case (n, v) => lit(v).as(n) } ++:
+        Seq(col("candidates"), col("sum_hits"),
+          expr(s"(1000000L * sum_hits) div ${5L * nq}L")
+            .as("recall_ppm")): _*)
+  }
+
+  /** q175: the recall-vs-cost frontier — per (codebook, nprobe)
+    * config, the candidate volume scanned and the recall@5 against
+    * the shared brute-force truth. The per-query probe ranking here
+    * is an independent window derivation (vs the gate path's per-row
+    * struct-sort) with the identical (cos desc, cid) order — the
+    * oracle replays the same window. */
+  private[graft] def recallFrontier(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellsA = adaptiveCells(e.count())
+    val (q, nq, bf) = frontierBase(e)
     // per CODEBOOK (not per config): assignment scan + per-query
     // probe ranking, computed once and shared by the nprobe sweep
     def ranked(cents: Seq[Seq[Double]]): (DataFrame, DataFrame) = {
@@ -701,17 +748,8 @@ object Similarity {
           round(VectorExprs.cosineFast(col("a.embedding"), col("p.q_emb")), 6)
             .as("cos_sim"))
         .localCheckpoint(true) // read by the count AND the top-5 window
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-      val ivf = cand.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5).select(col("q_id"), col("vec_id"))
-      val candN = cand.agg(count(lit(1)).as("candidates"))
-      val hits = bf.join(ivf, Seq("q_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("sum_hits"))
-      candN.crossJoin(hits)
-        .select(lit(label).as("config"), lit(ncells.toLong).as("ncells"),
-          lit(np.toLong).as("nprobe"), col("candidates"), col("sum_hits"),
-          expr(s"(1000000L * sum_hits) div ${5L * nq}L").as("recall_ppm"))
+      frontierRow(cand, bf, nq, label,
+        Seq("ncells" -> ncells.toLong, "nprobe" -> np.toLong))
     }
     val (fA, fQ) = ranked(Centroids86.table)
     val (aA, aQ) = ranked(Centroids94.table.take(cellsA))
@@ -720,6 +758,57 @@ object Similarity {
         FrontierProbes.map(p => cfgRow(s"ivfA_p$p", aA, aQ, cellsA, p)) :+
         cfgRow("ivfA_sqrt", aA, aQ, cellsA, adaptiveNProbe(cellsA))
     rows.reduce(_.unionByName(_))
+  }
+
+  /** q177's second bucket family: 8 quantized planes (256 buckets) —
+    * the pruning regime the 4-plane q49 family can't reach (16
+    * buckets prune at most 16×). Same 0.001-grid quantization as
+    * every shipped plane family; SimilaritySpec asserts the sign
+    * margins tri-scale. */
+  private[graft] val Planes177: Seq[Seq[Double]] =
+    Vectors.quantizedPlanes(nPlanes = 8, dim = 64, seed = 177L)
+
+  /** All XOR masks of ≤ depth bits over `bits` planes — the
+    * Hamming-≤-depth multi-probe neighborhood (depth 0 = the bucket
+    * itself, 1 = the q49 probe set, 2 = the next ring). */
+  private[graft] def hammingMasks(bits: Int, depth: Int): Seq[Int] =
+    (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= depth)
+
+  /** q177: the LSH side of the ANN decision table — per (plane
+    * family, probe depth) config, candidates scanned and recall@5
+    * against the same brute-force truth as q175, so a deployment
+    * compares operating points ACROSS index families (IVF nprobe
+    * ladder vs LSH probe-depth ladder) on one axis pair. Scale
+    * shape: bucket assignment is map-side per family (computed once,
+    * checkpointed, shared by its depth sweep); each config adds one
+    * bucket-keyed equi-join sized by its probe neighborhood —
+    * |probes| = Σ C(P, k≤d) buckets of ~n/2^P vectors each. */
+  private[graft] def lshFrontier(e: DataFrame): DataFrame = {
+    val (q, nq, bf) = frontierBase(e)
+    def family(label: String, planes: Seq[Seq[Double]]): Seq[DataFrame] = {
+      val bucketed = e.select(col("vec_id"), col("embedding"),
+        Vectors.lshBucket(col("embedding"), planes).as("bucket"))
+        .localCheckpoint(true)
+      val qb = q.withColumn("bucket",
+        Vectors.lshBucket(col("q_emb"), planes)).localCheckpoint(true)
+      Seq(0, 1, 2).map { d =>
+        val masks = hammingMasks(planes.length, d)
+        val probes = qb.select(col("q_id"), col("q_emb"), explode(
+          array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("probe"))
+        val cand = bucketed.as("a").join(probes.as("p"),
+            col("a.bucket") === col("p.probe") &&
+              col("a.vec_id") =!= col("p.q_id"))
+          .select(col("p.q_id"), col("a.vec_id"),
+            round(VectorExprs.cosineFast(col("a.embedding"), col("p.q_emb")), 6)
+              .as("cos_sim"))
+          .localCheckpoint(true) // read by the count AND the top-5 window
+        frontierRow(cand, bf, nq, s"${label}_h$d",
+          Seq("nplanes" -> planes.length.toLong, "probe_depth" -> d.toLong))
+      }
+    }
+    (family("lsh4", Planes) ++ family("lsh8", Planes177))
+      .reduce(_.unionByName(_))
   }
 
   /** q83's DuckDB oracle is CODE-GENERATED from the same quantized
@@ -1085,6 +1174,82 @@ object Similarity {
        |FROM ($rowUnion), nq""".stripMargin
   }
 
+  /** q177: the LSH frontier replayed — bucket bits from the same
+    * 3-decimal plane literals (per family, over corpus AND queries,
+    * each MATERIALIZED: read by 3 depth configs), probe
+    * neighborhoods as literal XOR-mask lists, shared bf truth, and
+    * the same per-config row shape as oracle175. */
+  private def oracle177: String = {
+    def lst(p: Seq[Double]) = p.map(v => f"$v%.3f").mkString("[", ", ", "]")
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def sumsq(a: String) =
+      s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    def cosE(a: String, b: String) =
+      s"(${dotE(a, b)} / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
+    def bucketBits(v: String, planes: Seq[Seq[Double]]) =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotE(v, lst(p))} >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+    def cfg(p: String, label: String, bCte: String, qCte: String,
+        nplanes: Int, depth: Int): String = {
+      val probeList = hammingMasks(nplanes, depth)
+        .map(m => s"xor(bucket, $m)").mkString(", ")
+      s"""${p}cand AS MATERIALIZED (
+         |  SELECT r.q_id, a.vec_id,
+         |    round(${cosE("a.embedding", "r.q_emb")}, 6) AS cos_sim
+         |  FROM (SELECT q_id, q_emb, unnest([$probeList]) AS probe
+         |        FROM $qCte) r
+         |  JOIN $bCte a ON a.bucket = r.probe AND a.vec_id <> r.q_id),
+         |${p}row AS (
+         |  SELECT '$label' AS config, CAST($nplanes AS BIGINT) AS nplanes,
+         |    CAST($depth AS BIGINT) AS probe_depth,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ${p}cand) AS candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bf JOIN (
+         |       SELECT q_id, vec_id FROM (
+         |         SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos_sim DESC, vec_id) AS rank FROM ${p}cand)
+         |       WHERE rank <= 5) i USING (q_id, vec_id)) AS sum_hits)"""
+        .stripMargin
+    }
+    val cfgs =
+      Seq(0, 1, 2).map(d => cfg(s"l4d$d", s"lsh4_h$d", "b4", "q4", 4, d)) ++
+        Seq(0, 1, 2).map(d => cfg(s"l8d$d", s"lsh8_h$d", "b8", "q8", 8, d))
+    val rowUnion = (Seq(0, 1, 2).map(d => s"l4d${d}row") ++
+      Seq(0, 1, 2).map(d => s"l8d${d}row"))
+      .map(r => s"SELECT * FROM $r").mkString("\n  UNION ALL ")
+    s"""WITH queries AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |nq AS (SELECT count(*) AS n FROM queries),
+       |bf AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(${cosE("e.embedding", "q.q_emb")}, 6) DESC,
+       |                 e.vec_id) AS rank
+       |    FROM queries q JOIN embeddings e ON e.vec_id <> q.q_id)
+       |  WHERE rank <= 5),
+       |b4 AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    (${bucketBits("embedding", Planes)}) AS bucket
+       |  FROM embeddings),
+       |q4 AS MATERIALIZED (
+       |  SELECT q_id, q_emb, (${bucketBits("q_emb", Planes)}) AS bucket
+       |  FROM queries),
+       |b8 AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    (${bucketBits("embedding", Planes177)}) AS bucket
+       |  FROM embeddings),
+       |q8 AS MATERIALIZED (
+       |  SELECT q_id, q_emb, (${bucketBits("q_emb", Planes177)}) AS bucket
+       |  FROM queries),
+       |${cfgs.mkString(",\n")}
+       |SELECT config, nplanes, probe_depth, candidates, sum_hits,
+       |  CAST((1000000 * sum_hits) // (5 * n) AS BIGINT) AS recall_ppm
+       |FROM ($rowUnion), nq""".stripMargin
+  }
+
   /** Shared adaptive-codebook oracle (q94b / q94c): oracle94 with the
     * ADAPTIVE prefix — the cell count comes from count(*) through the
     * same integer ladder as [[adaptiveCells]], the per-vector argmax
@@ -1322,6 +1487,7 @@ object Similarity {
     "q94_knn_join" -> oracle94,
     "q169_ann_recall" -> oracle169,
     "q175_ann_frontier" -> oracle175,
+    "q177_lsh_frontier" -> oracle177,
     "q94b_knn_join_adaptive" -> oracle94Adaptive("6"),
     "q94c_knn_join_nprobe" -> oracle94Adaptive(nprobeLadderSql),
     "q102_semdedup" -> oracle102,

@@ -407,6 +407,49 @@ class DedupSpec extends SparkSpec {
       "the effective-min source still anchors at 10^6")
   }
 
+  test("q178: increment report ≡ the cross-boundary slice of the full pair set; planted twins flagged") {
+    def md5hex(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    def isInc(id: Long): Boolean = md5hex(id) >= "cccccccc"
+    val out = graft.operators.ImageDedup
+      .queries("q178_image_incremental")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // one row per increment id, duplicates exist, no standing ids leak
+    assert(out.keySet.forall(isInc))
+    assert(out.values.exists(_._4 == 1L), "some increments are dups")
+    assert(out.values.exists(_._4 == 0L), "some increments are novel")
+    // ground truth: the FULL corpus pair set (the audited q164 gate),
+    // sliced to pairs that cross the standing/increment boundary —
+    // chunk collision is pairwise, so the incremental probe must see
+    // exactly these
+    val pairs = graft.operators.ImageDedup
+      .scaledImageNearDups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val expected = pairs.flatMap { case (a, b, l1) =>
+      (isInc(a), isInc(b)) match {
+        case (true, false) => Some((a, b, l1)) // inc, std
+        case (false, true) => Some((b, a, l1))
+        case _ => None
+      }
+    }.groupBy(_._1)
+    out.foreach { case (id, (n, bestId, bestL1, dup)) =>
+      expected.get(id) match {
+        case None =>
+          assert(n === 0L && bestId === -1L && bestL1 === -1L && dup === 0L,
+            s"$id should be novel")
+        case Some(ms) =>
+          assert(n === ms.length.toLong && dup === 1L, s"$id census")
+          val minL1 = ms.map(_._3).min
+          val expectBest = ms.filter(_._3 == minL1).map(_._2).min
+          assert(bestL1 === minL1 && bestId === expectBest, s"$id argmax")
+      }
+    }
+    // completeness the other way: every cross-boundary pair surfaced
+    assert(expected.keySet.subsetOf(out.keySet))
+  }
+
   test("q145: best match is the max-Jaccard corpus doc, ties to the lowest id") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta"

@@ -350,6 +350,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q177: LSH frontier monotone in probe depth per family; depth-2 subsumes depth-1 subsumes depth-0; Planes177 margins tri-scale") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val out = Similarity.lshFrontier(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length === 6, s"6 config points: ${out.length}")
+    for (fam <- Seq("lsh4", "lsh8")) {
+      val sweep = out.filter(_._1.startsWith(fam)).sortBy(_._3)
+      assert(sweep.map(_._3).toSeq === Seq(0L, 1L, 2L), fam)
+      // widening the probe neighborhood only ADDS buckets: candidates
+      // STRICTLY grow (every mask hits a nonempty bucket set at this
+      // corpus density) and recall is monotone non-decreasing
+      sweep.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo._4 < hi._4, s"$fam candidates grow: $lo vs $hi")
+        assert(lo._6 <= hi._6, s"$fam recall monotone: $lo vs $hi")
+      }
+      // the 8-plane family prunes harder than the 4-plane at equal
+      // depth (2^8 buckets vs 2^4) — candidates strictly smaller
+      }
+    for (d <- 0 to 2) {
+      val c4 = out.find(_._1 == s"lsh4_h$d").get._4
+      val c8 = out.find(_._1 == s"lsh8_h$d").get._4
+      assert(c8 < c4, s"8-plane family must prune harder at depth $d")
+    }
+    // hammingMasks: exact neighborhood sizes (1, 1+P, 1+P+C(P,2))
+    assert(Similarity.hammingMasks(4, 0).length === 1)
+    assert(Similarity.hammingMasks(4, 1).length === 5)
+    assert(Similarity.hammingMasks(4, 2).length === 11)
+    assert(Similarity.hammingMasks(8, 2).length === 37)
+    // Planes177 sign margins: the oracle replays bucket bits as
+    // sign(dot); cross-engine fold noise is ~1e-13, so every |dot|
+    // must be orders wider at every scale (the q49/q83 argument)
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val dots = Similarity.Planes177.map(p =>
+        abs(Vectors.dot(col("embedding"), typedlit(p))))
+      val minDot = emb.select(least(dots: _*).as("d"))
+        .agg(min(col("d"))).head().getDouble(0)
+      assert(minDot > 1e-6, s"Planes177 margin too thin at $dir: $minDot")
+    }
+  }
+
   test("kmeansCentroids: deterministic, normalized, covers the sample") {
     val rng = new scala.util.Random(11)
     val sample = Seq.fill(64)(Array.fill(8)(rng.nextGaussian()))
