@@ -129,6 +129,22 @@ object AudioDedup {
           .select(col("doc_id").as("id")),
         scaledAudioNearDups(s, dir))
     },
+
+    // -- q179: incremental AUDIO ingest — the q178 kernel proven
+    //    modality-generic WITH a gate, not a comment: the identical
+    //    incrementalIngest over the scaled audio corpus (audio's own
+    //    plane/center/bound literals drop in unchanged). New clips
+    //    dedupe against the standing library through one chunk-keyed
+    //    probe join; per increment the match census + best standing
+    //    match + dup flag. Oracle = the closed-form audio features +
+    //    the shared chunk CTEs + the shared incremental replay. --
+    "q179_audio_incremental" -> { (s, dir) =>
+      val docs = graft.Tables.load(s, dir, "documents")
+      ImageDedup.incrementalIngest(
+        Multimodal.audioIntFeatures(scaledAudio(s, dir)).toDF(),
+        docs.select(col("doc_id").as("id")),
+        PlaneCoef, Center, ScaledL1Max)
+    },
   )
 
   private def pairCtes: String =
@@ -156,5 +172,9 @@ object AudioDedup {
       s"""WITH RECURSIVE $scaledPairCtes,
          |${ImageDedup.manifestSqlOver(
               "SELECT doc_id AS id FROM documents")}""".stripMargin,
+    "q179_audio_incremental" ->
+      s"""WITH ${AudioGen.featureSql},
+         |${ImageDedup.chunkCtesSql(PlaneCoef, Center)},
+         |${ImageDedup.incrementalChainSql(ScaledL1Max)}""".stripMargin,
   )
 }

@@ -328,7 +328,63 @@ object Dedup {
     "q170_effective_mix" -> { (s, dir) =>
       effectiveMixRates(Tables.load(s, dir, "documents"))
     },
+
+    // -- q180 (round 12): the TEXT-dedup banding frontier — the q175/
+    //    q177 decision-table pattern for the MinHash family: per
+    //    (bands, rows-per-band) banding of ONE shared 64-hash
+    //    signature (b·r = 64: 32×2, 16×4, 8×8, 4×16), the candidate
+    //    volume and the recall against the EXACT J ≥ 0.5 truth (the
+    //    q44 prefix-filtered pairs). This is the S-curve table every
+    //    LSH dedup deployment tunes: more rows per band → sharper
+    //    threshold → fewer candidates and lower recall at the
+    //    operating J. Scale shape: ONE signature pass + ONE exact
+    //    truth computation shared by all 4 configs (checkpointed);
+    //    each config adds only its banding explode + bucket-keyed
+    //    self-join. EXACT-gated: the oracle derives the same
+    //    signature once and replays each banding's foldMix chain. --
+    "q180_minhash_frontier" -> { (s, dir) =>
+      minhashFrontier(Tables.load(s, dir, "documents"))
+    },
   )
+
+  /** q180's banding grid (bands × rows = 64), shared with the
+    * generated oracle. */
+  private[graft] val BandGrid = Seq(32, 16, 8, 4)
+
+  private[graft] def minhashFrontier(d: DataFrame): DataFrame = {
+    val wide = widen(d)
+    val toks = wide.select(col("doc_id"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    // ONE signature pass shared by every banding (the frontier never
+    // re-signs the corpus per config)
+    val sigs = toks.select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSignature(col("toks"), 64, 3)
+          .as("sig"))
+      .localCheckpoint(true)
+    val truth = jaccardPairs(wide).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val tc = truth.count() // scalar: |truth| (the recall denominator)
+    val rows = BandGrid.map { bands =>
+      val r = 64 / bands
+      val bandCols = (0 until bands).map(b =>
+        graft.functions.SplitMix64.mixFold(slice(col("sig"), b * r + 1, r), b))
+      val buckets = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val cand = graft.dedup.MinHashLSH.candidatePairs(buckets)
+        .localCheckpoint(true) // read by the count AND the recall join
+      val candN = cand.agg(count(lit(1)).as("candidates"))
+      val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      candN.crossJoin(hits)
+        .select(lit(s"b${bands}r$r").as("config"),
+          lit(bands.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("candidates"), lit(tc).as("truth_pairs"), col("hits"),
+          expr(s"(1000000L * hits) div ${math.max(tc, 1L)}L")
+            .as("recall_ppm"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
 
   /** q159 over any documents-shaped frame (needs `doc_id`, `text`,
     * `source`). Scale shape: rides q149's machinery (checkpointed);
@@ -615,8 +671,10 @@ object Dedup {
     * lead() ladder), 64 per-salt minima, 16 foldMix band keys. Shared
     * by oracle45 and oracle145 so both replay the identical engine
     * kernels. */
-  private def lshBandKeyCtes: String = {
-    val bandSlices = (1 to 4).map(r => s"sig[4 * b + $r] AS v$r").mkString(", ")
+  /** CTE chain from `th` to the 64-min signature table `sigs` —
+    * factored so the q180 frontier's band-grid oracle can share one
+    * signature derivation across its configs. */
+  private def sigCtes: String =
     s"""sh1 AS (
        |  SELECT doc_id, i, ${mixSql("h")} AS s1,
        |    lead(h, 1) OVER (PARTITION BY doc_id ORDER BY i) AS h2,
@@ -632,15 +690,37 @@ object Dedup {
        |    ${mixSql(s"(sh + CAST(k AS HUGEINT) * $GoldenU) % $M64")} AS hk
        |  FROM sh3, (SELECT unnest(range(64)) AS k) ks),
        |mins AS (SELECT doc_id, k, min(hk) AS m FROM salted GROUP BY doc_id, k),
-       |sigs AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM mins GROUP BY doc_id),
-       |b0 AS (
-       |  SELECT doc_id, b, $bandSlices
-       |  FROM sigs, (SELECT unnest(range(16)) AS b) bs),
-       |k1 AS (SELECT doc_id, b, ${mixSql("xor(CAST(b AS HUGEINT), v1)")} AS h, v2, v3, v4 FROM b0),
-       |k2 AS (SELECT doc_id, b, ${mixSql("xor(h, v2)")} AS h, v3, v4 FROM k1),
-       |k3 AS (SELECT doc_id, b, ${mixSql("xor(h, v3)")} AS h, v4 FROM k2),
-       |k4 AS (SELECT doc_id, b AS band, ${mixSql("xor(h, v4)")} AS bucket FROM k3)""".stripMargin
+       |sigs AS MATERIALIZED (
+       |  SELECT doc_id, list(m ORDER BY k) AS sig FROM mins GROUP BY doc_id)"""
+      .stripMargin
+
+  /** Name-prefixed band-key chain from `sigs` for a (bands, 64/bands)
+    * banding: the splitmix64 foldMix over each band's signature slice
+    * seeded by the band index — the generic form of the q45 16×4
+    * chain (which [[lshBandKeyCtes]] reproduces at prefix ""). The
+    * final CTE `<p>k<r>(doc_id, band, bucket)` is the bucket table. */
+  private def bandKeyCtesFor(p: String, bands: Int): String = {
+    val r = 64 / bands
+    val slices = (1 to r).map(i => s"sig[$r * b + $i] AS v$i").mkString(", ")
+    val b0 = s"""${p}b0 AS (
+       |  SELECT doc_id, b, $slices
+       |  FROM sigs, (SELECT unnest(range($bands)) AS b) ${p}bs)""".stripMargin
+    val k1rest = (2 to r).map(j => s"v$j").mkString(", ")
+    val k1 =
+      s"${p}k1 AS (SELECT doc_id, b, ${mixSql("xor(CAST(b AS HUGEINT), v1)")} AS h, $k1rest FROM ${p}b0)"
+    val ks = (2 to r).map { i =>
+      if (i < r) {
+        val rest = ((i + 1) to r).map(j => s"v$j").mkString(", ")
+        s"${p}k$i AS (SELECT doc_id, b, ${mixSql(s"xor(h, v$i)")} AS h, $rest FROM ${p}k${i - 1})"
+      } else
+        s"${p}k$i AS (SELECT doc_id, b AS band, ${mixSql(s"xor(h, v$i)")} AS bucket FROM ${p}k${i - 1})"
+    }
+    (Seq(b0, k1) ++ ks).mkString(",\n")
   }
+
+  private def lshBandKeyCtes: String =
+    s"""$sigCtes,
+       |${bandKeyCtesFor("", 16)}""".stripMargin
 
   /** CTE chain from `tok` to the per-doc gram set + sizes —
     * MATERIALIZED (q154 references them four times; DuckDB's default
@@ -670,6 +750,50 @@ object Dedup {
   private def jaccardVerifyCtes: String =
     s"""$gramSzCtes,
        |${interCte("cand", "inter")}""".stripMargin
+
+  /** q180: one shared signature + truth derivation, then per-config
+    * prefixed banding chains and scalar rows (the oracle175/177
+    * pattern for the text family). `truth` and each config's `cand`
+    * MATERIALIZED (two scalar-subquery reads each). */
+  private def oracle180: String = {
+    val cfgs = BandGrid.zipWithIndex.map { case (bands, i) =>
+      val r = 64 / bands
+      val p = s"c$i"
+      s"""${bandKeyCtesFor(p, bands)},
+         |${p}cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ${p}k$r a JOIN ${p}k$r b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |${p}row AS (
+         |  SELECT 'b${bands}r$r' AS config, CAST($bands AS BIGINT) AS bands,
+         |    CAST($r AS BIGINT) AS rows_per_band,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ${p}cand) AS candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+         |     JOIN ${p}cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         |      AS hits)""".stripMargin
+    }
+    val rowUnion = BandGrid.indices.map(i => s"SELECT * FROM c${i}row")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${tokenHashCtes()},
+       |$sigCtes,
+       |$gramSzCtes,
+       |tinter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM tinter
+       |  JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id
+       |  WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000),
+       |${cfgs.mkString(",\n")}
+       |SELECT config, bands, rows_per_band, candidates, truth_pairs, hits,
+       |  CAST((1000000 * hits) // greatest(truth_pairs, 1) AS BIGINT)
+       |    AS recall_ppm
+       |FROM ($rowUnion)""".stripMargin
+  }
 
   /** q45: the full MinHash+LSH pipeline — band keys, bucket
     * equi-join, exact-Jaccard verify on candidates only. */
@@ -826,6 +950,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q45_minhash_lsh" -> oracle45,
+    "q180_minhash_frontier" -> oracle180,
     "q145_incremental_dedup" -> oracle145,
     "q154_index_maintenance" -> oracle154,
     "q46_simhash_pairs" -> oracle46,

@@ -450,6 +450,31 @@ class DedupSpec extends SparkSpec {
     assert(expected.keySet.subsetOf(out.keySet))
   }
 
+  test("q180: banding frontier — nested candidate sets, shared truth, the shipped 16x4 at the knee") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val out = graft.operators.Dedup.minhashFrontier(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length === 4)
+    // one shared exact truth across every config
+    val tc = graft.operators.Dedup.jaccardPairs(d).count()
+    assert(out.forall(_._5 === tc), s"truth_pairs must all be $tc")
+    assert(out.forall(r => r._6 <= r._5 && r._6 <= r._4))
+    // bandings are NESTED (64 = 32·2 = 16·4 = 8·8 = 4·16: an r-wide
+    // band match implies matches in all its sub-bands), so candidates
+    // AND hits are monotone non-increasing in rows_per_band
+    val sweep = out.sortBy(_._3)
+    sweep.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 >= hi._4, s"candidates nested: $lo vs $hi")
+      assert(lo._6 >= hi._6, s"hits nested: $lo vs $hi")
+    }
+    // the S-curve is real on this corpus: the widest banding recalls
+    // everything and the sharpest recalls less, paying fewer
+    // candidates for it
+    assert(sweep.head._7 === 1000000L, "b32r2 recalls every true pair")
+    assert(sweep.last._7 < 1000000L || sweep.last._4 <= sweep.head._4)
+  }
+
   test("q145: best match is the max-Jaccard corpus doc, ties to the lowest id") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta"
