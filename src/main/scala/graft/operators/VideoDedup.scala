@@ -154,6 +154,20 @@ object VideoDedup {
           .select(col("doc_id").as("id")),
         scaledVideoNearDups(s, dir))
     },
+
+    // -- q181: incremental VIDEO ingest — the third media modality
+    //    through the identical q178/q179 ingest core (video's 64×76
+    //    plane/center/bound literals drop in unchanged); new clips
+    //    dedupe against the standing library through one chunk-keyed
+    //    probe join. Oracle = the closed-form pooled features + the
+    //    shared chunk CTEs + the shared incremental replay. --
+    "q181_video_incremental" -> { (s, dir) =>
+      val docs = graft.Tables.load(s, dir, "documents")
+      ImageDedup.incrementalIngest(
+        Multimodal.videoIntFeatures(scaledVideo(s, dir), Segments).toDF(),
+        docs.select(col("doc_id").as("id")),
+        PlaneCoef, Center, ScaledL1Max)
+    },
   )
 
   private def pairCtes: String =
@@ -180,5 +194,9 @@ object VideoDedup {
       s"""WITH RECURSIVE $scaledPairCtes,
          |${ImageDedup.manifestSqlOver(
               "SELECT doc_id AS id FROM documents")}""".stripMargin,
+    "q181_video_incremental" ->
+      s"""WITH ${VideoGen.featureSql},
+         |${ImageDedup.chunkCtesSql(PlaneCoef, Center)},
+         |${ImageDedup.incrementalChainSql(ScaledL1Max)}""".stripMargin,
   )
 }
