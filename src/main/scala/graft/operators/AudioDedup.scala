@@ -89,17 +89,29 @@ object AudioDedup {
     * synth+decode is map-side over the documents scan; everything
     * downstream is the audited q156/q161 kernel. */
   private[graft] def scaledAudio(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Media] =
+    scaledAudioFrom(graft.Tables.load(s, dir, "documents"))
+
+  /** The scaled corpus over any documents-shaped frame (needs
+    * `doc_id`) — the q183 compiled pipeline's `audio_neardups` node
+    * binds the DAG's loaded table here (the ImageDedup
+    * scaledImagesFrom seam, audio literals). */
+  private[graft] def scaledAudioFrom(docs: DataFrame)
       : org.apache.spark.sql.Dataset[Media] = {
+    val s = docs.sparkSession
     import s.implicits._
-    graft.Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+    docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id =>
         Media(id, "audio/wav", AudioGen.synthScaled(id), Map.empty)))
   }
 
   private[graft] def scaledAudioNearDups(s: SparkSession,
       dir: String): DataFrame =
+    scaledNearDupsFrom(graft.Tables.load(s, dir, "documents"))
+
+  private[graft] def scaledNearDupsFrom(docs: DataFrame): DataFrame =
     ImageDedup.signLshPairs(
-      Multimodal.audioIntFeatures(scaledAudio(s, dir)).toDF(),
+      Multimodal.audioIntFeatures(scaledAudioFrom(docs)).toDF(),
       PlaneCoef, Center, ScaledL1Max)
 
   val queries: Map[String, Q] = Map(

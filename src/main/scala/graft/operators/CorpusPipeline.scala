@@ -279,6 +279,53 @@ object CorpusPipeline {
       |  }
       |}""".stripMargin
 
+  /** q183 — the QUAD-modal pipeline spec, v7: v6's diamond widened to
+    * every modality the engine manifests — scrub → text dedup-upweight
+    * in the text branch; the three scale-tied media corpora (image/
+    * audio/video, one synthesized artifact per documents row) each
+    * through near-dups → manifest in their own branch; all four merged
+    * into the per-(source, modality) census and finished by the
+    * cross-modal temperature planner. The DAG's widest node
+    * (`manifest_merge_quad` binds FIVE upstream nodes) and widest
+    * diamond (load_documents fans out to scrub + three media branches
+    * + the merge). Every branch is its audited gate shape (q149 over
+    * scrub survivors / q164 / q171 / q173) — the pipeline composes,
+    * never re-derives. */
+  private[graft] val specJsonV7 =
+    """{
+      |  "Main": {
+      |    "load_documents": {
+      |      "needed-data": ["documents"],
+      |      "op": {"kind": "table", "table": "documents"}
+      |    },
+      |    "scrub": {"dependencies": {"load_documents": "df"}},
+      |    "text_manifest": {"dependencies": {"scrub": "df"}},
+      |    "image_neardups": {"dependencies": {"load_documents": "df"}},
+      |    "image_manifest": {
+      |      "dependencies": {"load_documents": "ids", "image_neardups": "pairs"}
+      |    },
+      |    "audio_neardups": {"dependencies": {"load_documents": "df"}},
+      |    "audio_manifest": {
+      |      "dependencies": {"load_documents": "ids", "audio_neardups": "pairs"}
+      |    },
+      |    "video_neardups": {"dependencies": {"load_documents": "df"}},
+      |    "video_manifest": {
+      |      "dependencies": {"load_documents": "ids", "video_neardups": "pairs"}
+      |    },
+      |    "manifest_merge_quad": {
+      |      "dependencies": {"load_documents": "docs",
+      |                       "text_manifest": "text_man",
+      |                       "image_manifest": "img_man",
+      |                       "audio_manifest": "aud_man",
+      |                       "video_manifest": "vid_man"}
+      |    },
+      |    "effective_mix": {
+      |      "dependencies": {"manifest_merge_quad": "census"},
+      |      "is-output": true
+      |    }
+      |  }
+      |}""".stripMargin
+
   private def in(args: Map[String, Any]): DataFrame =
     args("df").asInstanceOf[DataFrame]
 
@@ -339,6 +386,28 @@ object CorpusPipeline {
         a("docs").asInstanceOf[DataFrame],
         a("text_man").asInstanceOf[DataFrame],
         a("img_man").asInstanceOf[DataFrame])),
+      // q183 quad-modal nodes: the audio/video branches are the
+      // q171/q173 scale-tied corpora over the DAG's own loaded table
+      // (the scaledImagesFrom seam, per-modality literals); their
+      // manifest nodes reuse the image node's generic body
+      "audio_neardups" ->
+        Transform(a => AudioDedup.scaledNearDupsFrom(in(a))),
+      "audio_manifest" -> Transform(a => ImageDedup.manifestFrom(
+        a("ids").asInstanceOf[DataFrame]
+          .select(col("doc_id").as("id")),
+        a("pairs").asInstanceOf[DataFrame])),
+      "video_neardups" ->
+        Transform(a => VideoDedup.scaledNearDupsFrom(in(a))),
+      "video_manifest" -> Transform(a => ImageDedup.manifestFrom(
+        a("ids").asInstanceOf[DataFrame]
+          .select(col("doc_id").as("id")),
+        a("pairs").asInstanceOf[DataFrame])),
+      "manifest_merge_quad" -> Transform(a => CrossModal.mergeCensusQuad(
+        a("docs").asInstanceOf[DataFrame],
+        a("text_man").asInstanceOf[DataFrame],
+        a("img_man").asInstanceOf[DataFrame],
+        a("aud_man").asInstanceOf[DataFrame],
+        a("vid_man").asInstanceOf[DataFrame])),
       "effective_mix" ->
         Transform(a => CrossModal.mixRatesFrom(
           a("census").asInstanceOf[DataFrame])))
@@ -400,6 +469,17 @@ object CorpusPipeline {
     "q176_multimodal_pipeline" -> { (s, dir) =>
       materialized(s, dir, specJsonV6)
     },
+
+    // -- q183 (round 12): the QUAD-modal compiled pipeline — v6's
+    //    diamond widened to all four modalities: scrub → text
+    //    dedup-upweight beside the three scale-tied media branches
+    //    (image/audio/video near-dups → manifests), merged into one
+    //    per-(source, modality) census and planned by the cross-modal
+    //    temperature rule, all compiled into ONE plan by the DAG
+    //    compiler (its widest merge node: five dependencies). --
+    "q183_quadmodal_pipeline" -> { (s, dir) =>
+      materialized(s, dir, specJsonV7)
+    },
   )
 
   /** The v4 composed oracle parameterized over the training CTE
@@ -440,34 +520,12 @@ object CorpusPipeline {
        |${TextAnalysis.chunkSql("packed", "doc_id, lang, shard, bin")
             .stripPrefix("WITH ")}""".stripMargin
 
-  private def oracle176: String = {
-    def sub(q: String): String = q.linesIterator.mkString("\n  ")
-    s"""WITH text_up AS MATERIALIZED (
-       |  WITH RECURSIVE scrubbed AS MATERIALIZED (
-       |  ${sub(RepeatedSpans.scrubSql("documents"))}),
-       |  ${sub(Dedup.ccLabelCtesOver("scrubbed"))}
-       |  SELECT l.doc_id AS id, CAST(m AS BIGINT) AS multiplicity
-       |  FROM labels l
-       |  JOIN (SELECT cluster_id, count(*) AS m FROM labels
-       |        GROUP BY cluster_id) cs ON l.cluster_id = cs.cluster_id
-       |  WHERE l.doc_id = l.cluster_id
-       |  UNION ALL
-       |  SELECT doc_id AS id, 1 AS multiplicity FROM scrubbed
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
-       |),
-       |img_man AS MATERIALIZED (
-       |  WITH RECURSIVE ${sub(graft.multimodal.ImageGen.featureSql)},
-       |  ${sub(ImageDedup.signLshChainSql(ImageDedup.PlaneCoef,
-                ImageDedup.Center, ImageDedup.L1Max))},
-       |  ${sub(ImageDedup.manifestSqlOver(
-                "SELECT doc_id AS id FROM documents"))}
-       |),
-       |src AS (SELECT doc_id AS id, source FROM documents),
-       |census AS MATERIALIZED (
-       |  ${sub(CrossModal.censusSql("text_up", "text", "id"))}
-       |  UNION ALL
-       |  ${sub(CrossModal.censusSql("img_man", "image", "id"))}),
-       |mins AS (
+  /** The cross-modal temperature tail over a `census(source, modality,
+    * n_items, n_canonical, n_effective)` CTE — per-modality mins, the
+    * q89 rule over raw and effective items, the q170 zero-clamp.
+    * Shared by oracle176 and oracle183. */
+  private def mixTailSql: String =
+    s"""mins AS (
        |  SELECT modality, min(n_items) AS m_min,
        |    coalesce(min(n_effective) FILTER (WHERE n_effective > 0), 0)
        |      AS e_min
@@ -489,6 +547,78 @@ object CorpusPipeline {
        |    / CAST(c.n_items AS DOUBLE)) * 1000000) AS BIGINT)
        |    AS rate_shift_ppm
        |FROM census c JOIN mins m USING (modality)""".stripMargin
+
+  /** The scrub-survivor text manifest CTE (`text_up(id,
+    * multiplicity)`) — the q176/q183 pipelines' text branch: CC labels
+    * over the SCRUBBED text, cluster multiplicities on canonicals. */
+  private def textUpCte(sub: String => String): String =
+    s"""text_up AS MATERIALIZED (
+       |  WITH RECURSIVE scrubbed AS MATERIALIZED (
+       |  ${sub(RepeatedSpans.scrubSql("documents"))}),
+       |  ${sub(Dedup.ccLabelCtesOver("scrubbed"))}
+       |  SELECT l.doc_id AS id, CAST(m AS BIGINT) AS multiplicity
+       |  FROM labels l
+       |  JOIN (SELECT cluster_id, count(*) AS m FROM labels
+       |        GROUP BY cluster_id) cs ON l.cluster_id = cs.cluster_id
+       |  WHERE l.doc_id = l.cluster_id
+       |  UNION ALL
+       |  SELECT doc_id AS id, 1 AS multiplicity FROM scrubbed
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+       |)""".stripMargin
+
+  private def oracle176: String = {
+    def sub(q: String): String = q.linesIterator.mkString("\n  ")
+    s"""WITH ${textUpCte(sub)},
+       |img_man AS MATERIALIZED (
+       |  WITH RECURSIVE ${sub(graft.multimodal.ImageGen.featureSql)},
+       |  ${sub(ImageDedup.signLshChainSql(ImageDedup.PlaneCoef,
+                ImageDedup.Center, ImageDedup.L1Max))},
+       |  ${sub(ImageDedup.manifestSqlOver(
+                "SELECT doc_id AS id FROM documents"))}
+       |),
+       |src AS (SELECT doc_id AS id, source FROM documents),
+       |census AS MATERIALIZED (
+       |  ${sub(CrossModal.censusSql("text_up", "text", "id"))}
+       |  UNION ALL
+       |  ${sub(CrossModal.censusSql("img_man", "image", "id"))}),
+       |$mixTailSql""".stripMargin
+  }
+
+  /** q183: oracle176's text/image chains + the q167b closed-form
+    * audio/video manifests, four census fragments, the same
+    * temperature tail — the quad pipeline replayed stage for stage. */
+  private def oracle183: String = {
+    def sub(q: String): String = q.linesIterator.mkString("\n  ")
+    val idsSel = "SELECT doc_id AS id FROM documents"
+    s"""WITH ${textUpCte(sub)},
+       |img_man AS MATERIALIZED (
+       |  WITH RECURSIVE ${sub(graft.multimodal.ImageGen.featureSql)},
+       |  ${sub(ImageDedup.signLshChainSql(ImageDedup.PlaneCoef,
+                ImageDedup.Center, ImageDedup.L1Max))},
+       |  ${sub(ImageDedup.manifestSqlOver(idsSel))}
+       |),
+       |aud_man AS MATERIALIZED (
+       |  WITH RECURSIVE ${sub(graft.multimodal.AudioGen.featureSql)},
+       |  ${sub(ImageDedup.signLshChainSql(AudioDedup.PlaneCoef,
+                AudioDedup.Center, AudioDedup.ScaledL1Max))},
+       |  ${sub(ImageDedup.manifestSqlOver(idsSel))}
+       |),
+       |vid_man AS MATERIALIZED (
+       |  WITH RECURSIVE ${sub(graft.multimodal.VideoGen.featureSql)},
+       |  ${sub(ImageDedup.signLshChainSql(VideoDedup.PlaneCoef,
+                VideoDedup.Center, VideoDedup.ScaledL1Max))},
+       |  ${sub(ImageDedup.manifestSqlOver(idsSel))}
+       |),
+       |src AS (SELECT doc_id AS id, source FROM documents),
+       |census AS MATERIALIZED (
+       |  ${sub(CrossModal.censusSql("text_up", "text", "id"))}
+       |  UNION ALL
+       |  ${sub(CrossModal.censusSql("img_man", "image", "id"))}
+       |  UNION ALL
+       |  ${sub(CrossModal.censusSql("aud_man", "audio", "id"))}
+       |  UNION ALL
+       |  ${sub(CrossModal.censusSql("vid_man", "video", "id"))}),
+       |$mixTailSql""".stripMargin
   }
 
   /** Composed oracle: each stage's OWN generated SQL, scoped to the
@@ -585,6 +715,12 @@ object CorpusPipeline {
     // each is read by its census's two legs, and DuckDB's default CTE
     // inlining would re-run the recursive chains per reference.
     "q176_multimodal_pipeline" -> oracle176,
+
+    // q183: the quad-modal chain replayed — the scrubbed text CC
+    // manifest, the three closed-form media manifests (image region
+    // arithmetic / audio segment closed form / video pooled census),
+    // four shared census fragments, the temperature tail.
+    "q183_quadmodal_pipeline" -> oracle183,
 
     "q104_corpus_prep_scrubbed" ->
       s"""WITH scrubbed AS MATERIALIZED (

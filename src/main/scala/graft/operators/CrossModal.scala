@@ -120,6 +120,22 @@ object CrossModal {
       .localCheckpoint(true)
   }
 
+  /** Four-modality census merge for the q183 QUAD-modal compiled
+    * pipeline's `manifest_merge_quad` node — the q176 two-modality
+    * merge generalized to every manifest the DAG hands it. Same
+    * checkpoint contract: the downstream `effective_mix` node reads
+    * the census twice. */
+  private[graft] def mergeCensusQuad(docs: DataFrame, textMan: DataFrame,
+      imgMan: DataFrame, audMan: DataFrame, vidMan: DataFrame): DataFrame = {
+    val srcIds = docs.select(col("doc_id").as("id"), col("source"))
+      .localCheckpoint(true)
+    census(srcIds, textMan, "text")
+      .unionByName(census(srcIds, imgMan, "image"))
+      .unionByName(census(srcIds, audMan, "audio"))
+      .unionByName(census(srcIds, vidMan, "video"))
+      .localCheckpoint(true)
+  }
+
   /** The q170 temperature rule cross-modally, for the q176 pipeline's
     * `effective_mix` node: per (source, modality), rate =
     * floor(sqrt(min/size)·10⁶) over RAW items and over dedup-EFFECTIVE

@@ -345,6 +345,18 @@ object Dedup {
     "q180_minhash_frontier" -> { (s, dir) =>
       minhashFrontier(Tables.load(s, dir, "documents"))
     },
+
+    // -- q182 (round 12): the SimHash RADIUS frontier — the fourth
+    //    similarity-family decision table, and the first THRESHOLD
+    //    one: per (fingerprint family 64/128-bit, Hamming radius
+    //    0..3), candidates scanned, pairs accepted, and the
+    //    precision/recall of "Hamming ≤ h" as a proxy for the exact
+    //    J ≥ 0.5 truth (q180's truth — the MinHash and SimHash tables
+    //    read side by side). One candidate pass per family, one truth
+    //    pass, all 8 rows from two 1-row conditional aggregates. --
+    "q182_simhash_frontier" -> { (s, dir) =>
+      simhashFrontier(Tables.load(s, dir, "documents"))
+    },
   )
 
   /** q180's banding grid (bands × rows = 64), shared with the
@@ -382,6 +394,61 @@ object Dedup {
           col("candidates"), lit(tc).as("truth_pairs"), col("hits"),
           expr(s"(1000000L * hits) div ${math.max(tc, 1L)}L")
             .as("recall_ppm"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** q182's Hamming radius grid. The chunk-collision candidate set is
+    * pigeonhole-complete for Hamming ≤ 3 over 4 chunks, so 3 is the
+    * largest radius either family answers EXACTLY — the grid stops at
+    * the structural completeness bound, shared with the oracle. */
+  private[graft] val RadiusGrid = Seq(0, 1, 2, 3)
+
+  /** q182: the SimHash RADIUS frontier — the fourth similarity-family
+    * decision table (q175 IVF nprobe / q177 LSH probe depth / q180
+    * MinHash banding), but a THRESHOLD frontier rather than a
+    * candidate-volume one: SimHash's chunk-collision candidate set is
+    * fixed per fingerprint family, and the knob a deployment tunes is
+    * the accept RADIUS. Per (family ∈ {sim64, sim128}, radius ∈ 0..3):
+    * candidates scanned (family-constant — the cost), pairs ACCEPTED
+    * at the radius, and precision/recall of those accepted pairs
+    * against the exact J ≥ 0.5 truth (q180's truth, so the MinHash and
+    * SimHash tables compare directly) — i.e. how well a Hamming ball
+    * proxies a Jaccard threshold, measured from both directions.
+    * Scale shape: ONE fingerprint + chunk-join pass per family (the
+    * audited q46/q79 kernels unchanged, radius-UNfiltered) and ONE
+    * truth pass shared by all 8 rows; per family the truth join runs
+    * once and every radius row reads a single 1-row conditional
+    * aggregate (checkpointed) — two candidate passes total, never one
+    * per radius. Both truth and candidate sides grow with the corpus,
+    * so the flag join is hinted off broadcast. */
+  private[graft] def simhashFrontier(d: DataFrame): DataFrame = {
+    val wide = widen(d)
+    val truth = jaccardPairs(wide).select(col("doc_a"), col("doc_b"))
+      .withColumn("it", lit(1)).localCheckpoint(true)
+    val tc = truth.count() // scalar: |truth| (the recall denominator)
+    val fams = Seq("sim64" -> simhashPairs(wide),
+      "sim128" -> simhashPairsWide(wide))
+    val rows = fams.flatMap { case (fam, pairs) =>
+      val flagged = pairs
+        .join(truth.hint("shuffle_merge"), Seq("doc_a", "doc_b"), "left")
+        .select(col("hamming"), coalesce(col("it"), lit(0)).as("it"))
+      val aggs = count(lit(1)).as("candidates") +:
+        RadiusGrid.flatMap(h => Seq(
+          count(when(col("hamming") <= h, lit(1))).as(s"acc$h"),
+          count(when(col("hamming") <= h && col("it") === 1, lit(1)))
+            .as(s"hit$h")))
+      val one = flagged.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      RadiusGrid.map { h =>
+        one.select(lit(s"${fam}_h$h").as("config"), lit(fam).as("family"),
+          lit(h.toLong).as("radius"), col("candidates"),
+          col(s"acc$h").as("accepted"), lit(tc).as("truth_pairs"),
+          col(s"hit$h").as("hits"),
+          expr(s"(1000000L * hit$h) div greatest(acc$h, 1L)")
+            .as("precision_ppm"),
+          expr(s"(1000000L * hit$h) div ${math.max(tc, 1L)}L")
+            .as("recall_ppm"))
+      }
     }
     rows.reduce(_.unionByName(_))
   }
@@ -751,6 +818,23 @@ object Dedup {
     s"""$gramSzCtes,
        |${interCte("cand", "inter")}""".stripMargin
 
+  /** The exact J ≥ 0.5 truth as CTEs ending at `truth(doc_a, doc_b)`
+    * MATERIALIZED — the recall denominator the q180 and q182
+    * frontiers share (needs `tok` from [[tokenHashCtes]]; includes
+    * [[gramSzCtes]]). */
+  private def exactTruthCtes: String =
+    s"""$gramSzCtes,
+       |tinter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM tinter
+       |  JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id
+       |  WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000)"""
+      .stripMargin
+
   /** q180: one shared signature + truth derivation, then per-config
     * prefixed banding chains and scalar rows (the oracle175/177
     * pattern for the text family). `truth` and each config's `cand`
@@ -778,21 +862,83 @@ object Dedup {
       .mkString("\n  UNION ALL ")
     s"""WITH ${tokenHashCtes()},
        |$sigCtes,
-       |$gramSzCtes,
-       |tinter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |truth AS MATERIALIZED (
-       |  SELECT doc_a, doc_b FROM tinter
-       |  JOIN sz sa ON doc_a = sa.doc_id
-       |  JOIN sz sb ON doc_b = sb.doc_id
-       |  WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000),
+       |$exactTruthCtes,
        |${cfgs.mkString(",\n")}
        |SELECT config, bands, rows_per_band, candidates, truth_pairs, hits,
        |  CAST((1000000 * hits) // greatest(truth_pairs, 1) AS BIGINT)
        |    AS recall_ppm
        |FROM ($rowUnion)""".stripMargin
+  }
+
+  /** q182: both fingerprint families derived once (the oracle46/79
+    * chains, radius-UNfiltered), candidates flagged against the shared
+    * exact truth, then per family ONE conditional aggregate feeding
+    * all four radius rows — the engine's two-pass shape replayed.
+    * Candidate CTEs MATERIALIZED (each is read by its flag join;
+    * the flag CTEs by the 1-row aggregates). */
+  private def oracle182: String = {
+    def aggSelect = (Seq("count(*) AS candidates") ++
+      RadiusGrid.flatMap(h => Seq(
+        s"count(*) FILTER (WHERE hamming <= $h) AS acc$h",
+        s"count(*) FILTER (WHERE hamming <= $h AND it = 1) AS hit$h")))
+      .mkString(",\n    ")
+    def famCtes(p: String, cand: String): String =
+      s"""${p}fl AS MATERIALIZED (
+         |  SELECT c.hamming, CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS it
+         |  FROM $cand c LEFT JOIN truth t
+         |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+         |${p}agg AS (
+         |  SELECT $aggSelect
+         |  FROM ${p}fl)""".stripMargin
+    val famRows = Seq(("f64", "sim64"), ("f128", "sim128")).flatMap {
+      case (p, fam) => RadiusGrid.map { h =>
+        s"""SELECT '${fam}_h$h' AS config, '$fam' AS family,
+           |  CAST($h AS BIGINT) AS radius,
+           |  CAST(candidates AS BIGINT) AS candidates,
+           |  CAST(acc$h AS BIGINT) AS accepted,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,
+           |  CAST(hit$h AS BIGINT) AS hits,
+           |  CAST((1000000 * hit$h) // greatest(acc$h, 1) AS BIGINT)
+           |    AS precision_ppm,
+           |  CAST((1000000 * hit$h)
+           |    // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+           |    AS recall_ppm
+           |FROM ${p}agg""".stripMargin
+      }
+    }
+    s"""WITH ${tokenHashCtes()},
+       |lanes AS (SELECT doc_id, h AS h0,
+       |  ${mixSql(s"(h + $GoldenU) % $M64")} AS h1 FROM th),
+       |${fpCtes("lanes", "0")},
+       |${fpCtes("lanes", "1")},
+       |c64 AS (
+       |  SELECT doc_id, fp0, u AS chunk_id, (fp0 >> (u * 16)) % 65536 AS chunk
+       |  FROM fp0, unnest([0, 1, 2, 3]) t(u)),
+       |f64cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.fp0, b.fp0)) AS hamming
+       |  FROM c64 a JOIN c64 b
+       |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+       |    AND a.doc_id < b.doc_id),
+       |fpw AS (
+       |  SELECT fp0.doc_id, fp0.fp0, fp1.fp1
+       |  FROM fp0 JOIN fp1 USING (doc_id)),
+       |c128 AS (
+       |  SELECT doc_id, fp0, fp1, u AS chunk_id,
+       |    (CASE WHEN u < 2 THEN fp0 ELSE fp1 END >> ((u % 2) * 32))
+       |      % 4294967296 AS chunk
+       |  FROM fpw, unnest([0, 1, 2, 3]) t(u)),
+       |f128cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1))
+       |      AS hamming
+       |  FROM c128 a JOIN c128 b
+       |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+       |    AND a.doc_id < b.doc_id),
+       |$exactTruthCtes,
+       |${famCtes("f64", "f64cand")},
+       |${famCtes("f128", "f128cand")}
+       |${famRows.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** q45: the full MinHash+LSH pipeline — band keys, bucket
@@ -951,6 +1097,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q45_minhash_lsh" -> oracle45,
     "q180_minhash_frontier" -> oracle180,
+    "q182_simhash_frontier" -> oracle182,
     "q145_incremental_dedup" -> oracle145,
     "q154_index_maintenance" -> oracle154,
     "q46_simhash_pairs" -> oracle46,

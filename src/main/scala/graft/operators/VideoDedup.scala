@@ -108,9 +108,18 @@ object VideoDedup {
     * over the documents scan, one row per (clip, dim), frames never
     * shuffle; everything downstream is the audited kernel. */
   private[graft] def scaledVideo(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Media] =
+    scaledVideoFrom(graft.Tables.load(s, dir, "documents"))
+
+  /** The scaled corpus over any documents-shaped frame (needs
+    * `doc_id`) — the q183 compiled pipeline's `video_neardups` node
+    * binds the DAG's loaded table here (the ImageDedup
+    * scaledImagesFrom seam, video literals). */
+  private[graft] def scaledVideoFrom(docs: DataFrame)
       : org.apache.spark.sql.Dataset[Media] = {
+    val s = docs.sparkSession
     import s.implicits._
-    graft.Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+    docs.select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // once per partition
         it.map(id =>
@@ -120,8 +129,11 @@ object VideoDedup {
 
   private[graft] def scaledVideoNearDups(s: SparkSession,
       dir: String): DataFrame =
+    scaledNearDupsFrom(graft.Tables.load(s, dir, "documents"))
+
+  private[graft] def scaledNearDupsFrom(docs: DataFrame): DataFrame =
     ImageDedup.signLshPairs(
-      Multimodal.videoIntFeatures(scaledVideo(s, dir), Segments).toDF(),
+      Multimodal.videoIntFeatures(scaledVideoFrom(docs), Segments).toDF(),
       PlaneCoef, Center, ScaledL1Max)
 
   val queries: Map[String, Q] = Map(

@@ -344,6 +344,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q183: quad-modal compiled pipeline — four modalities, conservation, anchors") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val nDocs = docs.count()
+    val out = graft.operators.CorpusPipeline
+      .queries("q183_quadmodal_pipeline")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(out.map(_._2).toSet === Set("text", "image", "audio", "video"))
+    // text budgets the pipeline's state (scrub survivors); the three
+    // media branches synthesize from raw doc_ids and conserve the
+    // full corpus (the q176 semantics, now quad-modal)
+    val nScrub = graft.operators.RepeatedSpans.scrubKeep(docs).count()
+    Seq("text", "image", "audio", "video").foreach { m =>
+      val rows = out.filter(_._2 == m)
+      assert(rows.length === 20, s"$m: one row per real source")
+      assert(rows.map(_._3).sum === nDocs, s"$m raw census")
+      assert(rows.map(_._5).sum ===
+        (if (m == "text") nScrub else nDocs), s"$m effective census")
+      assert(rows.exists(_._6 === 1000000L), s"$m raw anchor")
+      assert(rows.exists(_._7 === 1000000L), s"$m effective anchor")
+      assert(rows.forall { case (_, _, _, _, ne, rr, re, sh) =>
+        rr > 0 && rr <= 1000000L && sh === re - rr &&
+          (if (ne == 0) re === 0L else re > 0 && re <= 1000000L) })
+      // every media modality actually deduplicates at this scale
+      // (planted pairs exist in all three scaled corpora)
+      if (m != "text")
+        assert(rows.map(_._4).sum < nDocs, s"$m canonicals < corpus")
+    }
+  }
+
   test("q170: effective-mix rates — bounds, anchor source at 10^6, planted cluster moves the canonical's rate DOWN") {
     import spark.implicits._
     // real corpus: rates in (0, 1e6], the minimum source anchors at
@@ -473,6 +504,47 @@ class DedupSpec extends SparkSpec {
     // candidates for it
     assert(sweep.head._7 === 1000000L, "b32r2 recalls every true pair")
     assert(sweep.last._7 < 1000000L || sweep.last._4 <= sweep.head._4)
+  }
+
+  test("q182: simhash radius frontier — nested Hamming balls, gate-datum reproduction, shared truth") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val out = graft.operators.Dedup.simhashFrontier(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))
+    assert(out.length === 8)
+    // one shared exact truth across every row (q180's truth — the two
+    // text frontiers compare directly)
+    val tc = graft.operators.Dedup.jaccardPairs(d).count()
+    assert(out.forall(_._6 === tc), s"truth_pairs must all be $tc")
+    // hits bounded by both populations
+    assert(out.forall(r => r._7 <= r._6 && r._7 <= r._5 && r._5 <= r._4))
+    Seq("sim64", "sim128").foreach { fam =>
+      val sweep = out.filter(_._2 == fam).sortBy(_._3)
+      assert(sweep.map(_._3).toSeq === Seq(0L, 1L, 2L, 3L))
+      // candidates are the radius-UNfiltered chunk collisions — one
+      // constant cost per family
+      assert(sweep.map(_._4).distinct.length === 1,
+        s"$fam candidates family-constant")
+      // Hamming balls nest: accepted and hits monotone non-decreasing
+      sweep.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo._5 <= hi._5, s"$fam accepted nested: $lo vs $hi")
+        assert(lo._7 <= hi._7, s"$fam hits nested: $lo vs $hi")
+      }
+      // integer-ppm replay of precision/recall
+      sweep.foreach { r =>
+        assert(r._8 === 1000000L * r._7 / math.max(r._5, 1L), s"$fam prec $r")
+        assert(r._9 === 1000000L * r._7 / math.max(tc, 1L), s"$fam rec $r")
+      }
+    }
+    // the radius-3 rows reproduce the q46/q79 gate data: accepted at
+    // h=3 is exactly each gate's output size
+    val a64 = out.find(_._1 == "sim64_h3").get._5
+    val a128 = out.find(_._1 == "sim128_h3").get._5
+    assert(a64 === graft.operators.Dedup.simhashPairs(d)
+      .filter(org.apache.spark.sql.functions.col("hamming") <= 3).count())
+    assert(a128 === graft.operators.Dedup.simhashPairsWide(d)
+      .filter(org.apache.spark.sql.functions.col("hamming") <= 3).count())
   }
 
   test("q145: best match is the max-Jaccard corpus doc, ties to the lowest id") {

@@ -76,6 +76,30 @@ class PipelineSpecSuite extends AnyFunSuite {
     assert(mm.argNameFor("image_manifest") === "img_man")
   }
 
+  test("v7 quad-modal spec: parses, topo-orders, widest diamond and five-way merge") {
+    val blocks = PipelineSpec.fromJson(
+      graft.operators.CorpusPipeline.specJsonV7)
+    val specs = blocks("Main")
+    val ordered = DagCompiler.topoSort(specs).map(_.name)
+    assert(ordered.head === "load_documents")
+    assert(ordered.last === "effective_mix")
+    DagCompiler.validateOutput(DagCompiler.topoSort(specs))
+    // the widest diamond: every media branch, the scrub, the three
+    // manifest id-universes and the merge all bind load_documents
+    val consumers = specs.filter(_.dependencies.contains("load_documents"))
+    assert(consumers.map(_.name).toSet === Set("scrub",
+      "image_neardups", "image_manifest", "audio_neardups",
+      "audio_manifest", "video_neardups", "video_manifest",
+      "manifest_merge_quad"))
+    // the five-way merge binds every manifest under its alias
+    val mm = specs.find(_.name == "manifest_merge_quad").get
+    assert(mm.argNameFor("load_documents") === "docs")
+    assert(mm.argNameFor("text_manifest") === "text_man")
+    assert(mm.argNameFor("image_manifest") === "img_man")
+    assert(mm.argNameFor("audio_manifest") === "aud_man")
+    assert(mm.argNameFor("video_manifest") === "vid_man")
+  }
+
   test("dependency aliasing binds outputs under the alias (utils.py:195-199)") {
     val s = node("consumer", Map("compute_radius" -> "catalog"))
     val args = DagCompiler.bindArgs(s, Map("compute_radius" -> 42), Map.empty, Map.empty, Map.empty)
