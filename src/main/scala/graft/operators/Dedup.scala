@@ -357,6 +357,17 @@ object Dedup {
     "q182_simhash_frontier" -> { (s, dir) =>
       simhashFrontier(Tables.load(s, dir, "documents"))
     },
+
+    // -- q184 (round 12): the TEMPERATURE frontier — the mix planner's
+    //    third knob swept: per (source, τ ∈ {1,2,4}) over the
+    //    dedup-EFFECTIVE token counts, the q89 rule's rate at
+    //    exponent 1/τ and the token budget it buys. τ = 1 equalizes
+    //    per-source budgets (every participant gets e_min up to
+    //    flooring), τ = 4 barely flattens — the table shows what each
+    //    choice does to the mixture before any data moves. --
+    "q184_temperature_frontier" -> { (s, dir) =>
+      temperatureFrontier(Tables.load(s, dir, "documents"))
+    },
   )
 
   /** q180's banding grid (bands × rows = 64), shared with the
@@ -530,6 +541,66 @@ object Dedup {
             .cast("long")).as("rate_eff_ppm"))
       .withColumn("rate_shift_ppm",
         col("rate_eff_ppm") - col("rate_raw_ppm"))
+  }
+
+  /** q184's temperature grid — τ values whose rate expression
+    * (min/size)^(1/τ) is IEEE-exact cross-engine: τ = 1 is a
+    * division, τ = 2 a sqrt, τ = 4 a sqrt∘sqrt (all exact per the
+    * oracle-determinism contract; τ = 3 would need cbrt, which is
+    * not), shared with the generated oracle. */
+  private[graft] val TauGrid = Seq(1, 2, 4)
+
+  /** q184: the TEMPERATURE frontier — the decision table for the mix
+    * planner's third knob. q175/q177/q180/q182 sweep candidate volume
+    * and accept thresholds; the q89/q170 temperature rule fixes
+    * τ = 2 by convention, but the flattening exponent is the knob a
+    * mix planner actually chooses (τ = 1 equalizes per-source budgets,
+    * τ → ∞ keeps the raw distribution). Per (source, τ ∈ {1, 2, 4}),
+    * over the dedup-EFFECTIVE token counts (the q170 lesson — plan on
+    * what dedup left, not on raw): rate_ppm = floor((e_min/t_eff)^(1/τ)
+    * · 10⁶) with the zero-effective clamp, and the sampled-token
+    * budget that rate buys. Structural invariants the spec pins: the
+    * min source anchors at 10⁶ under every τ; rates are monotone
+    * non-decreasing in τ per source (the flattening); at τ = 1 every
+    * participating source's budget is e_min up to flooring (equal
+    * allocation is what τ = 1 MEANS). Scale shape: rides the
+    * checkpointed q149 labels; one source-keyed census; the τ sweep
+    * runs on a ≤|sources|-row table crossed with a broadcast 1-row
+    * min dim — the frontier costs one dedup pass regardless of grid
+    * size. */
+  private[graft] def temperatureFrontier(d: DataFrame): DataFrame = {
+    val up = dedupUpweight(d).localCheckpoint(true)
+    val toks = d.select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("nt"))
+    val raw = toks.groupBy(col("source")).agg(sum(col("nt")).as("t_raw"))
+    val eff = toks.join(up.hint("shuffle_merge"), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("multiplicity") * col("nt")).as("t_eff"))
+    // raw supplies the source UNIVERSE (a fully-absorbed source must
+    // still appear, clamped) — its token count is not re-reported
+    val j = raw.join(eff, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("t_eff"), lit(0L)).as("t_eff"))
+      .localCheckpoint(true) // read once per τ row set
+    val mins = j.agg(
+      coalesce(min(when(col("t_eff") > 0, col("t_eff"))), lit(0L))
+        .as("e_min"))
+    val base = j.crossJoin(broadcast(mins))
+    def ratio = col("e_min").cast("double") /
+      greatest(col("t_eff"), lit(1L)).cast("double")
+    val rows = TauGrid.map { tau =>
+      val r = tau match {
+        case 1 => ratio
+        case 2 => sqrt(ratio)
+        case 4 => sqrt(sqrt(ratio))
+      }
+      base.select(col("source"), lit(tau.toLong).as("tau"), col("t_eff"),
+          when(col("t_eff") === 0, lit(0L))
+            .otherwise(floor(r * 1000000.0).cast("long")).as("rate_ppm"))
+        .withColumn("sampled_tokens",
+          expr("(rate_ppm * t_eff) div 1000000L"))
+    }
+    rows.reduce(_.unionByName(_))
   }
 
   /** q154 over any documents-shaped frame (needs `doc_id`, `text`):
@@ -941,6 +1012,55 @@ object Dedup {
        |${famRows.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** q184: the q170 effective-token chain (CC labels → multiplicities
+    * → per-source effective census) with the τ sweep generated from
+    * the shared [[TauGrid]] — per τ the exact-ops rate expression
+    * (division / sqrt / sqrt∘sqrt), then the integer budget. */
+  private def oracle184: String = {
+    def rateSql(tau: Int): String = {
+      val ratio = "CAST(e_min AS DOUBLE) / CAST(greatest(t_eff, 1) AS DOUBLE)"
+      val r = tau match {
+        case 1 => ratio
+        case 2 => s"sqrt($ratio)"
+        case 4 => s"sqrt(sqrt($ratio))"
+      }
+      s"""CASE WHEN t_eff = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(floor(($r) * 1000000) AS BIGINT) END""".stripMargin
+    }
+    val taus = TauGrid.map { tau =>
+      s"""SELECT source, CAST($tau AS BIGINT) AS tau, t_eff,
+         |  ${rateSql(tau)} AS rate_ppm
+         |FROM j, m""".stripMargin
+    }
+    s"""WITH RECURSIVE $ccLabelCtes,
+       |up AS MATERIALIZED (
+       |  SELECT l.doc_id, CAST(m AS BIGINT) AS multiplicity FROM labels l
+       |  JOIN (SELECT cluster_id, count(*) AS m FROM labels
+       |        GROUP BY cluster_id) cs ON l.cluster_id = cs.cluster_id
+       |  WHERE l.doc_id = l.cluster_id
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS multiplicity FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)),
+       |nt AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt
+       |  FROM documents),
+       |raw AS (SELECT source, sum(nt) AS t_raw FROM nt GROUP BY source),
+       |eff AS (
+       |  SELECT source, sum(multiplicity * nt) AS t_eff
+       |  FROM nt JOIN up USING (doc_id) GROUP BY source),
+       |j AS (
+       |  SELECT r.source, CAST(coalesce(t_eff, 0) AS BIGINT) AS t_eff
+       |  FROM raw r LEFT JOIN eff e ON r.source = e.source),
+       |m AS (SELECT coalesce(min(t_eff) FILTER (WHERE t_eff > 0), 0)
+       |  AS e_min FROM j),
+       |rates AS (
+       |${taus.mkString("\nUNION ALL\n")})
+       |SELECT source, tau, t_eff, rate_ppm,
+       |  (rate_ppm * t_eff) // 1000000 AS sampled_tokens
+       |FROM rates""".stripMargin
+  }
+
   /** q45: the full MinHash+LSH pipeline — band keys, bucket
     * equi-join, exact-Jaccard verify on candidates only. */
   private def oracle45: String =
@@ -1098,6 +1218,7 @@ object Dedup {
     "q45_minhash_lsh" -> oracle45,
     "q180_minhash_frontier" -> oracle180,
     "q182_simhash_frontier" -> oracle182,
+    "q184_temperature_frontier" -> oracle184,
     "q145_incremental_dedup" -> oracle145,
     "q154_index_maintenance" -> oracle154,
     "q46_simhash_pairs" -> oracle46,

@@ -547,6 +547,41 @@ class DedupSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("hamming") <= 3).count())
   }
 
+  test("q184: temperature frontier — anchors under every tau, flattening monotone, tau=1 equal budgets") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val out = graft.operators.Dedup.temperatureFrontier(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length === 60, "20 sources x 3 taus")
+    val eMin = out.filter(_._3 > 0).map(_._3).min
+    Seq(1L, 2L, 4L).foreach { tau =>
+      val rows = out.filter(_._2 == tau)
+      assert(rows.length === 20)
+      // the min source anchors at exactly 10^6 under EVERY tau
+      // ((e_min/e_min)^(1/tau) = 1)
+      assert(rows.filter(_._3 == eMin).forall(_._4 === 1000000L), s"tau=$tau")
+      assert(rows.forall(r => r._4 >= 0 && r._4 <= 1000000L))
+    }
+    // flattening: rates monotone non-decreasing in tau per source
+    // (ratio <= 1, so a higher root is larger)
+    out.groupBy(_._1).foreach { case (src, rs) =>
+      val byTau = rs.sortBy(_._2).map(_._4)
+      assert(byTau.sliding(2).forall { case Array(a, b) => a <= b },
+        s"$src: ${byTau.toSeq}")
+    }
+    // tau = 1 MEANS equal allocation: every participating source's
+    // budget is e_min up to integer flooring
+    out.filter(r => r._2 == 1L && r._3 > 0).foreach { r =>
+      assert(r._5 <= eMin && r._5 >= eMin - r._3 / 1000000L - 1L, s"$r")
+    }
+    // the total sampled budget grows with tau (flatter keeps more)
+    val totals = Seq(1L, 2L, 4L).map(t => out.filter(_._2 == t).map(_._5).sum)
+    assert(totals.sliding(2).forall { case Seq(a, b) => a <= b },
+      totals.toString)
+    // integer replay: the budget is exactly rate*t_eff div 10^6
+    out.foreach(r => assert(r._5 === r._4 * r._3 / 1000000L))
+  }
+
   test("q145: best match is the max-Jaccard corpus doc, ties to the lowest id") {
     import spark.implicits._
     val near = "alpha beta gamma delta epsilon zeta eta theta"
