@@ -66,6 +66,15 @@ object BpeTrainer {
     "q115_bpe_segment" -> { (s, dir) =>
       segmentStats(Tables.load(s, dir, "documents"))
     },
+
+    // -- q185 (round 12): the tokenizer MERGE-COUNT frontier — per
+    //    k ∈ {0..3} merges (one training run prices every point:
+    //    BPE vocabularies nest), corpus-wide symbol totals and the
+    //    compression each successive merge buys. One corpus-scale
+    //    occurrence join feeds every row. --
+    "q185_bpe_frontier" -> { (s, dir) =>
+      bpeFrontier(Tables.load(s, dir, "documents"))
+    },
   )
 
   /** Adjacent-pair counts (overlapping, word-frequency-weighted) over
@@ -110,16 +119,22 @@ object BpeTrainer {
           |  x -> x.e), x -> x IS NOT NULL)""".stripMargin).as("sym"))
   }
 
-  /** Shared train loop: the k per-round 1-row merge frames plus the
-    * FINAL (w, c, sym) segmentation of the vocabulary. */
-  private[graft] def train(d: DataFrame,
-      k: Int = Merges): (Seq[DataFrame], DataFrame) = {
+  /** Shared train loop returning the whole TRAJECTORY: the k per-round
+    * 1-row merge frames plus every round's (w, c, sym) segmentation —
+    * index 0 is the raw character split, index r the state after
+    * merge r. BPE merges are sequential, so the vocabulary at k merges
+    * is a PREFIX of the vocabulary at k+1 — one training run yields
+    * every frontier point (the q185 design). */
+  private[graft] def trainTrajectory(d: DataFrame,
+      k: Int = Merges): (Seq[DataFrame], Seq[DataFrame]) = {
     val words = d.select(explode(Text.tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     var seqs = words.select(col("w"), col("c"),
       expr("filter(split(w, ''), x -> x <> '')").as("sym"))
       .localCheckpoint(true)
+    val trajectory = Seq.newBuilder[DataFrame]
+    trajectory += seqs
     val steps = (1 to k).map { r =>
       // 1-row argmax, eagerly frozen (the round's merge decision)
       val best = pairCounts(seqs)
@@ -129,9 +144,18 @@ object BpeTrainer {
         .localCheckpoint(true)
       // localCheckpoint each round: lineage cut (the CC house rule)
       seqs = mergeRound(seqs, best).localCheckpoint(true)
+      trajectory += seqs
       best
     }
-    (steps, seqs)
+    (steps, trajectory.result())
+  }
+
+  /** The k per-round 1-row merge frames plus the FINAL (w, c, sym)
+    * segmentation of the vocabulary. */
+  private[graft] def train(d: DataFrame,
+      k: Int = Merges): (Seq[DataFrame], DataFrame) = {
+    val (steps, trajectory) = trainTrajectory(d, k)
+    (steps, trajectory.last)
   }
 
   /** The first k merge rules over any documents-shaped frame (needs
@@ -161,6 +185,40 @@ object BpeTrainer {
       .selectExpr("source", "n_words", "n_symbols", "n_chars",
         "(1000000L * n_symbols) div n_chars AS compression_ppm")
       .orderBy(col("source"))
+  }
+
+  /** q185: the MERGE-COUNT frontier — the tokenizer-budget decision
+    * table. A BPE deployment chooses how many merges to train; because
+    * merges are sequential, the k-merge vocabulary is a prefix of the
+    * (k+1)-merge one, so ONE training run prices every point: per
+    * k ∈ {0..Merges}, the corpus-wide word/symbol/char totals and the
+    * compression (symbols per char, integer ppm) the k-th merge buys.
+    * k = 0 is the raw character split (compression 10⁶ by definition);
+    * n_symbols is strictly non-increasing in k. Scale shape: the
+    * occurrence stream joins the per-word trajectory ONCE — the
+    * per-round segment sizes are folded into one vocabulary-keyed
+    * frame (k+1 w-keyed merge joins at VOCABULARY scale), then a
+    * single corpus-scale join + one conditional aggregate feed every
+    * frontier row (never one corpus pass per k). */
+  private[graft] def bpeFrontier(d: DataFrame, k: Int = Merges): DataFrame = {
+    val (_, trajectory) = trainTrajectory(d, k)
+    // (w, nchar, nseg0..nsegk): the trajectory folded to one
+    // vocabulary-sized frame
+    val vocab = trajectory.zipWithIndex.map { case (s, i) =>
+      s.select(col("w"), size(col("sym")).cast("long").as(s"nseg$i"))
+    }.reduce(_.join(_, "w"))
+      .withColumn("nchar", length(col("w")).cast("long"))
+    val occ = d.select(explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+    val aggs = count(lit(1)).as("n_words") +: sum(col("nchar")).as("n_chars") +:
+      (0 to k).map(i => sum(col(s"nseg$i")).as(s"sym$i"))
+    val one = occ.join(vocab.hint("shuffle_merge"), "w")
+      .agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    (0 to k).map { i =>
+      one.select(lit(i.toLong).as("merges"), col("n_words"),
+        col(s"sym$i").as("n_symbols"), col("n_chars"),
+        expr(s"(1000000L * sym$i) div n_chars").as("compression_ppm"))
+    }.reduce(_.unionByName(_))
   }
 
   // ---- code-generated DuckDB oracle (same constants, unrolled) -----
@@ -246,8 +304,41 @@ object BpeTrainer {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** q185: the shared unrolled chain already derives EVERY prefix
+    * segmentation (seq0..seqK) — fold them to one vocabulary frame,
+    * one occurrence join, per-k rows from the single 1-row aggregate
+    * (the engine's shape replayed). */
+  private def oracle185: String = {
+    val joins = (1 to Merges).map(r => s"JOIN seq$r USING (w)").mkString(" ")
+    val segCols = (0 to Merges)
+      .map(i => s"len(seq$i.sym) AS nseg$i").mkString(", ")
+    val sums = (0 to Merges).map(i => s"sum(nseg$i) AS sym$i").mkString(", ")
+    val rows = (0 to Merges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merges,
+         |  CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(sym$i AS BIGINT) AS n_symbols,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST((1000000 * sym$i) // n_chars AS BIGINT) AS compression_ppm
+         |FROM agg""".stripMargin
+    }
+    s"""$chainSql,
+       |vocab AS (
+       |  SELECT seq0.w, len(seq0.w) AS nchar, $segCols
+       |  FROM seq0 $joins),
+       |occ AS (
+       |  SELECT w FROM (
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z0-9]+$$')),
+       |agg AS (
+       |  SELECT count(*) AS n_words, sum(nchar) AS n_chars, $sums
+       |  FROM occ JOIN vocab USING (w))
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q114_bpe_merges" -> oracle114,
     "q115_bpe_segment" -> oracle115,
+    "q185_bpe_frontier" -> oracle185,
   )
 }

@@ -85,6 +85,40 @@ class BpeTrainerSpec extends SparkSpec {
       ("s2", 1L, 1L, 3L, 1000000L / 3)))
   }
 
+  test("q185 merge-count frontier replays the hand corpus; real-corpus monotonicity and q115 agreement") {
+    val d = Seq((1L, "low low lower", "s1"), (2L, "low", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = BpeTrainer.bpeFrontier(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    // occurrences: low ×3, lower ×1 → n_words 4, n_chars 3·3+5 = 14
+    // k=0 chars: 14 symbols; after "l o"→lo: 3·2+4 = 10; after
+    // "lo w"→low: 3·1+3 = 6; after "e r"→er: 3·1+2 = 5
+    assert(out.toSeq === Seq(
+      (0L, 4L, 14L, 14L, 1000000L),
+      (1L, 4L, 10L, 14L, 1000000L * 10 / 14),
+      (2L, 4L, 6L, 14L, 1000000L * 6 / 14),
+      (3L, 4L, 5L, 14L, 1000000L * 5 / 14)))
+    // real corpus: one row per k, n_words/n_chars constant, k=0 is the
+    // char split by definition, symbols monotone non-increasing (a
+    // merge can only shorten), and the k=3 row is exactly q115's
+    // per-source stats rolled up — the frontier ends at the gate datum
+    val real = Tables.load(spark, sf0001, "documents")
+    val fr = BpeTrainer.bpeFrontier(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(fr.length === 4)
+    assert(fr.map(_._2).distinct.length === 1)
+    assert(fr.map(_._4).distinct.length === 1)
+    assert(fr.head._3 === fr.head._4 && fr.head._5 === 1000000L)
+    fr.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._3, s"symbols must not grow: $a vs $b") }
+    val q115 = BpeTrainer.segmentStats(real).collect()
+    assert(fr.last._2 === q115.map(_.getLong(1)).sum)
+    assert(fr.last._3 === q115.map(_.getLong(2)).sum)
+    assert(fr.last._4 === q115.map(_.getLong(3)).sum)
+  }
+
   test("pair exhaustion degrades to fewer rows, deterministically") {
     val d = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val out = BpeTrainer.bpeMerges(d).collect()
