@@ -72,6 +72,16 @@ object Sessionize {
     "q150_retention_cohorts" -> { (s, dir) =>
       retentionCohorts(Tables.load(s, dir, "events"))
     },
+
+    // -- q186 (round 12): the session-GAP frontier — per inactivity
+    //    gap ∈ {5,15,30,60,120} min, session count / in-session dwell
+    //    / events per session, all from ONE window pass + one
+    //    conditional aggregate. The q51/q52 convention's 30-minute
+    //    row sits mid-table; nesting makes the sweep's monotonicity
+    //    structural. --
+    "q186_session_gap_frontier" -> { (s, dir) =>
+      sessionGapFrontier(Tables.load(s, dir, "events"))
+    },
   )
 
   /** Retention matrix over any events frame (needs `user_id`, `ts`).
@@ -83,6 +93,48 @@ object Sessionize {
     * size attach is a broadcast of that tiny census. Dates ride as
     * 'yyyy-MM-dd' strings in the output (the cross-engine-stable
     * form). */
+  /** q186's gap grid in minutes — nested thresholds, shared with the
+    * generated oracle. 30 is the q51/q52 gate configuration. */
+  private[graft] val GapGrid = Seq(5L, 15L, 30L, 60L, 120L)
+
+  /** q186: the SESSION-GAP frontier — the event-analytics knob swept.
+    * q51/q52 fix the inactivity gap at 30 minutes by convention; the
+    * gap IS the sessionization decision, and this is the table it is
+    * made from: per gap G ∈ {5, 15, 30, 60, 120} min — session count,
+    * in-session dwell time (Σ of inter-event gaps short enough to stay
+    * inside a session), and events per session. Thresholds are NESTED
+    * (a split at gap G is a split at every smaller G), so n_sessions
+    * is provably non-increasing and dwell non-decreasing in G — the
+    * spec asserts both, and that the G = 30 row reproduces the q51
+    * gate's session count. Exactness: timestamps as exact integer
+    * microseconds (unix_micros / epoch_us — the house DATE→TIMESTAMP
+    * rule), everything downstream integer. Scale shape: ONE user-keyed
+    * window pass computes the inter-event gap column; all rows then
+    * come from a single conditional aggregate (map-side combined) —
+    * the sweep never re-sorts the event stream per config. */
+  private[graft] def sessionGapFrontier(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val d = ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("diff", col("us") - lag(col("us"), 1).over(w))
+    val aggs = count(lit(1)).as("n_events") +: GapGrid.flatMap { g =>
+      val gUs = g * 60L * 1000000L
+      Seq(
+        count(when(col("diff").isNull || col("diff") >= gUs, lit(1)))
+          .as(s"ns$g"),
+        sum(when(col("diff") < gUs, col("diff")).otherwise(lit(0L)))
+          .as(s"dwell$g"))
+    }
+    val one = d.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    GapGrid.map { g =>
+      one.select(lit(g).as("gap_minutes"), col("n_events"),
+        col(s"ns$g").as("n_sessions"),
+        col(s"dwell$g").as("intra_session_us"),
+        expr(s"(1000000L * n_events) div ns$g").as("events_per_session_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   private[graft] def retentionCohorts(ev: DataFrame): DataFrame = {
     val first = ev.groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("cohort_day"))
@@ -133,7 +185,42 @@ object Sessionize {
           .as("conv_micros"))
   }
 
+  /** q186: the lag-diff column once, then per-gap FILTER aggregates
+    * generated from the shared [[GapGrid]] — the engine's one-pass
+    * shape replayed (timestamps as integer microseconds throughout). */
+  private def oracle186: String = {
+    val condCols = GapGrid.flatMap { g =>
+      val gUs = g * 60L * 1000000L
+      Seq(
+        s"count(*) FILTER (WHERE diff IS NULL OR diff >= $gUs) AS ns$g",
+        s"coalesce(sum(diff) FILTER (WHERE diff < $gUs), 0) AS dwell$g")
+    }.mkString(",\n    ")
+    val rows = GapGrid.map { g =>
+      s"""SELECT CAST($g AS BIGINT) AS gap_minutes,
+         |  CAST(n_events AS BIGINT) AS n_events,
+         |  CAST(ns$g AS BIGINT) AS n_sessions,
+         |  CAST(dwell$g AS BIGINT) AS intra_session_us,
+         |  CAST((1000000 * n_events) // ns$g AS BIGINT)
+         |    AS events_per_session_ppm
+         |FROM agg""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |d AS (
+       |  SELECT us - lag(us)
+       |    OVER (PARTITION BY user_id ORDER BY us, event_id) AS diff
+       |  FROM e),
+       |agg AS (
+       |  SELECT count(*) AS n_events,
+       |    $condCols
+       |  FROM d)
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q186_session_gap_frontier" -> oracle186,
+
     // the cumulative-sum window carries the SAME (ts, event_id)
     // tie-break as the Spark window — ORDER BY ts alone made session
     // assignment nondeterministic on duplicate timestamps (round-1

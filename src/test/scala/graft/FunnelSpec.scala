@@ -18,6 +18,39 @@ class FunnelSpec extends SparkSpec {
       if (r.isNullAt(4)) None else Some(r.getLong(4)))
   }
 
+  test("q186: session-gap frontier — planted replay, nested monotonicity, q51 gate datum at G=30") {
+    // one user, events at 0/10/30/60/120 min: diffs 10/20/30/60 min
+    val min = 60
+    val ev = Seq(0, 10 * min, 30 * min, 60 * min, 120 * min).zipWithIndex
+      .map { case (sec, i) => (i.toLong, 1L, ts(sec)) }
+      .toDF("event_id", "user_id", "ts")
+    val out = Sessionize.sessionGapFrontier(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    def us(m: Int): Long = m * 60L * 1000000L
+    // splits at diffs >= G (the q51 boundary rule: >= splits)
+    assert(out.toSeq === Seq(
+      (5L, 5L, 5L, 0L, 1000000L),
+      (15L, 5L, 4L, us(10), 1250000L),
+      (30L, 5L, 3L, us(30), 1666666L),
+      (60L, 5L, 2L, us(60), 2500000L),
+      (120L, 5L, 1L, us(120), 5000000L)))
+    // real log: thresholds nest, so sessions non-increasing and dwell
+    // non-decreasing in G; the G=30 row IS the q51 gate's count
+    val real = Tables.load(spark, sf0001, "events")
+    val fr = Sessionize.sessionGapFrontier(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(fr.length === 5)
+    fr.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._3, s"sessions monotone: $a vs $b")
+      assert(a._4 <= b._4, s"dwell monotone: $a vs $b")
+    }
+    val q51n = Sessionize.queries("q51_sessionize_lag")(spark, sf0001).count()
+    assert(fr.find(_._1 == 30L).get._3 === q51n,
+      "the G=30 row reproduces the q51 session count")
+  }
+
   test("q135: strict ordering — a click AT the signup timestamp does not advance the funnel") {
     // user 1: click exactly at signup time, nothing after → stuck
     // user 2: full ordered funnel, converts in 20 s
