@@ -97,6 +97,16 @@ object KMeansTrain {
     "q132_pq_adc_topk" -> { (s, dir) =>
       adc(Tables.load(s, dir, "embeddings"))
     },
+
+    // -- q187 (round 12): the PQ SUBSPACE-COUNT frontier — the ANN
+    //    family's MEMORY axis: per M ∈ {2,4,8} subspaces (3·M bits
+    //    per vector), mean quantization distortion and ADC recall@10
+    //    on the q132 panel vs the exact integer-L2 truth. One shared
+    //    coordinate explode; each M re-keys it by projection and
+    //    trains through the same Lloyd kernels. --
+    "q187_pq_frontier" -> { (s, dir) =>
+      pqFrontier(Tables.load(s, dir, "embeddings"))
+    },
   )
 
   /** The trained codebook over any (vec_id, embedding) frame:
@@ -213,6 +223,95 @@ object KMeansTrain {
     top
   }
 
+  /** q187's subspace grid: M ∈ {2, 4, 8} subspaces of 64/M dims each
+    * (PqK = 8 codes → a vector compresses to 3·M bits). 4 is the
+    * q129/q132 gate configuration. Shared with the generated oracle. */
+  private[graft] val PqMGrid = Seq(2, 4, 8)
+
+  /** q187: the PQ SUBSPACE-COUNT frontier — the ANN family's MEMORY
+    * axis. q175/q177 price compute (candidates scanned per recall);
+    * a PQ deployment's knob is code size: more subspaces → more bits
+    * per vector → finer reconstruction and better compressed-domain
+    * retrieval. Per M ∈ {2, 4, 8} (code_bits = 3·M): the mean
+    * per-(vector, subspace) quantization distortion AND the ADC
+    * recall@10 on the q132 panel against the EXACT integer-L2 truth
+    * over the full quantized vectors — one table from memory spent to
+    * retrieval bought, the m = 4 column being the shipped gate config.
+    * Scale shape: the 64-dim quantized coordinates explode ONCE
+    * (persisted, vec_id-partitioned); each M re-KEYS them by
+    * projection (pos div/mod — no re-explode, no new exchange) and
+    * trains through the SAME pqRound/pqAssign kernels; the exact
+    * truth is one panel-broadcast pass shared by every config; model
+    * state only ever broadcasts. Distortion totals ride
+    * DECIMAL(38,0)/HUGEINT (the q128/q129 overflow lesson). */
+  private[graft] def pqFrontier(e: DataFrame): DataFrame = {
+    val (parts, truth, qv0) = pqFrontierDetail(e)
+    val tc = truth.count() // |panel|·AdcTop (the recall denominator)
+    val rows = parts.map { case (m, asg, top) =>
+      val distAgg = asg.agg(count(lit(1)).as("na"),
+        sum(col("dist").cast("decimal(38,0)")).as("sd"))
+      val hits = top.join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      distAgg.crossJoin(hits)
+        .select(lit(s"m$m").as("config"), lit(m.toLong).as("m"),
+          lit(3L * m).as("code_bits"),
+          expr("CAST(sd div na AS BIGINT)").as("mean_dist"),
+          lit(tc).as("truth_pairs"), col("hits"),
+          expr(s"(1000000L * hits) div ${math.max(tc, 1L)}L")
+            .as("recall_ppm"))
+    }
+    val out = rows.reduce(_.unionByName(_)).localCheckpoint(true)
+    qv0.unpersist()
+    out
+  }
+
+  /** The frontier's moving parts, exposed for the spec: per M the
+    * checkpointed final assignment + ADC top-k, plus the shared exact
+    * truth and the persisted coordinate table (caller unpersists). */
+  private[graft] def pqFrontierDetail(e: DataFrame)
+      : (Seq[(Int, DataFrame, DataFrame)], DataFrame, DataFrame) = {
+    val qv0 = e.select(col("vec_id"), posexplode(NormQuant(col("embedding"))))
+      .select(col("vec_id"), col("pos"), col("col").as("q"))
+      .repartition(col("vec_id"))
+      .persist()
+    // exact integer-L2 truth on the FULL quantized vectors — the
+    // config-independent baseline every M is graded against (the q132
+    // tie rule: (distance, vec_id), self excluded)
+    val qpanel = qv0.filter(col("vec_id").isin(AdcQueryIds: _*))
+      .select(col("vec_id").as("q_id"), col("pos"), col("q").as("qq"))
+    val truth = qv0.join(broadcast(qpanel), Seq("pos"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum((col("qq") - col("q")) * (col("qq") - col("q"))).as("ed"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ed"), col("vec_id"))))
+      .where(col("rk") <= AdcTop)
+      .select(col("q_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id")).limit(PqK)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+    val parts = PqMGrid.map { m =>
+      val subDim = Dim / m
+      // re-KEY the shared coordinates for this M: a projection over
+      // the persisted table, never a second explode
+      val qv = qv0.select(col("vec_id"),
+        expr(s"CAST(pos div $subDim AS INT)").as("sub"),
+        expr(s"CAST(pos % $subDim AS INT)").as("spos"), col("q"))
+      var cent = qv.join(broadcast(ids), "vec_id")
+        .select(col("sub"), col("code"), col("spos"), col("q").as("c"))
+        .localCheckpoint(true)
+      for (_ <- 1 to PqIters)
+        cent = pqRound(qv, cent).localCheckpoint(true)
+      // the assignment feeds BOTH the distortion census and the ADC
+      val asg = pqAssign(qv, cent).localCheckpoint(true)
+      val top = adcRankOver(asg.select(col("vec_id"), col("sub"),
+        col("code")), adcLut(qv, cent)).localCheckpoint(true)
+      (m, asg, top)
+    }
+    (parts, truth, qv0)
+  }
+
   /** Exact query-to-centroid lookup table: |panel|·M·PqK rows,
     * eagerly materialized (the gate plan sees a broadcast dim). */
   private[graft] def adcLut(qv: DataFrame, cent: DataFrame): DataFrame =
@@ -229,8 +328,17 @@ object KMeansTrain {
     * (query, vector), then the per-query rank window. */
   private[graft] def adcRank(qv: DataFrame, cent: DataFrame,
       lut: DataFrame): DataFrame =
-    pqAssign(qv, cent)
-      .select(col("vec_id"), col("sub"), col("code"))
+    adcRankOver(
+      pqAssign(qv, cent).select(col("vec_id"), col("sub"), col("code")),
+      lut)
+
+  /** The compressed-domain ranking over an existing (vec_id, sub,
+    * code) frame — factored so the q187 frontier reuses one
+    * checkpointed assignment for both its distortion census and its
+    * ADC pass. */
+  private[graft] def adcRankOver(codes: DataFrame,
+      lut: DataFrame): DataFrame =
+    codes
       .join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("lut")).as("adist"))
@@ -394,9 +502,131 @@ object KMeansTrain {
        |  FROM ad WHERE vec_id <> q_id) r
        |WHERE rk <= $AdcTop""".stripMargin
 
+  /** Name-prefixed per-M training chain over a shared `qv0(vec_id,
+    * pos, q)` and `ids(vec_id, code)` — the pqChainSql shape with the
+    * subspace split a PROJECTION of qv0 (the engine's re-key), ending
+    * at `<p>aF(vec_id, sub, code, dist)`. */
+  private def pqChainFor(p: String, m: Int): String = {
+    val subDim = Dim / m
+    val iters = (1 to PqIters).map { i =>
+      s"""${p}d$i AS MATERIALIZED (
+         |  SELECT qv.vec_id, qv.sub, cc.code, sum((q - c) * (q - c)) AS dist
+         |  FROM ${p}qv qv JOIN ${p}c${i - 1} cc
+         |    ON qv.sub = cc.sub AND qv.spos = cc.spos
+         |  GROUP BY qv.vec_id, qv.sub, cc.code),
+         |${p}a$i AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY dist, code) AS rk
+         |    FROM ${p}d$i)
+         |  WHERE rk = 1),
+         |${p}s$i AS (
+         |  SELECT a.sub, code, spos, sum(q + $Shift) AS sq, count(*) AS n
+         |  FROM ${p}qv qv JOIN ${p}a$i a
+         |    ON qv.vec_id = a.vec_id AND qv.sub = a.sub
+         |  GROUP BY a.sub, code, spos),
+         |${p}c$i AS MATERIALIZED (
+         |  SELECT p.sub, p.code, p.spos, coalesce((sq // s.n) - $Shift, p.c) AS c
+         |  FROM ${p}c${i - 1} p
+         |  LEFT JOIN ${p}s$i s
+         |    ON p.sub = s.sub AND p.code = s.code AND p.spos = s.spos)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${p}qv AS MATERIALIZED (
+       |  SELECT vec_id, CAST(pos // $subDim AS INTEGER) AS sub,
+       |    CAST(pos % $subDim AS INTEGER) AS spos, q
+       |  FROM qv0),
+       |${p}c0 AS MATERIALIZED (
+       |  SELECT sub, code, spos, q AS c FROM ids JOIN ${p}qv USING (vec_id)),
+       |$iters,
+       |${p}dF AS (
+       |  SELECT qv.vec_id, qv.sub, cc.code, sum((q - c) * (q - c)) AS dist
+       |  FROM ${p}qv qv JOIN ${p}c$PqIters cc
+       |    ON qv.sub = cc.sub AND qv.spos = cc.spos
+       |  GROUP BY qv.vec_id, qv.sub, cc.code),
+       |${p}aF AS MATERIALIZED (
+       |  SELECT vec_id, sub, code, dist FROM (
+       |    SELECT vec_id, sub, code, dist,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY dist, code) AS rk
+       |    FROM ${p}dF)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  /** q187: shared qv0/ids/exact-truth CTEs, then per-M prefixed
+    * training + ADC chains and scalar rows (the oracle175/180
+    * pattern applied to the PQ family). */
+  private def oracle187: String = {
+    val nrm = "sqrt(" + (1 to Dim).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)")
+      .mkString(" + ") + ")"
+    val panel = AdcQueryIds.mkString(", ")
+    val cfgs = PqMGrid.zipWithIndex.map { case (m, i) =>
+      val p = s"g$i"
+      s"""${pqChainFor(p, m)},
+         |${p}lut AS MATERIALIZED (
+         |  SELECT qq.q_id, c.sub, c.code,
+         |    CAST(sum((qq.qq - c.c) * (qq.qq - c.c)) AS BIGINT) AS lut
+         |  FROM (SELECT vec_id AS q_id, sub, spos, q AS qq FROM ${p}qv
+         |        WHERE vec_id IN ($panel)) qq
+         |  JOIN ${p}c$PqIters c ON qq.sub = c.sub AND qq.spos = c.spos
+         |  GROUP BY qq.q_id, c.sub, c.code),
+         |${p}ad AS (
+         |  SELECT q_id, vec_id, CAST(sum(lut) AS BIGINT) AS adist
+         |  FROM ${p}aF a JOIN ${p}lut l ON a.sub = l.sub AND a.code = l.code
+         |  GROUP BY q_id, vec_id),
+         |${p}top AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id)
+         |        AS rk
+         |    FROM ${p}ad WHERE vec_id <> q_id) r
+         |  WHERE rk <= $AdcTop),
+         |${p}row AS (
+         |  SELECT 'm$m' AS config, CAST($m AS BIGINT) AS m,
+         |    CAST(${3 * m} AS BIGINT) AS code_bits,
+         |    (SELECT CAST(sum(CAST(dist AS HUGEINT)) // count(*) AS BIGINT)
+         |     FROM ${p}aF) AS mean_dist,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_pairs,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+         |     JOIN ${p}top c ON t.q_id = c.q_id AND t.vec_id = c.vec_id)
+         |      AS hits)""".stripMargin
+    }
+    val rowUnion = PqMGrid.indices.map(i => s"SELECT * FROM g${i}row")
+      .mkString("\n  UNION ALL ")
+    s"""WITH nn AS (SELECT vec_id, embedding, $nrm AS nrm FROM embeddings),
+       |qv0 AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) / nrm * 1000000.0) AS BIGINT) AS q
+       |  FROM nn, (SELECT unnest(generate_series(1, $Dim)) AS i) ii),
+       |ids AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+       |  FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |qp AS (SELECT vec_id AS q_id, pos, q AS qq FROM qv0
+       |       WHERE vec_id IN ($panel)),
+       |truth AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ed, vec_id) AS rk
+       |    FROM (
+       |      SELECT qp.q_id, qv0.vec_id, sum((qq - q) * (qq - q)) AS ed
+       |      FROM qv0 JOIN qp USING (pos)
+       |      GROUP BY qp.q_id, qv0.vec_id) d
+       |    WHERE vec_id <> q_id) r
+       |  WHERE rk <= $AdcTop),
+       |${cfgs.mkString(",\n")}
+       |SELECT config, m, code_bits, mean_dist, truth_pairs, hits,
+       |  CAST((1000000 * hits) // greatest(truth_pairs, 1) AS BIGINT)
+       |    AS recall_ppm
+       |FROM ($rowUnion)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q118_kmeans_train" -> oracle118,
     "q129_pq_codebook" -> oracle129,
     "q132_pq_adc_topk" -> oracle132,
+    "q187_pq_frontier" -> oracle187,
   )
 }

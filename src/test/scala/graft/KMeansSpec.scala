@@ -229,6 +229,45 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("q187: PQ frontier — distortion falls with code bits, truth replays brute force, m=4 reproduces q132") {
+    val real = Tables.load(spark, sf0001, "embeddings")
+    val out = KMeansTrain.pqFrontier(real).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._2)
+    assert(out.map(_._2).toSeq === Seq(2L, 4L, 8L))
+    assert(out.forall(r => r._3 === 3 * r._2))
+    assert(out.forall(r => r._5 === 40L && r._6 <= r._5))
+    assert(out.forall(r => r._7 === 1000000L * r._6 / 40L))
+    // finer subspaces quantize better: mean distortion strictly falls
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4, s"distortion must fall with m: $a vs $b") }
+
+    // the shared exact truth IS the brute-force integer-L2 top-10
+    // (driver replay over normQuant'd vectors, the q132 tie rule)
+    val (parts, truth, qv0) = KMeansTrain.pqFrontierDetail(real)
+    val vecs = real.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), SignProjectKernel.normQuant(
+        new GenericArrayData(r.getSeq[Float](1).toArray)))).toSeq
+    val expect = Seq(0L, 5L, 11L, 17L).flatMap { q =>
+      val qq = vecs.find(_._1 == q).get._2
+      vecs.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, (0 until qq.length).map { p =>
+            val d = qq(p) - v(p); d * d }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(10)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    assert(truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === expect)
+    // the m = 4 ADC ranking is exactly the q132 gate's
+    val m4top = parts.find(_._1 == 4).get._3.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val q132 = KMeansTrain.queries("q132_pq_adc_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(m4top === q132)
+    qv0.unpersist()
+  }
+
   test("q118: clusters that lose every member carry their previous centroid") {
     // ids 6 and 7 duplicate id 0's vector: the argmin tie-break
     // (dist, cluster) sends all three to cluster 0, so clusters 6
