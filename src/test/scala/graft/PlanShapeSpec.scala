@@ -1023,6 +1023,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "BroadcastNestedLoopJoin") <= 1, p) // n_tokens scalar
   }
 
+  test("q186: the gap sweep is ONE user-keyed window pass + a 1-row aggregate — no joins, no per-config re-sort") {
+    val p = graft.operators.Sessionize.sessionGapAgg(
+      Tables.load(spark, sf0001, "events"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // exactly one shuffle keyed by the window partitioning plus the
+    // final single-partition gather for the global aggregate
+    assert(keyedExchanges(p, "user_id") === 1, p)
+    assert(count(p, "\\bWindow\\b") === 1, p)
+    assert(count(p, "Join") === 0, p)
+    assert(count(p, "HashAggregate") === 2, p) // partial + final
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")
