@@ -49,6 +49,18 @@ object ApproxAggs {
   private[graft] val CmWidth = 1024
   private[graft] val CmProbes: Seq[String] = TextAnalysis.stopEnList
 
+  /** q188's width grid (powers of two; 1024 is the q95 gate config).
+    * ε ≈ e/width at fixed depth — the sketch-sizing knob. The corpus
+    * vocabulary is alphabet-BOUNDED (31 distinct tokens at every sf —
+    * the q155 sub-linear finding), so the grid must reach BELOW it to
+    * show real collisions (the q153 corpus-adaptive-width lesson): a
+    * {256, 1024, 4096} sweep measured zero overestimate in every cell
+    * — a no-op table. {8, 32, 1024} brackets the vocabulary: 8 must
+    * collide, 32 sits at it, 1024 shows the shipped config is
+    * collision-free on THIS vocabulary (i.e. 32× oversized — which is
+    * exactly the decision the table exists to expose). */
+  private[graft] val CmWidthGrid = Seq(8, 32, 1024)
+
   /** Integer-cents projection of l_extendedprice — through
     * DECIMAL(15,2) on BOTH engines (the q01-proven conversion). */
   private val CentsSql =
@@ -95,6 +107,21 @@ object ApproxAggs {
         +: (chkCols ++ estCols): _*)
     },
 
+    // -- q188 (round 12): the Count-Min WIDTH frontier — the
+    //    sketch-sizing decision table: per width ∈ {256, 1024, 4096}
+    //    (memory = depth·width counters; ε ≈ e/width) and per probe
+    //    token, the sketch ESTIMATE beside the exact count and the
+    //    overestimate the memory choice costs. CMS never
+    //    underestimates, so overestimate ≥ 0 is structural
+    //    (spec-asserted); the 1024 column is the shipped q95 config.
+    //    Scale shape: one map-pass sketch per width (fixed-memory
+    //    buffers merged commutatively); the exact probe counts are one
+    //    literal-filtered explode (probe set is O(1)); every frontier
+    //    row reads 1-row checkpointed aggregates. --
+    "q188_cms_width_frontier" -> { (s, dir) =>
+      cmsWidthFrontier(Tables.load(s, dir, "documents"))
+    },
+
     "q55b_owned_sketches" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -111,6 +138,34 @@ object ApproxAggs {
           col("q.p90_cents").as("p90_cents"))
     },
   )
+
+  /** q188 over any documents-shaped frame (needs `text`): one GLOBAL
+    * sketch per width over the shared token stream, probe estimates
+    * beside exact counts. */
+  private[graft] def cmsWidthFrontier(d: DataFrame): DataFrame = {
+    import graft.functions.Text
+    val toks = d.select(Text.tokens(col("text")).as("t"))
+    val exact = d.select(explode(Text.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(CmProbes: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      .localCheckpoint(true) // joined once per width row set
+    val rows = CmWidthGrid.map { w =>
+      val sk = toks
+        .agg(Sketches.countMin(col("t"), CmSalt, CmDepth, w, CmProbes).as("s"))
+        .localCheckpoint(true) // read once per probe row
+      CmProbes.zipWithIndex.map { case (t, i) =>
+        sk.select(lit(w.toLong).as("width"),
+          lit(CmDepth.toLong * w).as("counters"),
+          lit(t).as("token"), col("s.n_tokens").as("n_tokens"),
+          element_at(col("s.est"), i + 1).as("est"))
+      }.reduce(_.unionByName(_))
+    }
+    rows.reduce(_.unionByName(_))
+      .join(broadcast(exact), Seq("token"), "left")
+      .select(col("width"), col("counters"), col("token"), col("n_tokens"),
+        coalesce(col("exact"), lit(0L)).as("exact"), col("est"),
+        (col("est") - coalesce(col("exact"), lit(0L))).as("overestimate"))
+  }
 
   /** Code-generated replay of BOTH owned sketches: the HLL register
     * table is rebuilt in SQL (mix through a CTE column; trailing-zero
@@ -173,6 +228,68 @@ object ApproxAggs {
     * tokens' (row, bucket) coordinates are Scala-computed constants —
     * the same kernel the aggregate runs — so the oracle's LEFT JOIN
     * grid reads the identical cells the engine's eval reads. */
+  /** q188: the oracle95 token-hash chain (global, no lang key), the
+    * width-independent salted hashes MATERIALIZED once, then per width
+    * only the bucket census re-keys (h % w) — probe bucket constants
+    * embedded from the SAME Scala kernel per width, exact counts from
+    * the literal-filtered token stream. */
+  private def oracle188: String = {
+    import graft.functions.{SplitMix64, SplitMix64Kernel}
+    val m64 = "18446744073709551616"
+    def saltLit(j: Int): String = java.lang.Long.toUnsignedString(
+      (CmSalt + j) * SplitMix64Kernel.Golden)
+    val saltCase = (0 until CmDepth)
+      .map(j => s"WHEN $j THEN ${saltLit(j)}").mkString(" ")
+    val probeList = CmProbes.map(t => s"'$t'").mkString(", ")
+    val widthCtes = CmWidthGrid.zipWithIndex.map { case (w, gi) =>
+      s"""g${gi}c AS MATERIALIZED (
+         |  SELECT j, h % $w AS bkt, count(*) AS cnt FROM sh GROUP BY 1, 2)"""
+        .stripMargin
+    }
+    val rows = CmWidthGrid.zipWithIndex.flatMap { case (w, gi) =>
+      CmProbes.map { t =>
+        val th = SplitMix64Kernel.strHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        val pbVals = (0 until CmDepth).map { j =>
+          val bkt = (SplitMix64Kernel.mix(
+            th + (CmSalt + j) * SplitMix64Kernel.Golden) & (w - 1)).toInt
+          s"($j, $bkt)"
+        }.mkString(", ")
+        s"""SELECT width, counters, token, n_tokens, exact, est,
+           |  est - exact AS overestimate FROM (
+           |  SELECT CAST($w AS BIGINT) AS width,
+           |    CAST(${CmDepth * w} AS BIGINT) AS counters,
+           |    '$t' AS token,
+           |    (SELECT n_tokens FROM n) AS n_tokens,
+           |    coalesce((SELECT exact FROM ex WHERE token = '$t'),
+           |      CAST(0 AS BIGINT)) AS exact,
+           |    (SELECT CAST(min(coalesce(cnt, 0)) AS BIGINT)
+           |     FROM (VALUES $pbVals) pb(j, bkt)
+           |     LEFT JOIN g${gi}c c ON c.j = pb.j AND c.bkt = pb.bkt)
+           |      AS est) r""".stripMargin
+      }
+    }
+    s"""WITH tok AS (
+       |  SELECT string_split_regex(text, '\\s+') AS t FROM documents),
+       |pos AS (
+       |  SELECT t, unnest(generate_series(1, len(t))) AS i FROM tok),
+       |wt AS (SELECT t[i] AS w FROM pos),
+       |dt AS (SELECT DISTINCT w FROM wt),
+       |dp AS (SELECT w, ${SplitMix64.polyHashSql("w")} AS p FROM dt),
+       |dh AS (SELECT w, ${SplitMix64.mixSql("p")} AS th FROM dp),
+       |occ AS MATERIALIZED (SELECT dh.th FROM wt JOIN dh USING (w)),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM occ),
+       |ex AS MATERIALIZED (
+       |  SELECT w AS token, CAST(count(*) AS BIGINT) AS exact FROM wt
+       |  WHERE w IN ($probeList) GROUP BY w),
+       |sj AS (
+       |  SELECT j, (th + CASE j $saltCase END) % $m64 AS x
+       |  FROM occ, (SELECT unnest(range($CmDepth)) AS j) js),
+       |sh AS MATERIALIZED (SELECT j, ${SplitMix64.mixSql("x")} AS h FROM sj),
+       |${widthCtes.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private def oracle95: String = {
     import graft.functions.{SplitMix64, SplitMix64Kernel}
     val m64 = "18446744073709551616"
@@ -239,6 +356,7 @@ object ApproxAggs {
 
   val oracles: Map[String, String] = Map(
     "q95_countmin_tokens" -> oracle95,
+    "q188_cms_width_frontier" -> oracle188,
 
     "q54_percentiles" ->
       """SELECT o_orderstatus,

@@ -105,6 +105,55 @@ class ApproxSpec extends SparkSpec {
     assert(digest(li.repartition(1)) === digest(li.repartition(13, col("doc_id"))))
   }
 
+  test("q188: width frontier — one-sided everywhere, driver replay at width 8, the bracketing gradient") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val out = graft.operators.ApproxAggs.cmsWidthFrontier(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val probes = graft.operators.ApproxAggs.CmProbes
+    assert(out.length === 3 * probes.length)
+    assert(out.forall(r => r._2 === 4 * r._1)) // counters = depth·width
+    // CMS is one-sided: collisions only ADD (structural)
+    assert(out.forall(r => r._6 >= r._5 && r._7 === r._6 - r._5))
+    // exact column replays an independent count
+    val exact = d.select(explode(graft.functions.Text.tokens(col("text")))
+        .as("tok")).filter(col("tok").isin(probes: _*))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r._5 === exact.getOrElse(r._3, 0L), r.toString))
+    // width 8 sits BELOW the 31-token vocabulary → real collisions;
+    // the shipped 1024 is collision-free on it (the sizing decision
+    // the table exists to expose)
+    assert(out.filter(_._1 == 8L).map(_._7).sum > 0L, "w=8 must collide")
+    assert(out.filter(_._1 == 1024L).forall(_._7 === 0L), "w=1024 clears")
+    // full driver replay of the width-8 estimates (the same kernel
+    // arithmetic, independently evaluated)
+    import graft.functions.SplitMix64Kernel
+    val toks = d.select(explode(graft.functions.Text.tokens(col("text")))
+      .as("tok")).collect().map(_.getString(0))
+    val buf = Array.fill(4, 8)(0L)
+    toks.foreach { t =>
+      val th = SplitMix64Kernel.strHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      (0 until 4).foreach { j =>
+        val b = (SplitMix64Kernel.mix(th +
+          (graft.operators.ApproxAggs.CmSalt + j) * SplitMix64Kernel.Golden)
+          & 7L).toInt
+        buf(j)(b) += 1L
+      }
+    }
+    probes.foreach { t =>
+      val th = SplitMix64Kernel.strHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      val want = (0 until 4).map { j =>
+        buf(j)((SplitMix64Kernel.mix(th +
+          (graft.operators.ApproxAggs.CmSalt + j) * SplitMix64Kernel.Golden)
+          & 7L).toInt)
+      }.min
+      assert(out.find(r => r._1 == 8L && r._3 == t).get._6 === want, t)
+    }
+  }
+
   test("owned sketches reject wrong-typed inputs at ANALYSIS time") {
     val li = Tables.load(spark, sf0001, "lineitem")
     // string key into the HLL; scalar into the array-typed sketches —
