@@ -70,6 +70,15 @@ object Winnow {
     //    boilerplate as spans), which bounds the per-key fan-out so
     //    candidate pairs stay <= DfCap x corpus — linear, never the
     //    10M^2 a shared header would otherwise pay. --
+    // -- q189 (round 12): the winnowing WINDOW frontier — per
+    //    w ∈ {2,4,8}, fingerprints stored vs the detection guarantee
+    //    (min match length w+K−1) vs the measured density beside the
+    //    2/(w+1) expectation. One gram-hash pass feeds every window
+    //    size. --
+    "q189_winnow_frontier" -> { (s, dir) =>
+      winnowFrontier(Tables.load(s, dir, "documents"))
+    },
+
     "q122_winnow_clones" -> { (s, dir) =>
       clonePairs(Tables.load(s, dir, "documents"))
     },
@@ -116,11 +125,11 @@ object Winnow {
   private def normText(c: Column): Column =
     regexp_replace(lower(c), "[^a-z0-9]", "")
 
-  /** Selected fingerprints, one row per winnow-selected gram position:
-    * (doc_id, ng, p, fp). Exposed for the spec's brute-force replay. */
-  private[graft] def selected(d: DataFrame): DataFrame = {
-    val grams = d
-      .select(col("doc_id"), normText(col("text")).as("nm"))
+  /** The (doc_id, ng, p, fp) gram-fingerprint stream — window-size
+    * INDEPENDENT, so the q189 frontier derives it once and applies
+    * every window size to the same frame. */
+  private[graft] def gramFps(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), normText(col("text")).as("nm"))
       .select(col("doc_id"), col("nm"),
         (length(col("nm")) - lit(K - 1)).as("ng"))
       .select(col("doc_id"), col("ng"), col("nm"),
@@ -130,11 +139,16 @@ object Winnow {
         shiftrightunsigned(
           SplitMix64.strHash(col("nm").substr(col("p"), lit(K))), 11)
           .as("fp"))
+
+  /** Winnow selection over a gram-fingerprint frame at window size
+    * `ww` — the leftmost-minimum rule as window minima (robust
+    * winnowing, Schleimer/Wilkerson/Aiken SIGMOD'03). */
+  private[graft] def selectedOver(grams: DataFrame, ww: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     def lmin(o: Int): Column = min(col("fp")).over(w.rowsBetween(-o, -1))
     def rmin(j: Int): Column = min(col("fp")).over(w.rowsBetween(1, j))
-    val sel = (0 until WinnowW).map { o =>
-      val rightN = WinnowW - 1 - o
+    val sel = (0 until ww).map { o =>
+      val rightN = ww - 1 - o
       val leftOk =
         if (o == 0) lit(true) else col("p") > o && col("fp") <= lmin(o)
       val rightOk =
@@ -143,6 +157,50 @@ object Winnow {
     }.reduce(_ || _)
     grams.withColumn("sel", sel).where(col("sel"))
       .select(col("doc_id"), col("ng"), col("p"), col("fp"))
+  }
+
+  /** Selected fingerprints, one row per winnow-selected gram position:
+    * (doc_id, ng, p, fp). Exposed for the spec's brute-force replay. */
+  private[graft] def selected(d: DataFrame): DataFrame =
+    selectedOver(gramFps(d), WinnowW)
+
+  /** q189's window grid (4 is the q117/q122 gate config). The
+    * guarantee trade a MOSS deployment tunes: window w detects any
+    * match of length ≥ w + K − 1 while storing an expected 2/(w+1)
+    * of the grams. */
+  private[graft] val WinnowGrid = Seq(2, 4, 8)
+
+  /** q189: the winnowing WINDOW frontier — the fingerprint-storage
+    * decision table. Per w ∈ {2, 4, 8}: fingerprints selected,
+    * distinct hashes, the measured density (selected per gram, ppm)
+    * beside the theoretic expectation 2/(w+1), and the detection
+    * guarantee each w buys (min match length w + K − 1). Structural
+    * invariants the spec pins: selected counts are monotone
+    * NON-INCREASING in w (a window-(w+1) minimum is a window-w
+    * minimum... the reverse — every w'-selection with w' > w is NOT
+    * nested, but every w-window must contain a selection, so density
+    * can only fall as w grows on the same hash stream), and every
+    * w-length window of every document contains ≥ 1 selected position
+    * (the SIGMOD'03 correctness property, brute-checked). Scale
+    * shape: the gram-fingerprint stream derives ONCE (checkpointed);
+    * each w adds only its window pass over the SAME doc-keyed
+    * exchange; every frontier row reads a 1-row aggregate. */
+  private[graft] def winnowFrontier(d: DataFrame): DataFrame = {
+    val grams = gramFps(d).localCheckpoint(true)
+    val tot = grams.agg(count(lit(1)).as("n_grams")).localCheckpoint(true)
+    val rows = WinnowGrid.map { ww =>
+      val sel = selectedOver(grams, ww).localCheckpoint(true)
+      val agg = sel.agg(count(lit(1)).as("n_selected"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+      agg.crossJoin(tot)
+        .select(lit(ww.toLong).as("window"),
+          lit((ww + K - 1).toLong).as("min_match_detected"),
+          col("n_grams"), col("n_selected"), col("n_distinct_fp"),
+          expr("(1000000L * n_selected) div greatest(n_grams, 1L)")
+            .as("density_ppm"),
+          lit(2000000L / (ww + 1)).as("expected_density_ppm"))
+    }
+    rows.reduce(_.unionByName(_))
   }
 
   /** Per-document profile: gram/fingerprint counts, distinct hashes,
@@ -178,21 +236,11 @@ object Winnow {
   // ---- generated oracle (code-built from the same K/W constants —
   //      the q83/q105 playbook) --------------------------------------
 
-  /** The shared selection CTE chain (normalize → grams → hashes →
-    * window minima → winnow selection), reused by both oracles. */
-  private def selCtes: String = {
-    val lcols = (1 until WinnowW).map(o =>
-      s"    min(fp) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN " +
-        s"$o PRECEDING AND 1 PRECEDING) AS l$o").mkString(",\n")
-    val rcols = (1 until WinnowW).map(j =>
-      s"    min(fp) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN " +
-        s"1 FOLLOWING AND $j FOLLOWING) AS r$j").mkString(",\n")
-    val conds = (0 until WinnowW).map { o =>
-      val rightN = WinnowW - 1 - o
-      val left = if (o == 0) "" else s"p > $o AND fp <= l$o AND "
-      val right = if (rightN == 0) "" else s" AND fp < r$rightN"
-      s"(${left}p <= ng - $rightN$right)"
-    }.mkString("\n     OR ")
+  /** The window-size-independent fingerprint chain (normalize →
+    * grams → hashes), ending at `fps(doc_id, ng, p, fp)` MATERIALIZED
+    * — shared by all three oracles (q189 references it once per
+    * window size plus the totals row). */
+  private def fpCtes: String =
     s"""WITH nm AS (
        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nm
        |  FROM documents),
@@ -203,15 +251,65 @@ object Winnow {
        |  FROM bs),
        |gr AS (SELECT doc_id, ng, p, nm[p : p + ${K - 1}] AS g FROM ps),
        |h0 AS (SELECT doc_id, ng, p, ${SplitMix64.polyHashSql("g")} AS h FROM gr),
-       |fps AS (SELECT doc_id, ng, p, CAST((${SplitMix64.mixSql("h")}) >> 11 AS BIGINT) AS fp FROM h0),
-       |wn AS (
+       |fps AS MATERIALIZED (SELECT doc_id, ng, p, CAST((${SplitMix64.mixSql("h")}) >> 11 AS BIGINT) AS fp FROM h0)"""
+      .stripMargin
+
+  /** Name-prefixed winnow-selection chain over `fps` at window size
+    * `ww` — the leftmost-minimum rule as per-offset window minima,
+    * ending at `<p>sel(doc_id, p, fp)`. */
+  private def selFromFps(p: String, ww: Int): String = {
+    val lcols = (1 until ww).map(o =>
+      s"    min(fp) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN " +
+        s"$o PRECEDING AND 1 PRECEDING) AS l$o").mkString(",\n")
+    val rcols = (1 until ww).map(j =>
+      s"    min(fp) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN " +
+        s"1 FOLLOWING AND $j FOLLOWING) AS r$j").mkString(",\n")
+    val minCols = Seq(lcols, rcols).filter(_.nonEmpty).mkString(",\n")
+    val conds = (0 until ww).map { o =>
+      val rightN = ww - 1 - o
+      val left = if (o == 0) "" else s"p > $o AND fp <= l$o AND "
+      val right = if (rightN == 0) "" else s" AND fp < r$rightN"
+      s"(${left}p <= ng - $rightN$right)"
+    }.mkString("\n     OR ")
+    s"""${p}wn AS (
        |  SELECT doc_id, ng, p, fp,
-       |$lcols,
-       |$rcols
+       |$minCols
        |  FROM fps),
-       |sel AS (
-       |  SELECT doc_id, p, fp FROM wn
+       |${p}sel AS (
+       |  SELECT doc_id, p, fp FROM ${p}wn
        |  WHERE $conds)""".stripMargin
+  }
+
+  /** The shared selection CTE chain at the gate window size, reused
+    * by the q117/q122 oracles (prefix "" keeps their original CTE
+    * names). */
+  private def selCtes: String =
+    s"""$fpCtes,
+       |${selFromFps("", WinnowW)}""".stripMargin
+
+  /** q189: the shared fingerprint chain once, per-window prefixed
+    * selection chains generated from the same grid, per-w scalar
+    * rows. */
+  private def oracle189: String = {
+    val chains = WinnowGrid.zipWithIndex
+      .map { case (ww, i) => selFromFps(s"g$i", ww) }
+    val rows = WinnowGrid.zipWithIndex.map { case (ww, i) =>
+      s"""SELECT CAST($ww AS BIGINT) AS window,
+         |  CAST(${ww + K - 1} AS BIGINT) AS min_match_detected,
+         |  (SELECT n_grams FROM tot) AS n_grams,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM g${i}sel) AS n_selected,
+         |  (SELECT CAST(count(DISTINCT fp) AS BIGINT) FROM g${i}sel)
+         |    AS n_distinct_fp,
+         |  CAST((1000000 * (SELECT count(*) FROM g${i}sel))
+         |    // greatest((SELECT n_grams FROM tot), 1) AS BIGINT)
+         |    AS density_ppm,
+         |  CAST(${2000000L / (ww + 1)} AS BIGINT) AS expected_density_ppm"""
+        .stripMargin
+    }
+    s"""$fpCtes,
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_grams FROM fps),
+       |${chains.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   private def oracle117: String =
@@ -255,5 +353,6 @@ object Winnow {
   val oracles: Map[String, String] = Map(
     "q117_winnow_fingerprints" -> oracle117,
     "q122_winnow_clones" -> oracle122,
+    "q189_winnow_frontier" -> oracle189,
   )
 }

@@ -139,6 +139,50 @@ class WinnowSpec extends SparkSpec {
     assert(got.isEmpty, got.mkString(","))
   }
 
+  test("q189: window frontier — coverage at every w, nested monotonicity, q117 datum at w=4") {
+    val d = Tables.load(spark, sf0001, "documents")
+    val out = graft.operators.Winnow.winnowFrontier(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(2L, 4L, 8L))
+    assert(out.forall(r => r._2 === r._1 + K - 1))
+    assert(out.map(_._3).distinct.length === 1, "n_grams w-independent")
+    // a (w+1)-window minimum is a minimum of a contained w-window:
+    // selections NEST, so counts are monotone non-increasing in w
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 >= b._4 && a._5 >= b._5, s"nested: $a vs $b") }
+    // density replay + the 2/(w+1) expectation within 2% on this
+    // corpus (the hash stream is effectively uniform)
+    out.foreach { r =>
+      assert(r._6 === 1000000L * r._4 / math.max(r._3, 1L))
+      assert(math.abs(r._6 - r._7) < r._7 / 50, s"density vs expected: $r")
+    }
+    // the w=4 row IS the q117 gate's total fingerprint count
+    val q117 = graft.operators.Winnow
+      .queries("q117_winnow_fingerprints")(spark, sf0001).collect()
+      .map(_.getLong(2)).sum
+    assert(out.find(_._1 == 4L).get._4 === q117)
+    // SIGMOD'03 coverage at EVERY w: each w-window of gram positions
+    // contains a selected position (brute-checked per document)
+    val grams = graft.operators.Winnow.gramFps(d).localCheckpoint(true)
+    Seq(2, 4, 8).foreach { ww =>
+      val selByDoc = graft.operators.Winnow.selectedOver(grams, ww)
+        .collect().map(r => (r.getLong(0), r.getInt(2)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val ngByDoc = grams.select("doc_id", "ng").distinct().collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      ngByDoc.foreach { case (id, ng) =>
+        if (ng >= ww) {
+          val sel = selByDoc.getOrElse(id, Set.empty)
+          (1 to ng - ww + 1).foreach { i =>
+            assert((i until i + ww).exists(sel.contains),
+              s"doc $id w=$ww window at $i uncovered")
+          }
+        }
+      }
+    }
+  }
+
   test("corpus invariants: selections per doc bounded by window count") {
     val prof = Winnow.fingerprintProfile(
       Tables.load(spark, sf0001, "documents"))
