@@ -185,6 +185,20 @@ object TextAnalysis {
     //    vs q78); false-negative rate is zero. EXACT-gated: the
     //    oracle rebuilds the bit positions and memberships
     //    integer-exactly, so even the false positives match. --
+    // -- q190 (round 12): the Bloom BITS frontier — the q188 sizing
+    //    table for the decontamination filter: per filter size
+    //    ∈ {1024, 8192, 131072} bits (the grid brackets the 258–2,419
+    //    distinct benchmark grams across the sfs; 131072 is the q96
+    //    gate config), the filter load (bits set), docs flagged, and
+    //    the FALSE-flag count/rate against the exact q78 truth. Bloom
+    //    is one-sided the OTHER way from Count-Min: no false
+    //    negatives, so flagged ⊇ truth structurally (spec-asserted).
+    //    Scale shape: the gram frame derives once (checkpointed); per
+    //    bits one bounded build (the documented Setup-block collect —
+    //    ≤16 KiB of filter words) + one map-side probe pass; truth is
+    //    ONE inverted-index join shared by every row. --
+    "q190_bloom_frontier" -> { (s, dir) => bloomFrontier(s, dir) },
+
     "q96_bloom_decontaminate" -> { (s, dir) =>
       val grams = Tables.load(s, dir, "documents")
         .select(col("doc_id"), Text.wordNGrams(col("text"), 5).as("g5"))
@@ -558,9 +572,125 @@ object TextAnalysis {
        |FROM hit GROUP BY doc_id""".stripMargin
   }
 
+  /** q190's filter-size grid (powers of two; 131072 is the q96 gate
+    * config). The grid BRACKETS the distinct benchmark-gram counts
+    * (258–2,419 across the sfs): 1024 bits saturates under k = 4
+    * insertions, 8192 sits near the classic ~10·n sizing, 131072 is
+    * shown effectively collision-free — the q188 bracketing rule
+    * applied to the Bloom family. */
+  private[graft] val BloomBitsGrid = Seq(1024, 8192, 131072)
+
+  /** q190 — per filter size: filter load, flagged docs, and the
+    * false-flag count/rate against the exact q78 truth. Bloom never
+    * misses (no false negatives), so flagged ⊇ truth at every size. */
+  private[graft] def bloomFrontier(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Text.wordNGrams(col("text"), 5).as("g5"))
+      .localCheckpoint(true) // 3 builds + 3 probes + the truth read it
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+    val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+    // the exact truth, ONE inverted-index join (the q78 shape)
+    val benchG = bench.select(explode(col("g5")).as("g")).distinct()
+    val truthN = corpus.select(col("doc_id"), explode(col("g5")).as("g"))
+      .join(benchG.hint("shuffle_merge"), "g")
+      .select("doc_id").distinct().count()
+    val probedN = corpus.count()
+    val rows = BloomBitsGrid.map { bits =>
+      // bounded build collect: ≤ bits/8 bytes of filter words — the
+      // q96 documented Setup-block exception
+      val words = bench.agg(graft.functions.Sketches.bloom(
+          col("g5"), BloomSalt, bits, BloomK).as("w"))
+        .head.getSeq[Long](0).toArray
+      val bitsSet = words.map(java.lang.Long.bitCount(_).toLong).sum
+      corpus.select(graft.functions.Sketches.bloomCountHits(
+          col("g5"), words, BloomSalt, BloomK, bits).as("h"))
+        .agg(count(when(col("h") > 0, lit(1))).as("flagged"))
+        .select(lit(bits.toLong).as("bits"), lit(bitsSet).as("bits_set"),
+          lit(probedN).as("probed"), lit(truthN).as("true_contaminated"),
+          col("flagged"),
+          (col("flagged") - lit(truthN)).as("false_flagged"),
+          expr(s"(1000000L * (flagged - ${truthN}L)) div " +
+            s"greatest(${probedN - truthN}L, 1L)").as("fpr_ppm"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** q190: the oracle96 hash chain with the bits-INDEPENDENT salted
+    * mixes MATERIALIZED once, per-size position sets and hit censuses
+    * re-keyed (h % bits), the exact truth one gram join. */
+  private def oracle190: String = {
+    import graft.functions.{SplitMix64, SplitMix64Kernel}
+    val m64 = "18446744073709551616"
+    def saltLit(j: Int): String = java.lang.Long.toUnsignedString(
+      (BloomSalt + j) * SplitMix64Kernel.Golden)
+    val saltCase = (0 until BloomK)
+      .map(j => s"WHEN $j THEN ${saltLit(j)}").mkString(" ")
+    val sizeCtes = BloomBitsGrid.zipWithIndex.map { case (b, i) =>
+      s"""b${i}pos AS MATERIALIZED (SELECT DISTINCT h % $b AS pos FROM bmix),
+         |b${i}hit AS (
+         |  SELECT doc_id, i FROM
+         |    (SELECT doc_id, i, h % $b AS pos FROM cmix) cp
+         |  JOIN b${i}pos USING (pos)
+         |  GROUP BY doc_id, i HAVING count(*) = $BloomK),
+         |b${i}fl AS (
+         |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS flagged
+         |  FROM b${i}hit)""".stripMargin
+    }
+    val rows = BloomBitsGrid.zipWithIndex.map { case (b, i) =>
+      s"""SELECT bits, bits_set, probed, true_contaminated, flagged,
+         |  flagged - true_contaminated AS false_flagged,
+         |  CAST((1000000 * (flagged - true_contaminated))
+         |    // greatest(probed - true_contaminated, 1) AS BIGINT)
+         |    AS fpr_ppm
+         |FROM (
+         |  SELECT CAST($b AS BIGINT) AS bits,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM b${i}pos) AS bits_set,
+         |    (SELECT probed FROM pr) AS probed,
+         |    (SELECT tc FROM tr) AS true_contaminated,
+         |    (SELECT flagged FROM b${i}fl) AS flagged) r""".stripMargin
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+       |  FROM tok),
+       |occ AS (
+       |  SELECT doc_id, i,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+       |  FROM g0),
+       |dg AS (SELECT DISTINCT g FROM occ),
+       |dp AS (SELECT g, ${SplitMix64.polyHashSql("g")} AS p FROM dg),
+       |dh AS (SELECT g, ${SplitMix64.mixSql("p")} AS th FROM dp),
+       |js AS (SELECT unnest(range($BloomK)) AS j),
+       |bx AS (
+       |  SELECT DISTINCT dh.th FROM occ JOIN dh USING (g)
+       |  WHERE occ.doc_id % 97 = 0),
+       |bsx AS (SELECT (th + CASE j $saltCase END) % $m64 AS x
+       |  FROM bx CROSS JOIN js),
+       |bmix AS MATERIALIZED (SELECT ${SplitMix64.mixSql("x")} AS h FROM bsx),
+       |cx AS (
+       |  SELECT occ.doc_id, occ.i, j, (dh.th + CASE j $saltCase END) % $m64 AS x
+       |  FROM occ JOIN dh USING (g) CROSS JOIN js
+       |  WHERE occ.doc_id % 97 <> 0),
+       |cmix AS MATERIALIZED (
+       |  SELECT doc_id, i, ${SplitMix64.mixSql("x")} AS h FROM cx),
+       |tr AS (
+       |  SELECT CAST(count(DISTINCT occ.doc_id) AS BIGINT) AS tc
+       |  FROM occ JOIN (SELECT DISTINCT g FROM occ WHERE doc_id % 97 = 0) bg
+       |    USING (g)
+       |  WHERE occ.doc_id % 97 <> 0),
+       |pr AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS probed FROM documents
+       |  WHERE doc_id % 97 <> 0),
+       |${sizeCtes.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q92_doc_chunks" -> chunkSql("documents", "doc_id"),
     "q96_bloom_decontaminate" -> oracle96,
+    "q190_bloom_frontier" -> oracle190,
     "q148_filter_attribution" -> oracle148,
 
     "q85_unigram_surprisal" ->

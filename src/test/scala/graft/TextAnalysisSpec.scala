@@ -159,6 +159,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q190: bloom bits frontier — no false negatives at any size, gate data reproduced, the saturation gradient") {
+    val out = graft.operators.TextAnalysis.bloomFrontier(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1024L, 8192L, 131072L))
+    // probed and the exact truth are size-independent
+    assert(out.map(_._3).distinct.length === 1)
+    assert(out.map(_._4).distinct.length === 1)
+    out.foreach { r =>
+      // one-sided: flagged ⊇ truth at EVERY size (no false negatives)
+      assert(r._5 >= r._4, s"false negative at bits=${r._1}: $r")
+      assert(r._6 === r._5 - r._4)
+      assert(r._7 === 1000000L * r._6 / math.max(r._3 - r._4, 1L))
+      assert(r._2 <= r._1, s"bits_set bounded by filter size: $r")
+    }
+    // the measured gradient on this corpus: 1024 bits saturates,
+    // 131072 clears (deterministic — a pin, not a flake)
+    assert(out.head._6 > out.last._6, "smaller filter must false-flag more")
+    // gate-data reproduction: truth ≡ q78's flagged set size, the
+    // 131072 row ≡ q96's output size (same salt/k/bits)
+    val q78 = SparkEntry.queries("q78_decontaminate")(spark, sf0001).count()
+    val q96 = SparkEntry.queries("q96_bloom_decontaminate")(spark, sf0001)
+      .count()
+    assert(out.head._4 === q78)
+    assert(out.last._5 === q96)
+  }
+
   test("q119 vocab coverage: equals the explicit sorted-vocabulary computation") {
     import spark.implicits._
     // frequency ties straddle the k=10 cutoff on purpose: 12 types
