@@ -49,6 +49,14 @@ object ApproxAggs {
   private[graft] val CmWidth = 1024
   private[graft] val CmProbes: Seq[String] = TextAnalysis.stopEnList
 
+  /** q191's histogram width grid in cents (8192 is the q55b gate
+    * config). Buckets scale inversely so every width covers the same
+    * ≈$167k price range — the sweep trades sketch STATE (buckets)
+    * against quantile RESOLUTION (one bucket width). */
+  private[graft] val HistWidthGrid = Seq(512L, 8192L, 131072L)
+  private[graft] def histBucketsFor(w: Long): Int =
+    (WidthCents * Buckets / w).toInt
+
   /** q188's width grid (powers of two; 1024 is the q95 gate config).
     * ε ≈ e/width at fixed depth — the sketch-sizing knob. The corpus
     * vocabulary is alphabet-BOUNDED (31 distinct tokens at every sf —
@@ -120,6 +128,20 @@ object ApproxAggs {
     //    row reads 1-row checkpointed aggregates. --
     "q188_cms_width_frontier" -> { (s, dir) =>
       cmsWidthFrontier(Tables.load(s, dir, "documents"))
+    },
+
+    // -- q191 (round 12): the histogram-quantile WIDTH frontier —
+    //    the third owned sketch's sizing table (q188 CMS width, q190
+    //    Bloom bits): per bucket width ∈ {512, 8192, 131072} cents
+    //    (buckets scaled inversely — constant coverage, so state
+    //    trades against resolution), the sketch's p50/p90 bucket
+    //    floors beside the EXACT discrete quantiles and the measured
+    //    error — structurally 0 ≤ err < width (the sketch's one-bucket
+    //    guarantee, spec-asserted). One integer-cents projection
+    //    feeds every width; the exact quantiles are one groupBy +
+    //    cumsum over the bounded distinct-cents table. --
+    "q191_hist_width_frontier" -> { (s, dir) =>
+      histWidthFrontier(Tables.load(s, dir, "lineitem"))
     },
 
     "q55b_owned_sketches" -> { (s, dir) =>
@@ -228,6 +250,93 @@ object ApproxAggs {
     * tokens' (row, bucket) coordinates are Scala-computed constants —
     * the same kernel the aggregate runs — so the oracle's LEFT JOIN
     * grid reads the identical cells the engine's eval reads. */
+  /** q191 over any lineitem-shaped frame: the integer-cents stream
+    * once (checkpointed — three sketch passes and the exact-quantile
+    * chain read it), exact discrete p50/p90 from one groupBy + cumsum
+    * over the DISTINCT-cents table (bounded by the price domain, not
+    * the corpus — the count-of-counts argument), then one 1-row
+    * sketch aggregate per width. Rank definitions mirror the sketch's
+    * exactly: p50 = min value with cumsum ≥ (n+1) div 2, p90 with
+    * cumsum ≥ (9n+9) div 10 — so err = exact − floor ∈ [0, width) is
+    * the sketch's one-bucket guarantee, measured. */
+  private[graft] def histWidthFrontier(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = d.select(expr(CentsSql).as("cents")).localCheckpoint(true)
+    val hc = cents.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+    val wOrd = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hn = hc.withColumn("cs", sum(col("c")).over(wOrd))
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("n"))))
+      .localCheckpoint(true) // read by both exact-quantile filters
+    val ex = hn.filter(col("cs") >= expr("(n + 1) div 2"))
+      .agg(min(col("cents")).as("exact_p50"))
+      .crossJoin(hn.filter(col("cs") >= expr("(9 * n + 9) div 10"))
+        .agg(min(col("cents")).as("exact_p90")))
+      .localCheckpoint(true)
+    val rows = HistWidthGrid.map { w =>
+      val b = histBucketsFor(w)
+      cents.agg(Sketches.histQuantiles(col("cents"), w, b).as("q"))
+        .crossJoin(broadcast(ex))
+        .select(lit(w).as("width_cents"), lit(b.toLong).as("buckets"),
+          col("q.n").as("n_rows"),
+          col("q.p50_cents").as("p50_cents"),
+          col("q.p90_cents").as("p90_cents"),
+          col("exact_p50"), col("exact_p90"),
+          (col("exact_p50") - col("q.p50_cents")).as("p50_err_cents"),
+          (col("exact_p90") - col("q.p90_cents")).as("p90_err_cents"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** q191: the exact-quantile chain shared, per-width histogram
+    * censuses re-keyed from the same MATERIALIZED cents stream (the
+    * oracle55b hq chain, global and prefix-parameterized). */
+  private def oracle191: String = {
+    val sizeCtes = HistWidthGrid.zipWithIndex.map { case (w, i) =>
+      val b = histBucketsFor(w)
+      s"""g${i}hq AS (
+         |  SELECT least(greatest(cents // $w, 0), ${b - 1}) AS idx
+         |  FROM cents),
+         |g${i}hc AS (SELECT idx, count(*) AS c FROM g${i}hq GROUP BY idx),
+         |g${i}hn AS MATERIALIZED (
+         |  SELECT idx, sum(c) OVER (ORDER BY idx) AS cs,
+         |    sum(c) OVER () AS n FROM g${i}hc),
+         |g${i}q AS (
+         |  SELECT
+         |    (SELECT CAST(min(n) AS BIGINT) FROM g${i}hn
+         |     WHERE cs >= (n + 1) // 2) AS n_rows,
+         |    (SELECT CAST(min(idx) * $w AS BIGINT) FROM g${i}hn
+         |     WHERE cs >= (n + 1) // 2) AS p50_cents,
+         |    (SELECT CAST(min(idx) * $w AS BIGINT) FROM g${i}hn
+         |     WHERE cs >= (9 * n + 9) // 10) AS p90_cents)""".stripMargin
+    }
+    val rows = HistWidthGrid.zipWithIndex.map { case (w, i) =>
+      val b = histBucketsFor(w)
+      s"""SELECT CAST($w AS BIGINT) AS width_cents,
+         |  CAST($b AS BIGINT) AS buckets,
+         |  n_rows, p50_cents, p90_cents,
+         |  (SELECT exact_p50 FROM ex) AS exact_p50,
+         |  (SELECT exact_p90 FROM ex) AS exact_p90,
+         |  (SELECT exact_p50 FROM ex) - p50_cents AS p50_err_cents,
+         |  (SELECT exact_p90 FROM ex) - p90_cents AS p90_err_cents
+         |FROM g${i}q""".stripMargin
+    }
+    s"""WITH cents AS MATERIALIZED (
+       |  SELECT $CentsSql AS cents FROM lineitem),
+       |ehc AS (SELECT cents, count(*) AS c FROM cents GROUP BY cents),
+       |ehn AS MATERIALIZED (
+       |  SELECT cents, sum(c) OVER (ORDER BY cents) AS cs,
+       |    sum(c) OVER () AS n FROM ehc),
+       |ex AS (
+       |  SELECT
+       |    (SELECT CAST(min(cents) AS BIGINT) FROM ehn
+       |     WHERE cs >= (n + 1) // 2) AS exact_p50,
+       |    (SELECT CAST(min(cents) AS BIGINT) FROM ehn
+       |     WHERE cs >= (9 * n + 9) // 10) AS exact_p90),
+       |${sizeCtes.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** q188: the oracle95 token-hash chain (global, no lang key), the
     * width-independent salted hashes MATERIALIZED once, then per width
     * only the bucket census re-keys (h % w) — probe bucket constants
@@ -357,6 +466,7 @@ object ApproxAggs {
   val oracles: Map[String, String] = Map(
     "q95_countmin_tokens" -> oracle95,
     "q188_cms_width_frontier" -> oracle188,
+    "q191_hist_width_frontier" -> oracle191,
 
     "q54_percentiles" ->
       """SELECT o_orderstatus,

@@ -154,6 +154,36 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("q191: histogram width frontier — one-bucket guarantee at every width, exact quantiles replay") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val out = graft.operators.ApproxAggs.histWidthFrontier(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(512L, 8192L, 131072L))
+    // constant coverage: buckets·width identical for every row
+    assert(out.map(r => r._1 * r._2).distinct.length === 1)
+    assert(out.map(_._3).distinct.length === 1)
+    assert(out.head._3 === li.count())
+    // exact quantiles are width-independent
+    assert(out.map(_._6).distinct.length === 1)
+    assert(out.map(_._7).distinct.length === 1)
+    // the sketch's ONE-BUCKET guarantee, measured: 0 <= err < width
+    out.foreach { r =>
+      assert(r._8 >= 0 && r._8 < r._1, s"p50 err outside [0, w): $r")
+      assert(r._9 >= 0 && r._9 < r._1, s"p90 err outside [0, w): $r")
+      assert(r._8 === r._6 - r._4 && r._9 === r._7 - r._5)
+    }
+    // driver replay of the exact discrete quantiles (same rank rule)
+    val cents = li.selectExpr(
+      "CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)")
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    def rank(t: Long): Long = cents(t.toInt - 1)
+    assert(out.head._6 === rank((n + 1) / 2))
+    assert(out.head._7 === rank((9L * n + 9) / 10))
+  }
+
   test("owned sketches reject wrong-typed inputs at ANALYSIS time") {
     val li = Tables.load(spark, sf0001, "lineitem")
     // string key into the HLL; scalar into the array-typed sketches —
