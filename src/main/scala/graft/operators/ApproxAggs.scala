@@ -116,7 +116,7 @@ object ApproxAggs {
     },
 
     // -- q188 (round 12): the Count-Min WIDTH frontier — the
-    //    sketch-sizing decision table: per width ∈ {256, 1024, 4096}
+    //    sketch-sizing decision table: per width ∈ {8, 32, 1024}
     //    (memory = depth·width counters; ε ≈ e/width) and per probe
     //    token, the sketch ESTIMATE beside the exact count and the
     //    overestimate the memory choice costs. CMS never
