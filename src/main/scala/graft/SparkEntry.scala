@@ -52,6 +52,7 @@ object SparkEntry {
       (AudioDedup.queries, AudioDedup.oracles),
       (VideoDedup.queries, VideoDedup.oracles),
       (CrossModal.queries, CrossModal.oracles),
+      (AutoConfig.queries, AutoConfig.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q192 — plan-time auto-configuration from the frontier decision
+  * tables: the argmin a knee-reading human performs over the q180
+  * MinHash-banding and q175 IVF tables, as a relational operator.
+  *
+  * The engine MEASURES every knob a dedup/ANN deployment tunes
+  * (q175/q177/q180/q182, the round-12 frontier family); this closes
+  * the loop — given a recall floor and a candidate budget (the two
+  * numbers a deployment actually states up front), select the
+  * CHEAPEST satisfying config from a frontier table. Selection is a
+  * single deterministic total order, identical on both engines:
+  *
+  *   ORDER BY meets-constraints DESC,              -- feasible first
+  *     (feasible ? candidates : 0) ASC,            -- cheapest feasible
+  *     recall_ppm DESC,                            -- infeasible: max recall
+  *     candidates ASC, pref ASC, config ASC        -- deterministic ties
+  *
+  * so when no config meets the floor the operator degrades to the
+  * max-recall fallback rather than returning nothing (a planner must
+  * always emit a config). `pref` is the per-family margin tie-break,
+  * supplied WITH the frontier because only the family knows its own
+  * safety direction:
+  *   - bandings: rows_per_band ASC — at equal cost and measured
+  *     recall, fewer rows per band means a higher collision
+  *     probability at the operating threshold J = 0.5 (b16r4's
+  *     per-pair candidate probability at the threshold is 0.645 vs
+  *     b8r8's 0.031 — a 20× recall-margin difference the gate corpus
+  *     cannot see because its planted pairs sit well above 0.5);
+  *   - IVF: the adaptive √-ladder config first — it is the rule that
+  *     scales (nprobe grows as √ncells), so at a measurement tie with
+  *     a fixed-nprobe row the LADDER is the config a deployment ships.
+  *
+  * At the gate corpus (sf0.01) the selection IS the documented knee:
+  * b16r4 (25 candidates, 100% recall; b8r8 ties on both measurements
+  * and loses on margin) and ivfA_sqrt (the ≥0.60-recall argmin; it
+  * ties ivfA_p6 at 16 cells where the ladder IS p6, and wins as the
+  * ladder). At sf0.1 the ANN floor forces ivf16_p6 — the adaptive
+  * codebook tops out at 0.48 recall there — which is exactly the
+  * corpus-dependence the operator exists to automate (AutoConfigSpec
+  * pins both selections).
+  *
+  * Scale shape: the frontier inputs are the audited q180/q175 plans
+  * unchanged (one signature + one truth pass shared across bandings;
+  * ~3 corpus scans for 9 IVF configs); the selection itself is a
+  * 4-to-9-row TakeOrdered — plan-time state, never data-scale.
+  * Reference for the surveyed semantics: the reference engine's
+  * parameter blocks fix these knobs statically in config
+  * (/root/reference/README.md:82-103); the frontier tables + argmin
+  * replace that static choice with a measured one.
+  */
+object AutoConfig {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Text-dedup recall floor: lossless at the operating threshold —
+    * a banding may not miss any J ≥ 0.5 pair the exact verify would
+    * keep. (The measured tables show losslessness is purchasable: the
+    * knee config achieves it at 1/17th of b32r2's candidate volume.) */
+  private[graft] val TextRecallFloorPpm = 1000000L
+
+  /** ANN recall floor: recall@5 ≥ 0.60 — the q169 operating datum the
+    * frontier family reproduces (ivf16_p6's 0.62). */
+  private[graft] val AnnRecallFloorPpm = 600000L
+
+  /** Candidate budget: a deployment-wide cap on pairs/probes scanned
+    * per frontier measurement. Non-binding on the gate corpora (the
+    * recall floor dominates); it exists so the operator's contract
+    * states BOTH constraints a deployment does. */
+  private[graft] val CandidateBudgetMax = 1000000L
+
+  /** The relational argmin over any frontier frame carrying
+    * (config, candidates, recall_ppm, pref). Total order documented
+    * in the object Scaladoc; LIMIT 1 compiles to TakeOrderedAndProject
+    * over the ≤|grid|-row frontier — driver state is one row. */
+  private[graft] def selectConfig(frontier: DataFrame, floorPpm: Long,
+      budget: Long): DataFrame = {
+    val qual = frontier.withColumn("qual",
+      (col("recall_ppm") >= floorPpm && col("candidates") <= budget)
+        .cast("int"))
+    qual.orderBy(col("qual").desc,
+        when(col("qual") === 1, col("candidates")).otherwise(lit(0L)).asc,
+        col("recall_ppm").desc, col("candidates").asc,
+        col("pref").asc, col("config").asc)
+      .limit(1)
+      .select(col("config"), col("candidates"), col("recall_ppm"),
+        lit(floorPpm).as("floor_ppm"), lit(budget).as("budget_max"),
+        col("qual").cast("long").as("meets_floor"))
+  }
+
+  /** The q180 frontier with its margin tie-break attached. */
+  private[graft] def bandingChoice(docs: DataFrame): DataFrame =
+    selectConfig(
+      Dedup.minhashFrontier(docs).withColumn("pref", col("rows_per_band")),
+      TextRecallFloorPpm, CandidateBudgetMax)
+
+  /** The q175 frontier with its margin tie-break attached. */
+  private[graft] def ivfChoice(emb: DataFrame): DataFrame =
+    selectConfig(
+      Similarity.recallFrontier(emb)
+        .withColumn("pref",
+          when(col("config") === "ivfA_sqrt", lit(0L)).otherwise(lit(1L))),
+      AnnRecallFloorPpm, CandidateBudgetMax)
+
+  val queries: Map[String, Q] = Map(
+    // -- q192 (round 13): plan-time auto-configuration — the cheapest
+    //    frontier config meeting the stated recall floor, per family,
+    //    from the measured q180/q175 tables. EXACT-gated: the oracle
+    //    replays both frontier derivations and the same total order. --
+    "q192_autoconfig" -> { (s, dir) =>
+      val mh = bandingChoice(Tables.load(s, dir, "documents"))
+        .select(lit("minhash_banding").as("family"), col("*"))
+      val ivf = ivfChoice(Tables.load(s, dir, "embeddings"))
+        .select(lit("ivf").as("family"), col("*"))
+      mh.unionByName(ivf)
+    },
+  )
+
+  /** The selection SQL over a frontier CTE `<src>(config, candidates,
+    * recall_ppm, pref)` — the same total order as [[selectConfig]],
+    * shared by oracle192 and the composed v8 pipeline oracle. */
+  private[operators] def selectSql(src: String, family: String,
+      floorPpm: Long, budget: Long): String =
+    s"""SELECT '$family' AS family, config,
+       |  CAST(candidates AS BIGINT) AS candidates,
+       |  CAST(recall_ppm AS BIGINT) AS recall_ppm,
+       |  CAST($floorPpm AS BIGINT) AS floor_ppm,
+       |  CAST($budget AS BIGINT) AS budget_max,
+       |  CAST(CASE WHEN recall_ppm >= $floorPpm AND candidates <= $budget
+       |       THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
+       |FROM $src
+       |ORDER BY (CASE WHEN recall_ppm >= $floorPpm AND candidates <= $budget
+       |          THEN 1 ELSE 0 END) DESC,
+       |  (CASE WHEN recall_ppm >= $floorPpm AND candidates <= $budget
+       |   THEN candidates ELSE 0 END) ASC,
+       |  recall_ppm DESC, candidates ASC, pref ASC, config ASC
+       |LIMIT 1""".stripMargin
+
+  /** oracle192: both frontier oracles nested as MATERIALIZED scoped
+    * subqueries (each is read once by its pref-projection, which is
+    * read by the selection — the q144 CTE-inlining rule), then the
+    * shared total order per family. */
+  private def oracle192: String =
+    s"""WITH mh AS MATERIALIZED (
+       |${Dedup.oracles("q180_minhash_frontier")}
+       |),
+       |ivf AS MATERIALIZED (
+       |${Similarity.oracles("q175_ann_frontier")}
+       |),
+       |mhp AS (
+       |  SELECT config, candidates, recall_ppm, rows_per_band AS pref
+       |  FROM mh),
+       |ivfp AS (
+       |  SELECT config, candidates, recall_ppm,
+       |    CASE WHEN config = 'ivfA_sqrt' THEN 0 ELSE 1 END AS pref
+       |  FROM ivf),
+       |sel_mh AS (
+       |${selectSql("mhp", "minhash_banding", TextRecallFloorPpm, CandidateBudgetMax)}
+       |),
+       |sel_ivf AS (
+       |${selectSql("ivfp", "ivf", AnnRecallFloorPpm, CandidateBudgetMax)}
+       |)
+       |SELECT * FROM sel_mh
+       |UNION ALL
+       |SELECT * FROM sel_ivf""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q192_autoconfig" -> oracle192,
+  )
+}

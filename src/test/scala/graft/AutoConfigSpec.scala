@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.AutoConfig
+import org.apache.spark.sql.functions._
+
+/** q192 plan-time auto-configuration: the selection total order on
+  * synthetic frontiers (cheapest-feasible, margin tie-break, budget
+  * binding, max-recall fallback) and the verdict pin — at the gate
+  * corpus the selection IS the documented knee (b16r4 / ivfA_sqrt). */
+class AutoConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frontier(rows: (String, Long, Long, Long)*) =
+    rows.toSeq.toDF("config", "candidates", "recall_ppm", "pref")
+
+  private def sel(f: org.apache.spark.sql.DataFrame, floor: Long,
+      budget: Long): (String, Long) = {
+    val r = AutoConfig.selectConfig(f, floor, budget).head()
+    (r.getString(0), r.getLong(5))
+  }
+
+  test("q192 selection: cheapest feasible config wins") {
+    val f = frontier(("cheap_low", 10L, 800000L, 1L),
+      ("mid", 100L, 950000L, 1L), ("dear", 1000L, 990000L, 1L))
+    assert(sel(f, 900000L, 100000L) === ("mid", 1L))
+  }
+
+  test("q192 selection: measurement tie falls to the margin pref") {
+    // b16r4 vs b8r8 at the gate corpus: equal candidates, equal
+    // recall — the lower pref (fewer rows per band) must win
+    val f = frontier(("b8r8", 25L, 1000000L, 8L),
+      ("b16r4", 25L, 1000000L, 4L), ("b32r2", 58L, 1000000L, 2L))
+    assert(sel(f, 1000000L, 1000000L) === ("b16r4", 1L))
+  }
+
+  test("q192 selection: budget excludes an otherwise-cheapest config") {
+    val f = frontier(("huge", 5L, 1000000L, 1L),
+      ("fits", 50L, 1000000L, 1L))
+    // 'huge' is cheapest by candidates but over budget 10 → 'fits'
+    assert(sel(f.withColumn("candidates",
+      when(col("config") === "huge", 500000L).otherwise(col("candidates"))),
+      900000L, 1000L) === ("fits", 1L))
+  }
+
+  test("q192 selection: no feasible config degrades to max recall") {
+    val f = frontier(("a", 10L, 400000L, 1L), ("b", 99L, 550000L, 1L),
+      ("c", 50L, 550000L, 2L))
+    // nothing reaches 0.9: fall back to recall DESC, candidates ASC
+    // (c beats b at equal recall), and meets_floor reports 0
+    assert(sel(f, 900000L, 1000000L) === ("c", 0L))
+  }
+
+  test("q192 gate-corpus pin: the selection IS the documented knee") {
+    // sf0.01 — the driver's gate corpus: b16r4 (the q180 knee; b8r8
+    // ties both measurements and loses on S-curve margin) and
+    // ivfA_sqrt (the adaptive √-ladder, tying ivfA_p6 where the
+    // ladder IS p6 and winning as the ladder)
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val mh = AutoConfig.bandingChoice(docs).head()
+    assert(mh.getString(0) === "b16r4")
+    assert(mh.getLong(5) === 1L) // meets the lossless floor
+    val ivf = AutoConfig.ivfChoice(emb).head()
+    assert(ivf.getString(0) === "ivfA_sqrt")
+    assert(ivf.getLong(5) === 1L)
+  }
+
+  test("q192 sf0.001: ANN selection is corpus-dependent by design") {
+    // at sf0.001 all three ≥-floor IVF configs tie on recall and the
+    // 16-cell fixed codebook is strictly cheapest — the operator
+    // picks it; b16r4 still wins the text side (the three-way
+    // candidate tie falls to margin)
+    val docs = Tables.load(spark, sf0001, "documents")
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    assert(AutoConfig.bandingChoice(docs).head().getString(0) === "b16r4")
+    assert(AutoConfig.ivfChoice(emb).head().getString(0) === "ivf16_p6")
+  }
+}
