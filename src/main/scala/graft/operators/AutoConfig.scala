@@ -97,6 +97,51 @@ object AutoConfig {
       Dedup.minhashFrontier(docs).withColumn("pref", col("rows_per_band")),
       TextRecallFloorPpm, CandidateBudgetMax)
 
+  /** Calibration-sample modulus for the v8 pipeline's auto_banding
+    * node: the frontier (including its exact-truth pass) runs on a
+    * deterministic 1-in-2 id slice of the stage input, never the
+    * full corpus — at 100 TB you measure the knee on a sample and
+    * apply the selected banding to everything (computing the exact
+    * truth corpus-wide to tune the approximation would defeat it).
+    * PAIR statistics sample as p² (both endpoints must survive the
+    * slice), so the modulus is set where the sampled truth stays
+    * O(10) at the gate corpora (measured: 12/6/67 truth pairs across
+    * the three scales at mod 2; mod 4 already starves sf0.01 down to
+    * 1) — at 100 TB, with millions of true pairs, the same rule picks
+    * a much harder sample. */
+  private[graft] val CalibSampleMod = 2L
+
+  /** The v8 auto_banding node: [[bandingChoice]] over the calibration
+    * sample of the stage input (v8 runs it on the RAW corpus — its
+    * dedup stage is the pipeline's FIRST transform; see
+    * CorpusPipeline.specJsonV8 for why order matters on this corpus).
+    * If the sample carried zero truth pairs every recall would be
+    * 0 ppm and the fallback order (recall DESC, candidates ASC, pref
+    * ASC) would degrade to the cheapest maximum-margin banding — the
+    * conservative choice under no evidence, by construction
+    * (AutoConfigSpec pins the regime); at the gate corpora the mod-2
+    * sample MEASURES, and selects the knee with meets_floor = 1. */
+  private[graft] def sampledBandingChoice(d: DataFrame): DataFrame =
+    bandingChoice(d.filter(col("doc_id") % CalibSampleMod === 0))
+
+  /** Bands encoded in a selection row's config name ("b16r4" → 16) —
+    * how the v8 dedup stage decodes its plan-time collect. */
+  private[graft] def bandsOf(config: String): Int =
+    config.stripPrefix("b").takeWhile(_.isDigit).toInt
+
+  /** The sampled-frontier + selection replay over relation `src`
+    * (already the calibration sample) — a self-contained SELECT for
+    * nesting as the v8 oracle's `sel` CTE. The frontier subquery is
+    * MATERIALIZED (read by the pref projection and the ORDER BY). */
+  private[operators] def bandingChoiceSqlOver(src: String): String =
+    s"""WITH fr AS MATERIALIZED (
+       |${Dedup.bandingFrontierSqlOver(src)}
+       |),
+       |frp AS (
+       |  SELECT config, candidates, recall_ppm, rows_per_band AS pref
+       |  FROM fr)
+       |${selectSql("frp", "minhash_banding", TextRecallFloorPpm, CandidateBudgetMax)}""".stripMargin
+
   /** The q175 frontier with its margin tie-break attached. */
   private[graft] def ivfChoice(emb: DataFrame): DataFrame =
     selectConfig(

@@ -326,6 +326,68 @@ object CorpusPipeline {
       |  }
       |}""".stripMargin
 
+  /** q194 — the AUTO-TUNED pipeline spec, v8: the curation spine with
+    * the dedup stage's config CHOSEN BY MEASUREMENT instead of fixed —
+    * the q192 decision loop closed inside a compiled DAG. A new
+    * `auto_banding` node runs the q180 banding frontier on a
+    * deterministic 1-in-2 calibration sample (exact truth on the
+    * sample only — at 100 TB you tune on a slice, never corpus-wide)
+    * and selects the cheapest lossless banding by the q192 total
+    * order; `dedup_keep_lsh` consumes the selection (a 1-row
+    * plan-time collect, the hot-gram precedent) and instantiates the
+    * q45 MinHash-LSH dedup at the chosen banding — the pipeline's
+    * dedup plan is built FROM the measurement.
+    *
+    * v8 also REORDERS the spine: dedup runs FIRST, on the raw
+    * corpus, then scrub → clean → mix → pack → chunk. Two reasons,
+    * one of them measured on THIS corpus: (a) hash-based near-dup
+    * dedup is the cheapest stage and cutting duplicates first saves
+    * every downstream stage their cost — the standard production
+    * order; (b) the calibration probe measured that BOTH the span
+    * scrub and the quality clean destroy the near-dup signal here
+    * (raw J ≥ 0.5 truth 25/256 pairs at sf0.01/sf0.1; scrubbed truth
+    * 0; cleaned truth 0 — the planted duplicates are boilerplate-
+    * heavy, low-quality texts), so a post-clean dedup stage is a
+    * no-op on this corpus and an auto-tuned one would measure only
+    * its own fallback. Dedup-first is where the decision is real. */
+  private[graft] val specJsonV8 =
+    """{
+      |  "Main": {
+      |    "load_documents": {
+      |      "needed-data": ["documents"],
+      |      "op": {"kind": "table", "table": "documents"}
+      |    },
+      |    "auto_banding": {"dependencies": {"load_documents": "df"}},
+      |    "dedup_keep_lsh": {
+      |      "dependencies": {"load_documents": "df", "auto_banding": "sel"}
+      |    },
+      |    "scrub": {"dependencies": {"dedup_keep_lsh": "df"}},
+      |    "clean": {"dependencies": {"scrub": "df"}},
+      |    "temperature_mix": {"dependencies": {"clean": "df"}},
+      |    "shard_pack": {"dependencies": {"temperature_mix": "df"}},
+      |    "chunk_prep": {
+      |      "dependencies": {"shard_pack": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "text",
+      |        "CAST(length(text) AS BIGINT) AS len"]}
+      |    },
+      |    "chunk_ids": {
+      |      "dependencies": {"chunk_prep": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "text",
+      |        "explode(sequence(CAST(0 AS BIGINT), (1 + (greatest(len - 200, 0) + 149) div 150) - 1)) AS chunk_id"]}
+      |    },
+      |    "chunk_out": {
+      |      "dependencies": {"chunk_ids": "df"},
+      |      "op": {"kind": "select", "exprs": [
+      |        "doc_id", "lang", "shard", "bin", "chunk_id",
+      |        "substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk_text",
+      |        "CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len"]},
+      |      "is-output": true
+      |    }
+      |  }
+      |}""".stripMargin
+
   private def in(args: Map[String, Any]): DataFrame =
     args("df").asInstanceOf[DataFrame]
 
@@ -368,6 +430,19 @@ object CorpusPipeline {
         Transform(a => Perceptron.trainPocketSampled(in(a))),
       "classifier_keep" -> Transform(a => cached(Perceptron.classifierKeep(
         in(a), a("weights").asInstanceOf[DataFrame]))),
+      // q194 nodes: auto_banding measures the q180 frontier on the
+      // 1-in-2 calibration sample of the raw corpus (frontier
+      // checkpoints run at DAG-build time — the hot-gram /
+      // train_quality precedent); dedup_keep_lsh collects the ONE
+      // selection row and instantiates the LSH dedup at the chosen
+      // banding. Its output feeds the scrub stage, whose span plan
+      // references its input several times → persisted.
+      "auto_banding" ->
+        Transform(a => AutoConfig.sampledBandingChoice(in(a))),
+      "dedup_keep_lsh" -> Transform(a => {
+        val cfg = a("sel").asInstanceOf[DataFrame].head.getString(0)
+        cached(Dedup.dedupKeepLsh(in(a), AutoConfig.bandsOf(cfg)))
+      }),
       "temperature_mix" -> Transform(a => Mixing.temperatureKeep(in(a))),
       "shard_pack" -> Transform(a => Mixing.shardPack(in(a))),
       // q176 multimodal nodes: the text manifest runs on the SCRUBBED
@@ -479,6 +554,18 @@ object CorpusPipeline {
     //    compiler (its widest merge node: five dependencies). --
     "q183_quadmodal_pipeline" -> { (s, dir) =>
       materialized(s, dir, specJsonV7)
+    },
+
+    // -- q194 (round 13): the AUTO-TUNED pipeline — dedup runs FIRST
+    //    (on the raw corpus, where the near-dup signal measurably
+    //    lives — scrub and clean both destroy it; see specJsonV8),
+    //    at a banding selected at plan time from a sampled q180
+    //    frontier by the q192 total order instead of fixed by
+    //    convention. The compiled plan is built FROM the measurement:
+    //    PlanShapeSpec pins that the selected banding's slice widths
+    //    appear in the dedup explode and no other banding's do. --
+    "q194_autotuned_pipeline" -> { (s, dir) =>
+      materialized(s, dir, specJsonV8)
     },
   )
 
@@ -721,6 +808,45 @@ object CorpusPipeline {
     // arithmetic / audio segment closed form / video pooled census),
     // four shared census fragments, the temperature tail.
     "q183_quadmodal_pipeline" -> oracle183,
+
+    // q194: the dedup-FIRST spine with the dedup stage replayed at
+    // the AUTO-SELECTED banding — dsample is the engine's
+    // deterministic 1-in-2 calibration slice of the raw corpus, sel
+    // the nested sampled-frontier + q192 total order (scoped WITH —
+    // its token/sig chains never clash with the full-corpus ones),
+    // and the drop set is every banding's verified-drop chain over
+    // the raw corpus gated by the selection scalar (DuckDB cannot
+    // prune data-dependently, so it pays all four chains — the
+    // honest replay of a plan-time choice). deduped/scrubbed/cleaned
+    // MATERIALIZED (multi-read).
+    "q194_autotuned_pipeline" -> {
+      def sub(q: String): String = q.linesIterator.mkString("\n  ")
+      s"""WITH dsample AS MATERIALIZED (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id % ${AutoConfig.CalibSampleMod} = 0),
+         |sel AS MATERIALIZED (
+         |  ${sub(AutoConfig.bandingChoiceSqlOver("dsample"))}
+         |),
+         |deduped AS MATERIALIZED (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM (
+         |  WITH ${sub(Dedup.lshDropCtesOver("documents"))}
+         |  SELECT doc_id FROM dropset
+         |))),
+         |scrubbed AS MATERIALIZED (
+         |${RepeatedSpans.scrubSql("deduped")}),
+         |cleaned AS MATERIALIZED (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM scrubbed d JOIN (
+         |${TextAnalysis.cleanKeepIdsSql("scrubbed")}
+         |) k USING (doc_id)),
+         |mixed AS (
+         |${Mixing.temperatureSql("cleaned", "d.doc_id, d.lang, d.text")}),
+         |packed AS (
+         |${Mixing.shardPackSql("mixed", "doc_id, lang, text, shard")}),
+         |${TextAnalysis.chunkSql("packed", "doc_id, lang, shard, bin")
+              .stripPrefix("WITH ")}""".stripMargin
+    },
 
     "q104_corpus_prep_scrubbed" ->
       s"""WITH scrubbed AS MATERIALIZED (

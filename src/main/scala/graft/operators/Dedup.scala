@@ -181,6 +181,24 @@ object Dedup {
     d.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** LSH dedup materialization at a CHOSEN banding — the q194
+    * auto-tuned pipeline's dedup stage: where [[dedupKeep]] pays the
+    * exact prefix-filtered verify, this runs the full MinHash+LSH
+    * pipeline (q45 machinery) at the banding the q192 auto-config
+    * selected from a measured frontier, dropping the higher-id member
+    * of every verified J ≥ 0.5 pair. At the gate corpora the
+    * selection is lossless (recall floor 10⁶ ppm), so the kept set
+    * matches the exact path's — but the CONTRACT is the approximate
+    * one a 100 TB deployment actually runs: candidates from bucket
+    * collisions only, never a corpus-wide gram self-join. */
+  def dedupKeepLsh(d: DataFrame, bands: Int): DataFrame = {
+    val drop = graft.dedup.MinHashLSH
+      .nearDupPairs(widen(d), numHashes = 64, bands = bands,
+        shingleN = 3, threshold = 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    d.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash chunk-collision candidate pairs with Hamming distance
     * (complete for distance ≤ 3 by pigeonhole over 4 chunks) — the
     * q46 body, exposed for the scale probe. */
@@ -910,7 +928,14 @@ object Dedup {
     * prefixed banding chains and scalar rows (the oracle175/177
     * pattern for the text family). `truth` and each config's `cand`
     * MATERIALIZED (two scalar-subquery reads each). */
-  private def oracle180: String = {
+  private def oracle180: String = bandingFrontierSqlOver("documents")
+
+  /** The full q180 frontier as a self-contained SELECT over any
+    * documents-shaped relation `src` — exposed so the q194 auto-tuned
+    * pipeline's oracle can replay the SAMPLED frontier its
+    * auto_banding node measures (the engine computes
+    * [[minhashFrontier]] over the same relation). */
+  private[operators] def bandingFrontierSqlOver(src: String): String = {
     val cfgs = BandGrid.zipWithIndex.map { case (bands, i) =>
       val r = 64 / bands
       val p = s"c$i"
@@ -931,7 +956,7 @@ object Dedup {
     }
     val rowUnion = BandGrid.indices.map(i => s"SELECT * FROM c${i}row")
       .mkString("\n  UNION ALL ")
-    s"""WITH ${tokenHashCtes()},
+    s"""WITH ${tokenHashCtes(src)},
        |$sigCtes,
        |$exactTruthCtes,
        |${cfgs.mkString(",\n")}
@@ -939,6 +964,48 @@ object Dedup {
        |  CAST((1000000 * hits) // greatest(truth_pairs, 1) AS BIGINT)
        |    AS recall_ppm
        |FROM ($rowUnion)""".stripMargin
+  }
+
+  /** The q194 dedup-stage replay: every [[BandGrid]] banding's
+    * verified J ≥ 0.5 drop set over `src` (band keys → bucket
+    * self-join → exact-gram verify — the oracle45 chain per config),
+    * gated by the 1-row selection CTE `sel(config, …)` so only the
+    * AUTO-SELECTED banding's drops survive into the final `dropset`
+    * CTE. Splice after a WITH; ends at `dropset(doc_id)`. DuckDB
+    * evaluates every config's chain (it cannot prune on a
+    * data-dependent scalar), which is exactly the sampled frontier's
+    * own cost shape — acceptable at oracle scale. */
+  private[operators] def lshDropCtesOver(src: String): String = {
+    val cfgs = BandGrid.zipWithIndex.map { case (bands, i) =>
+      val r = 64 / bands
+      val p = s"d$i"
+      s"""${bandKeyCtesFor(p, bands)},
+         |${p}cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ${p}k$r a JOIN ${p}k$r b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |${interCte(s"${p}cand", s"${p}inter")},
+         |${p}drop AS (
+         |  SELECT DISTINCT doc_b AS doc_id
+         |  FROM ${p}inter
+         |  JOIN sz sa ON doc_a = sa.doc_id
+         |  JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i)
+         |    >= 500000)""".stripMargin
+    }
+    val gated = BandGrid.zipWithIndex.map { case (bands, i) =>
+      s"""  SELECT doc_id FROM d${i}drop
+         |  WHERE (SELECT config FROM sel) = 'b${bands}r${64 / bands}'"""
+        .stripMargin
+    }
+    s"""${tokenHashCtes(src)},
+       |$sigCtes,
+       |$gramSzCtes,
+       |${cfgs.mkString(",\n")},
+       |dropset AS MATERIALIZED (
+       |${gated.mkString("\n  UNION ALL\n")}
+       |)""".stripMargin
   }
 
   /** q182: both fingerprint families derived once (the oracle46/79

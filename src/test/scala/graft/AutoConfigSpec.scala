@@ -65,6 +65,22 @@ class AutoConfigSpec extends SparkSpec {
     assert(ivf.getLong(5) === 1L)
   }
 
+  test("q194 calibration: the mod-2 raw-corpus sample MEASURES and selects the knee") {
+    // the v8 auto_banding seam at both gate corpora: the 1-in-2 id
+    // slice of the RAW documents carries real truth pairs (pair
+    // statistics sample as p² — the CalibSampleMod doc), so the
+    // selection is the measured argmin (meets_floor = 1), not the
+    // zero-evidence fallback — and it is the same knee the
+    // full-corpus q192 table selects
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val docs = Tables.load(spark, dir, "documents")
+      val r = AutoConfig.sampledBandingChoice(docs).head()
+      assert(r.getString(0) === "b16r4", dir)
+      assert(r.getLong(5) === 1L, dir) // measured, not fallback
+      assert(r.getLong(2) === 1000000L, dir) // lossless on the sample
+    }
+  }
+
   test("q192 sf0.001: ANN selection is corpus-dependent by design") {
     // at sf0.001 all three ≥-floor IVF configs tie on recall and the
     // 16-cell fixed codebook is strictly cheapest — the operator

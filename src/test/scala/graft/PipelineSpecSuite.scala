@@ -100,6 +100,29 @@ class PipelineSpecSuite extends AnyFunSuite {
     assert(mm.argNameFor("video_manifest") === "vid_man")
   }
 
+  test("v8 auto-tuned spec: parses, topo-orders, and the dedup stage binds the measured selection") {
+    val blocks = PipelineSpec.fromJson(
+      graft.operators.CorpusPipeline.specJsonV8)
+    val specs = blocks("Main")
+    val ordered = DagCompiler.topoSort(specs).map(_.name)
+    assert(ordered.head === "load_documents")
+    assert(ordered.last === "chunk_out")
+    DagCompiler.validateOutput(DagCompiler.topoSort(specs))
+    // dedup runs FIRST: the calibration node and the dedup stage
+    // BOTH bind the raw corpus — the dedup consumes the measurement
+    // alongside the data (a second DAG diamond over load_documents)
+    val dk = specs.find(_.name == "dedup_keep_lsh").get
+    assert(dk.argNameFor("load_documents") === "df")
+    assert(dk.argNameFor("auto_banding") === "sel")
+    val ab = specs.find(_.name == "auto_banding").get
+    assert(ab.argNameFor("load_documents") === "df")
+    // scrub and clean now run on the DEDUPED state
+    assert(specs.find(_.name == "scrub").get
+      .argNameFor("dedup_keep_lsh") === "df")
+    // auto_banding must topo-sort BEFORE the dedup stage that reads it
+    assert(ordered.indexOf("auto_banding") < ordered.indexOf("dedup_keep_lsh"))
+  }
+
   test("dependency aliasing binds outputs under the alias (utils.py:195-199)") {
     val s = node("consumer", Map("compute_radius" -> "catalog"))
     val args = DagCompiler.bindArgs(s, Map("compute_radius" -> 42), Map.empty, Map.empty, Map.empty)

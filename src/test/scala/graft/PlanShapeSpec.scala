@@ -268,6 +268,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.substring(gi, wi).contains("Exchange"), p) // chunk stays map-side
   }
 
+  test("q194: v8 auto-tuned pipeline — the compiled plan uses the SELECTED banding's explode and no other's") {
+    import graft.operators.{AutoConfig, CorpusPipeline, Dedup}
+    // the selection the auto_banding node will make at this corpus —
+    // computed through the same seam the DAG node uses (v8's dedup
+    // stage is FIRST, so the calibration runs on the raw corpus)
+    val docs = Tables.load(spark, sf0001, "documents")
+    val sel = AutoConfig.sampledBandingChoice(docs).head.getString(0)
+    val chosen = AutoConfig.bandsOf(sel)
+    val (out, persisted) = CorpusPipeline.buildPipeline(
+      spark, sf0001, CorpusPipeline.specJsonV8)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    persisted.foreach(_.unpersist(false))
+    // the banding explode is built from 64/bands-wide signature
+    // slices; the LAST band's slice (offset (b-1)·r+1, width r) is a
+    // unique structural marker per banding — the chosen one must be
+    // in the compiled dedup plan, every other banding absent
+    def marker(bands: Int) = { val r = 64 / bands; s", ${(bands - 1) * r + 1}, $r)" }
+    assert(p.contains(marker(chosen)), s"selected $sel not in plan")
+    Dedup.BandGrid.filter(_ != chosen).foreach { b =>
+      assert(!p.contains(marker(b)), s"unselected banding b$b in plan")
+    }
+    // the q93-family composed shapes hold for the new spine too
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)          // temperature rate dim
+    assert(p.contains("hashpartitioning(shard"), p)     // the one pack window
+    val gi = p.indexOf("Generate")
+    val wi = p.indexOf("Window")
+    assert(gi >= 0 && wi > gi, p)
+  }
+
   test("q143: v3 composed pipeline — no cartesian, scale joins shuffled, SemDeDup anti-join not broadcast, chunk map-side") {
     val (out, persisted) = graft.operators.CorpusPipeline.buildPipeline(
       spark, sf0001, graft.operators.CorpusPipeline.specJsonV3)
