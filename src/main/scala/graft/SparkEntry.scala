@@ -53,6 +53,7 @@ object SparkEntry {
       (VideoDedup.queries, VideoDedup.oracles),
       (CrossModal.queries, CrossModal.oracles),
       (AutoConfig.queries, AutoConfig.oracles),
+      (DedupQuality.queries, DedupQuality.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -801,8 +801,12 @@ object Dedup {
 
   /** q79: the 128-bit wide variant — lane 1 is the salt-folded mix of
     * the base hash; 4×32-bit chunks; summed word Hammings. */
-  private def oracle79: String =
-    s"""WITH ${tokenHashCtes()},
+  private def oracle79: String = simhashWidePairsSqlOver("documents")
+
+  /** The q79 chain over any documents-shaped relation — exposed for
+    * the q193 quality benchmark's simhash128 family replay. */
+  private[operators] def simhashWidePairsSqlOver(src: String): String =
+    s"""WITH ${tokenHashCtes(src)},
        |lanes AS (SELECT doc_id, h AS h0,
        |  ${mixSql(s"(h + $GoldenU) % $M64")} AS h1 FROM th),
        |${fpCtes("lanes", "0")},
@@ -1130,8 +1134,12 @@ object Dedup {
 
   /** q45: the full MinHash+LSH pipeline — band keys, bucket
     * equi-join, exact-Jaccard verify on candidates only. */
-  private def oracle45: String =
-    s"""WITH ${tokenHashCtes()},
+  private def oracle45: String = minhashPairsSqlOver("documents")
+
+  /** The q45 chain over any documents-shaped relation — exposed for
+    * the q193 quality benchmark's minhash family replay. */
+  private[operators] def minhashPairsSqlOver(src: String): String =
+    s"""WITH ${tokenHashCtes(src)},
        |$lshBandKeyCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
