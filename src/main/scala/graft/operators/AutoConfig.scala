@@ -150,6 +150,25 @@ object AutoConfig {
           when(col("config") === "ivfA_sqrt", lit(0L)).otherwise(lit(1L))),
       AnnRecallFloorPpm, CandidateBudgetMax)
 
+  /** The q195 dispatch: instantiate the q94-family batch kNN at a
+    * selection row's config — the ANN side of what q194's
+    * dedup_keep_lsh does for bandings. Config names are engine-owned
+    * (the q175 grid), so the parse is total over the grid. */
+  private[graft] def knnAt(e: DataFrame, config: String): DataFrame = {
+    val cells = Similarity.adaptiveCells(e.count())
+    config match {
+      case c if c.startsWith("ivf16_p") =>
+        Similarity.knnJoinQuery(e, Centroids86.table,
+          c.stripPrefix("ivf16_p").toInt)
+      case "ivfA_sqrt" =>
+        Similarity.knnJoinQuery(e, Centroids94.table.take(cells),
+          Similarity.adaptiveNProbe(cells))
+      case c =>
+        Similarity.knnJoinQuery(e, Centroids94.table.take(cells),
+          c.stripPrefix("ivfA_p").toInt)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // -- q192 (round 13): plan-time auto-configuration — the cheapest
     //    frontier config meeting the stated recall floor, per family,
@@ -161,6 +180,22 @@ object AutoConfig {
       val ivf = ivfChoice(Tables.load(s, dir, "embeddings"))
         .select(lit("ivf").as("family"), col("*"))
       mh.unionByName(ivf)
+    },
+
+    // -- q195 (round 13): the AUTO-TUNED batch kNN — the q194 pattern
+    //    for the ANN family: measure the q175 frontier, select by the
+    //    q192 total order (a 1-row plan-time collect), then run the
+    //    q94-family kNN at the SELECTED (codebook, nprobe). The
+    //    selection genuinely switches plans per corpus: ivf16_p6 at
+    //    sf0.001/sf0.1, ivfA_sqrt at sf0.01 (see AutoConfigSpec).
+    //    EXACT-gated: the oracle reuses the whole q175 derivation —
+    //    frontier for the selection, per-config candidate sets for
+    //    the top-5 — gated by the selection scalar. --
+    "q195_autotuned_knn" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cfg = ivfChoice(e).head.getString(0)
+      knnAt(e, cfg).select(lit(cfg).as("config"), col("q_id"),
+        col("vec_id"), col("cos_sim"), col("rank"))
     },
   )
 
@@ -212,7 +247,51 @@ object AutoConfig {
        |UNION ALL
        |SELECT * FROM sel_ivf""".stripMargin
 
+  /** oracle195: the full q175 derivation (scaffold + 9 config chains,
+    * each ending at its MATERIALIZED `<p>cand`), the frontier table
+    * as a CTE feeding the q192 selection, then one gated top-5 leg
+    * per config — only the selected config's leg survives the scalar
+    * gate; every leg reads its config's existing candidate set, so
+    * the kNN ranking replays the engine's (cos DESC, vec_id) window
+    * exactly. */
+  private def oracle195: String = {
+    val (body, frontierSelect) = Similarity.ivfFrontierSqlParts
+    val cfgPrefixes =
+      Similarity.FrontierProbes.zipWithIndex.map { case (np, i) =>
+        s"f$i" -> s"ivf16_p$np"
+      } ++ Similarity.FrontierProbes.zipWithIndex.map { case (np, i) =>
+        s"a$i" -> s"ivfA_p$np"
+      } :+ ("asq" -> "ivfA_sqrt")
+    val legs = cfgPrefixes.map { case (p, label) =>
+      s"""${p}top AS (
+         |  SELECT (SELECT config FROM sel) AS config, q_id, vec_id,
+         |    cos_sim, CAST(rank AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT q_id, vec_id, cos_sim,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos_sim DESC, vec_id) AS rank
+         |    FROM ${p}cand)
+         |  WHERE rank <= 5 AND (SELECT config FROM sel) = '$label')"""
+        .stripMargin
+    }
+    val union = cfgPrefixes.map { case (p, _) => s"SELECT * FROM ${p}top" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH $body,
+       |fr AS MATERIALIZED (
+       |${frontierSelect}),
+       |frp AS (
+       |  SELECT config, candidates, recall_ppm,
+       |    CASE WHEN config = 'ivfA_sqrt' THEN 0 ELSE 1 END AS pref
+       |  FROM fr),
+       |sel AS MATERIALIZED (
+       |${selectSql("frp", "ivf", AnnRecallFloorPpm, CandidateBudgetMax)}
+       |),
+       |${legs.mkString(",\n")}
+       |$union""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q192_autoconfig" -> oracle192,
+    "q195_autotuned_knn" -> oracle195,
   )
 }

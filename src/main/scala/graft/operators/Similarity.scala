@@ -1078,6 +1078,20 @@ object Similarity {
     * default CTE inlining would re-evaluate them per reference — the
     * CLAUDE.md q144 lesson), per-config chains name-prefixed. */
   private def oracle175: String = {
+    val (body, sel) = ivfFrontierSqlParts
+    s"""WITH $body
+       |$sel""".stripMargin
+  }
+
+  /** The q175 derivation factored as (WITH-body, final-SELECT): the
+    * shared scaffold (queries/bf/cc/codebooks/assignments/probe
+    * ranks, all MATERIALIZED) plus the 9 per-config chains — each
+    * config's candidate set survives as `<p>cand` (prefixes f0..f3 /
+    * a0..a3 / asq in [[FrontierProbes]] order) so the q195 auto-tuned
+    * kNN oracle can reuse the WHOLE derivation: the frontier table
+    * for its selection AND the candidate sets for the selected
+    * config's top-5. */
+  private[operators] def ivfFrontierSqlParts: (String, String) = {
     def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
     def dotE(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -1124,7 +1138,7 @@ object Similarity {
     val rowUnion = (FrontierProbes.indices.map(i => s"f${i}row") ++
       FrontierProbes.indices.map(i => s"a${i}row") :+ "asqrow")
       .map(r => s"SELECT * FROM $r").mkString("\n  UNION ALL ")
-    s"""WITH queries AS (
+    s"""queries AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
        |  WHERE vec_id % 50 = 0),
        |nq AS (SELECT count(*) AS n FROM queries),
@@ -1168,8 +1182,8 @@ object Similarity {
        |    row_number() OVER (PARTITION BY q_id ORDER BY qc DESC, cid) AS pr
        |  FROM (SELECT q_id, q_emb, cid, ${cosE("q_emb", "ce")} AS qc
        |        FROM queries, acents, cc WHERE cid < ncells)),
-       |${(fixedCfgs ++ adaptCfgs).mkString(",\n")}
-       |SELECT config, ncells, nprobe, candidates, sum_hits,
+       |${(fixedCfgs ++ adaptCfgs).mkString(",\n")}""".stripMargin ->
+      s"""SELECT config, ncells, nprobe, candidates, sum_hits,
        |  CAST((1000000 * sum_hits) // (5 * n) AS BIGINT) AS recall_ppm
        |FROM ($rowUnion), nq""".stripMargin
   }

@@ -81,6 +81,22 @@ class AutoConfigSpec extends SparkSpec {
     }
   }
 
+  test("q195: the auto-tuned kNN IS the audited q94 plan where the selection is ivf16_p6") {
+    // at sf0.001 the q192 ANN argmin lands on the fixed 16-cell
+    // codebook at nprobe 6 — exactly the q94 gate config — so the
+    // auto-tuned query must reproduce the audited q94 rows verbatim
+    val e = Tables.load(spark, sf0001, "embeddings")
+    assert(AutoConfig.ivfChoice(e).head.getString(0) === "ivf16_p6")
+    val auto = graft.SparkEntry.queries("q195_autotuned_knn")(spark, sf0001)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val q94 = graft.operators.Similarity.queries("q94_knn_join")(spark, sf0001)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto === q94)
+    assert(auto.nonEmpty)
+  }
+
   test("q192 sf0.001: ANN selection is corpus-dependent by design") {
     // at sf0.001 all three ≥-floor IVF configs tie on recall and the
     // 16-cell fixed codebook is strictly cheapest — the operator
