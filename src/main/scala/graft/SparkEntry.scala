@@ -54,6 +54,7 @@ object SparkEntry {
       (CrossModal.queries, CrossModal.oracles),
       (AutoConfig.queries, AutoConfig.oracles),
       (DedupQuality.queries, DedupQuality.oracles),
+      (VectorQuality.queries, VectorQuality.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -186,7 +186,7 @@ object DedupQuality {
     * over a pair CTE `pairsCte(doc_a, doc_b)` — ends at
     * `<p>labels(doc_id, cluster_id)`. The q69 chain's walk stage,
     * parameterized so three family chains coexist in one statement. */
-  private def ccWalkCtes(p: String, pairsCte: String): String =
+  private[operators] def ccWalkCtes(p: String, pairsCte: String): String =
     s"""${p}edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM $pairsCte
        |  UNION SELECT doc_b, doc_a FROM $pairsCte),
@@ -201,7 +201,7 @@ object DedupQuality {
 
   /** One family's census SQL from its `<p>labels` CTE — the size-table
     * pair counts, mirroring [[familyRow]]. */
-  private def censusSql(p: String, family: String): String =
+  private[operators] def censusSql(p: String, family: String): String =
     s"""SELECT '$family' AS family,
        |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}lab) AS n_docs,
        |  (SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0) AS BIGINT)

@@ -883,6 +883,32 @@ object Similarity {
     * vectors their own id. Sign-bit stability is the q83 argument
     * (SemanticClusterSpec asserts the PlanesA margin tri-scale). */
   private def oracle87: String = {
+    val pairsSub = adaptivePairsSqlOver("embeddings", "0.9")
+      .linesIterator.mkString("\n  ")
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  $pairsSub
+       |),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION SELECT vec_b, vec_a FROM pairs),
+       |walk AS (
+       |  SELECT src AS vec_id, src AS reach FROM edges
+       |  UNION
+       |  SELECT w.vec_id, e.dst
+       |  FROM walk w JOIN edges e ON w.reach = e.src),
+       |cl AS (
+       |  SELECT vec_id, min(reach) AS cluster_id
+       |  FROM walk GROUP BY vec_id)
+       |SELECT e.vec_id, coalesce(cl.cluster_id, e.vec_id) AS cluster_id
+       |FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id""".stripMargin
+  }
+
+  /** The q87 adaptive sign-LSH verified pair set over `src` at the
+    * given threshold, as a self-contained SELECT (vec_a, vec_b) —
+    * factored from oracle87 so the q196 vector-quality benchmark can
+    * replay the scale path over its planted variant corpus. */
+  private[operators] def adaptivePairsSqlOver(src: String,
+      thresholdSql: String): String = {
     def dotSql(plane: Seq[Double]): String = {
       val lst = plane.map(v => f"$v%.3f").mkString("[", ", ", "]")
       "list_sum(list_transform(list_zip(embedding, " + lst +
@@ -906,13 +932,13 @@ object Similarity {
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |     * sqrt(list_sum(list_transform(eb.embedding,
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
-    s"""WITH RECURSIVE nb AS (
+    s"""WITH nb AS (
        |  SELECT CASE WHEN c <= 16 THEN 8 $ladder ELSE 24 END AS b
-       |  FROM (SELECT count(*) AS c FROM embeddings)),
+       |  FROM (SELECT count(*) AS c FROM $src)),
        |keys AS (
        |  SELECT vec_id,
        |    $keyCols
-       |  FROM embeddings, nb),
+       |  FROM $src, nb),
        |bands AS (
        |  SELECT vec_id, u.i AS band_id, u.k AS band_key
        |  FROM keys, UNNEST([$bandStructs]) AS t(u)),
@@ -925,25 +951,11 @@ object Similarity {
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM probes a JOIN bands b
        |    ON a.band_id = b.band_id AND a.probe = b.band_key
-       |    AND a.vec_id < b.vec_id),
-       |pairs AS (
-       |  SELECT vec_a, vec_b FROM cand
-       |  JOIN embeddings ea ON ea.vec_id = cand.vec_a
-       |  JOIN embeddings eb ON eb.vec_id = cand.vec_b
-       |  WHERE round($cosSql, 6) >= 0.9),
-       |edges AS (
-       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
-       |  UNION SELECT vec_b, vec_a FROM pairs),
-       |walk AS (
-       |  SELECT src AS vec_id, src AS reach FROM edges
-       |  UNION
-       |  SELECT w.vec_id, e.dst
-       |  FROM walk w JOIN edges e ON w.reach = e.src),
-       |cl AS (
-       |  SELECT vec_id, min(reach) AS cluster_id
-       |  FROM walk GROUP BY vec_id)
-       |SELECT e.vec_id, coalesce(cl.cluster_id, e.vec_id) AS cluster_id
-       |FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id""".stripMargin
+       |    AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b FROM cand
+       |JOIN $src ea ON ea.vec_id = cand.vec_a
+       |JOIN $src eb ON eb.vec_id = cand.vec_b
+       |WHERE round($cosSql, 6) >= $thresholdSql""".stripMargin
   }
 
   /** q86's oracle replays the whole IVF path from the same 3-decimal

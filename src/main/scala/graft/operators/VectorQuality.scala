@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorExprs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q196 — the q193 planted-cluster quality benchmark for the VECTOR
+  * families: how well does each embedding-dedup stack (candidates →
+  * exact-cosine verify → CC clustering) recover planted duplicate
+  * clusters?
+  *
+  *  1. Planted corpus: every 5th embeddings row spawns a 4-variant
+  *     cluster (vid = vec_id·4 + j). Variant j keeps the first
+  *     64 − 4·j coordinates and ZEROES the tail — float-exact on both
+  *     engines (zeros and copies introduce no rounding), and with
+  *     nested zero-tails the intra-cluster cosine has the closed form
+  *     cos(v_a, v_b) = sqrt(S_b / S_a) (S_m = Σ of the first 64 − 4m
+  *     coordinates squared). Probed on this corpus (VectorMarginProbe):
+  *     planted cosines span [0.743, 0.9995] while the maximum ORGANIC
+  *     cross-base cosine is 0.562 at every scale — the 0.70 operating
+  *     threshold sits in a ≥ 0.14-wide empty gap on BOTH sides, so
+  *     the brute family's perfect recovery is a property of the real
+  *     corpus, not just a toy (VectorQualitySpec pins it).
+  *  2. Families, each its audited machinery: `brute` — the q48-style
+  *     all-pairs exact verify (the declared oracle baseline);
+  *     `signlsh` — the q87 adaptive sign-LSH candidates + verify (the
+  *     scale path); `cell` — SemDeDup-style same-cell-only candidates
+  *     over the adaptive Centroids94 prefix + verify (the q102
+  *     restriction, whose cross-cell misses this benchmark measures).
+  *  3. The q193 census: pair precision/recall of recovered vs planted
+  *     clusters from size tables only.
+  *
+  * Cross-engine exactness notes (the house contract): cosines are the
+  * same left-to-right double accumulation on both engines (round-6 at
+  * the threshold); the sign-LSH band keys and the cell argmax are
+  * stable because the VARIANT corpus's margins are probed and
+  * spec-pinned like the base corpus's (VectorQualitySpec /
+  * graft.tools.CalibProbe — a zeroed tail changes every dot, so the
+  * base-corpus margin assertions do not transfer automatically). */
+object VectorQuality {
+  type Q = (SparkSession, String) => DataFrame
+
+  private[graft] val VBaseMod = 5L
+  private[graft] val VariantsPerBase = 4
+  /** Coordinates zeroed per variant step; variant j zeroes 4·j of 64. */
+  private[graft] val ZeroStep = 4
+  /** The operating cosine threshold (round-6, the house rule) — set
+    * inside the measured [0.562, 0.743] planted/organic gap. */
+  private[graft] val CosThreshold = 0.70
+
+  /** The planted vector corpus: (vec_id = base·4 + j, embedding). */
+  private[graft] def plantedVecVariants(e: DataFrame): DataFrame = {
+    val base = e.filter(col("vec_id") % VBaseMod === 0)
+    base.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0L), lit(VariantsPerBase - 1L))).as("j"))
+      .select((col("vec_id") * VariantsPerBase + col("j")).as("vec_id"),
+        when(col("j") === 0, col("embedding")).otherwise(
+          concat(
+            slice(col("embedding"), lit(1),
+              (lit(64L) - col("j") * ZeroStep).cast("int")),
+            array_repeat(lit(0.0f), (col("j") * ZeroStep).cast("int"))))
+          .as("embedding"))
+  }
+
+  /** All-pairs exact-cosine pairs at the threshold (the q48 shape —
+    * the declared baseline the approximate families are scored
+    * against; both sides of the self-join shuffle). */
+  private def brutePairs(v: DataFrame): DataFrame = {
+    val ea = v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    ea.hint("shuffle_merge")
+      .join(eb.hint("shuffle_merge"), col("vec_a") < col("vec_b"))
+      .filter(round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6)
+        >= CosThreshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** SemDeDup-style same-cell candidates (adaptive Centroids94
+    * prefix) + exact verify — the q102 restriction as a pair family:
+    * pairs straddling a cell boundary are structurally unreachable,
+    * which is exactly the recall deficit this benchmark measures. */
+  private def cellPairs(v: DataFrame): DataFrame = {
+    val cents = Centroids94.table.take(Similarity.adaptiveCells(v.count()))
+    val sims = array(cents.map(c =>
+      VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
+    val assigned = v.select(col("vec_id"), col("embedding"),
+      (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+    assigned.as("a").hint("shuffle_merge")
+      .join(assigned.as("b").hint("shuffle_merge"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(VectorExprs.cosineFast(col("a.embedding"),
+        col("b.embedding")), 6) >= CosThreshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  /** One family's quality row — the q193 census over vector labels. */
+  private def familyRow(family: String, corpus: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val labels = graft.dedup.ConnectedComponents.clusterLabels(
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val lab = corpus.select(col("vec_id").as("doc_id"))
+      .join(labels.hint("shuffle_merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cid"),
+        (col("doc_id") / lit(VariantsPerBase)).cast("long").as("pid"))
+    def pairSum(g: DataFrame): DataFrame =
+      g.agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("p"))
+    val nd = lab.agg(count(lit(1)).as("n_docs"))
+    val planted = pairSum(lab.groupBy(col("pid")).agg(count(lit(1)).as("m")))
+    val recovered = pairSum(lab.groupBy(col("cid")).agg(count(lit(1)).as("m")))
+    val correct = pairSum(lab.groupBy(col("cid"), col("pid"))
+      .agg(count(lit(1)).as("m")))
+    nd.crossJoin(planted.select(col("p").as("planted_pairs")))
+      .crossJoin(recovered.select(col("p").as("recovered_pairs")))
+      .crossJoin(correct.select(col("p").as("correct_pairs")))
+      .select(lit(family).as("family"), col("n_docs"),
+        col("planted_pairs"), col("recovered_pairs"), col("correct_pairs"),
+        expr("(1000000L * correct_pairs) div greatest(recovered_pairs, 1L)")
+          .as("precision_ppm"),
+        expr("(1000000L * correct_pairs) div greatest(planted_pairs, 1L)")
+          .as("recall_ppm"))
+  }
+
+  /** The three-family quality table — exposed for VectorQualitySpec. */
+  private[graft] def vectorQualityTable(e: DataFrame): DataFrame = {
+    val corpus = plantedVecVariants(e).localCheckpoint(true)
+    val brute = brutePairs(corpus)
+    val sign = Similarity.adaptiveEdges(
+      corpus.select(col("vec_id"), col("embedding")), CosThreshold)
+    val cell = cellPairs(corpus)
+    familyRow("brute", corpus, brute)
+      .unionByName(familyRow("signlsh", corpus, sign))
+      .unionByName(familyRow("cell", corpus, cell))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // -- q196 (round 13): the planted-cluster quality benchmark for
+    //    the vector families — brute / adaptive sign-LSH / same-cell
+    //    (SemDeDup restriction), each through exact verify + CC,
+    //    scored as pair precision/recall vs the planted clusters. --
+    "q196_vector_quality" -> { (s, dir) =>
+      vectorQualityTable(Tables.load(s, dir, "embeddings"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q196_vector_quality" -> oracle196,
+  )
+
+  // ---- generated oracle ---------------------------------------------
+
+  private def cosE(a: String, b: String): String = {
+    def dotE = s"list_sum(list_transform(list_zip($a, $b), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    def sumsq(v: String) =
+      s"list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    s"($dotE / (sqrt(${sumsq(a)}) * sqrt(${sumsq(b)})))"
+  }
+
+  /** oracle196: the variant corpus (list slice + a zero tail —
+    * float-exact), the three family pair chains (brute = the all-pairs
+    * verify; signlsh = the factored q87 chain nested as a scoped
+    * subquery; cell = the adaptive-prefix argmax assignment + same-
+    * cell verify), a prefixed recursive CC walk each (the q193
+    * fragments reused), label completion and the shared census. */
+  private def oracle196: String = {
+    def sub(q: String): String = q.linesIterator.mkString("\n  ")
+    def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
+    val simList = Centroids94.table
+      .map(c => cosE("embedding", lst(c)))
+      .mkString("[\n      ", ",\n      ", "]")
+    def labCte(p: String): String =
+      s"""${p}lab AS MATERIALIZED (
+         |  SELECT v.vec_id AS doc_id,
+         |    coalesce(l.cluster_id, v.vec_id) AS cid,
+         |    v.vec_id // $VariantsPerBase AS pid
+         |  FROM variants v LEFT JOIN ${p}labels l ON v.vec_id = l.doc_id)"""
+        .stripMargin
+    val rows = Seq("vb" -> "brute", "vs" -> "signlsh", "vc" -> "cell")
+      .map { case (p, f) => DedupQuality.censusSql(p, f) }
+    s"""WITH RECURSIVE vbase AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % $VBaseMod = 0),
+       |vdef AS (
+       |  SELECT vec_id, embedding, j,
+       |    vec_id * $VariantsPerBase + j AS vid, j * $ZeroStep AS m
+       |  FROM vbase, (SELECT unnest(range($VariantsPerBase)) AS j) js),
+       |variants AS MATERIALIZED (
+       |  SELECT vid AS vec_id,
+       |    CASE WHEN j = 0 THEN embedding
+       |    ELSE list_concat(list_slice(embedding, 1, 64 - m),
+       |      list_transform(generate_series(1, m), i -> CAST(0.0 AS FLOAT)))
+       |    END AS embedding
+       |  FROM vdef),
+       |bpairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM variants a JOIN variants b ON a.vec_id < b.vec_id
+       |  WHERE round(${cosE("a.embedding", "b.embedding")}, 6)
+       |    >= $CosThreshold),
+       |spairs AS MATERIALIZED (
+       |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+       |  ${sub(Similarity.adaptivePairsSqlOver("variants",
+              CosThreshold.toString))})),
+       |vcc AS (
+       |  SELECT CASE WHEN count(*) <= 512 THEN 16
+       |              WHEN count(*) <= 1024 THEN 32
+       |              ELSE 64 END AS ncells
+       |  FROM variants),
+       |vassigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_position(lc, list_max(lc)) - 1 AS INTEGER) AS cell
+       |  FROM (SELECT vec_id, embedding, ($simList)[1:ncells] AS lc
+       |        FROM variants, vcc)),
+       |cpairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM vassigned a JOIN vassigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(${cosE("a.embedding", "b.embedding")}, 6)
+       |    >= $CosThreshold),
+       |${DedupQuality.ccWalkCtes("vb", "bpairs")},
+       |${DedupQuality.ccWalkCtes("vs", "spairs")},
+       |${DedupQuality.ccWalkCtes("vc", "cpairs")},
+       |${labCte("vb")},
+       |${labCte("vs")},
+       |${labCte("vc")},
+       |rows AS (
+       |${rows.mkString("\nUNION ALL\n")})
+       |SELECT family, n_docs, planted_pairs, recovered_pairs,
+       |  correct_pairs,
+       |  (1000000 * correct_pairs) // greatest(recovered_pairs, 1)
+       |    AS precision_ppm,
+       |  (1000000 * correct_pairs) // greatest(planted_pairs, 1)
+       |    AS recall_ppm
+       |FROM rows""".stripMargin
+  }
+}
