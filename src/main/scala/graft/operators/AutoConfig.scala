@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** q192 — plan-time auto-configuration from the frontier decision
@@ -155,7 +156,9 @@ object AutoConfig {
     * dedup_keep_lsh does for bandings. Config names are engine-owned
     * (the q175 grid), so the parse is total over the grid. */
   private[graft] def knnAt(e: DataFrame, config: String): DataFrame = {
-    val cells = Similarity.adaptiveCells(e.count())
+    // lazy: only the adaptive-codebook branches need the corpus count
+    // (a full scan); the fixed-codebook ivf16_p* dispatch must not pay it
+    lazy val cells = Similarity.adaptiveCells(e.count())
     config match {
       case c if c.startsWith("ivf16_p") =>
         Similarity.knnJoinQuery(e, Centroids86.table,
@@ -167,6 +170,90 @@ object AutoConfig {
         Similarity.knnJoinQuery(e, Centroids94.table.take(cells),
           c.stripPrefix("ivfA_p").toInt)
     }
+  }
+
+  // ---- q197: CROSS-FAMILY dedup selection --------------------------
+
+  /** Cross-family quality floor: ≥ 90% of the planted benchmark's
+    * duplicate pairs must be recovered at cluster level. Deliberately
+    * below [[TextRecallFloorPpm]]'s pair-level losslessness: cluster
+    * recovery tolerates individual pair misses (clusters connect
+    * through their easiest pairs — the q193 transitivity finding), so
+    * the family floor states the end-to-end guarantee a deployment
+    * actually needs. Measured censuses at the gate corpora: exact
+    * 10⁶ ppm, minhash-b16r4 961k–984k, simhash128 2.0k–3.7k — the
+    * floor separates the exact-verify families from the Hamming-proxy
+    * one by two orders of magnitude. */
+  private[graft] val FamilyRecallFloorPpm = 900000L
+
+  /** The q192 total order as a SELECTED flag over an already-built
+    * frontier frame (config, candidates, recall_ppm, pref) — q197
+    * gates the WHOLE frontier plus both selection scenarios in one
+    * output, so the argmin is replayed as a rank-1 window rather than
+    * a LIMIT 1. The window is unpartitioned BY DESIGN: the frontier
+    * is ≤ a handful of family rows (plan-time state, never
+    * data-scale), same driver posture as selectConfig's TakeOrdered. */
+  private[graft] def selectedFlag(floorPpm: Long, budget: Long): Column = {
+    val qual = (col("recall_ppm") >= floorPpm &&
+      col("candidates") <= budget).cast("int")
+    val w = Window.orderBy(qual.desc,
+      when(qual === 1, col("candidates")).otherwise(lit(0L)).asc,
+      col("recall_ppm").desc, col("candidates").asc,
+      col("pref").asc, col("config").asc)
+    (row_number().over(w) === 1).cast("long")
+  }
+
+  /** q197's unified frontier: per dedup FAMILY (exact / MinHash-LSH
+    * b16r4 / SimHash-128 h≤3), the candidate-scan COST and the
+    * cluster-recovery QUALITY census, both measured on the SAME q193
+    * planted benchmark corpus — the q180/q182 cost columns and the
+    * q193 quality censuses unified into one decision table, so the
+    * q192 argmin can select the family itself ("which dedup do you
+    * ship", automated end-to-end).
+    *
+    * Cost = candidate pairs SCANNED by the family's candidate
+    * generator (the unit q180/q182 share): exact = the prefix-filtered
+    * AllPairs candidates, minhash = b16r4 bucket collisions, simhash =
+    * 128-bit chunk collisions. Each family's candidate set is built
+    * ONCE (checkpointed) and read twice — the cost count and the
+    * verify → CC → census chain — so the frontier pays exactly one
+    * candidate pass per family. Measured at the gate corpora the
+    * table says something real: simhash128 is the CHEAPEST scanner
+    * (58–66 candidates vs b16r4's ~500 vs exact's ~2.2k on the
+    * planted corpus) but recovers only 2–3.7k ppm of planted pairs,
+    * while minhash recovers 96–98% at a fifth of exact's scan volume
+    * — so the strict scenario ships b16r4 and the relaxed scenario
+    * flips to the cheap family, which is precisely the trade the
+    * selection operator exists to automate.
+    *
+    * `pref` (the per-family margin tie-break, q192 convention): the
+    * strength of the family's ACCEPT criterion — exact verify on all
+    * pairs (0) over exact verify on sketch candidates (1) over a
+    * Hamming proxy with no verify (2); at a measured tie, ship the
+    * family whose accepts cannot be wrong. */
+  private[graft] def dedupFamilyFrontier(d: DataFrame): DataFrame = {
+    import graft.dedup.MinHashLSH
+    val corpus = DedupQuality.plantedVariants(d).localCheckpoint(true)
+    val exCand = Dedup.jaccardCandidates(corpus).localCheckpoint(true)
+    val mhCand = MinHashLSH.candidatePairs(
+      MinHashLSH.bandBuckets(corpus, "doc_id", "text", 64, 16, 3))
+      .localCheckpoint(true)
+    val shCand = Dedup.simhashPairsWide(corpus).localCheckpoint(true)
+    def row(family: String, config: String, pref: Int, cand: DataFrame,
+        pairs: DataFrame): DataFrame =
+      DedupQuality.familyRow(family, corpus, pairs)
+        .crossJoin(cand.agg(count(lit(1)).as("candidates")))
+        .withColumn("config", lit(config))
+        .withColumn("pref", lit(pref.toLong))
+    row("exact", "exact", 0, exCand,
+      MinHashLSH.verify(corpus, exCand, "doc_id", "text", 3, 0.5)
+        .select(col("doc_a"), col("doc_b")))
+      .unionByName(row("minhash", "b16r4", 1, mhCand,
+        MinHashLSH.verify(corpus, mhCand, "doc_id", "text", 3, 0.5)
+          .select(col("doc_a"), col("doc_b"))))
+      .unionByName(row("simhash128", "sim128_h3", 2, shCand,
+        shCand.filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"))))
   }
 
   val queries: Map[String, Q] = Map(
@@ -196,6 +283,29 @@ object AutoConfig {
       val cfg = ivfChoice(e).head.getString(0)
       knnAt(e, cfg).select(lit(cfg).as("config"), col("q_id"),
         col("vec_id"), col("cos_sim"), col("rank"))
+    },
+
+    // -- q197 (round 14): CROSS-family dedup selection — the q180/
+    //    q182 candidate-cost unit and the q193 cluster-quality census
+    //    unified into one frontier (all five columns measured on the
+    //    same planted benchmark corpus), with the q192 total order
+    //    replayed as rank-1 flags for TWO stated constraints: the
+    //    house 90% cluster-recall floor (ships b16r4 — exact is 4×
+    //    the scan, simhash128 misses 99.6% of planted pairs) and an
+    //    artificially relaxed floor (flips to simhash128, the
+    //    cheapest scanner) — the flip IS the operator's value, gated.
+    //    EXACT-gated: the oracle rebuilds the corpus, replays each
+    //    family's candidate chain (incl. the AllPairs prefix filter,
+    //    SQL-replayed for the first time), the verify → CC → census
+    //    stacks, and both selection windows. --
+    "q197_family_select" -> { (s, dir) =>
+      dedupFamilyFrontier(Tables.load(s, dir, "documents"))
+        .select(col("family"), col("config"), col("candidates"),
+          col("n_docs"), col("planted_pairs"), col("recovered_pairs"),
+          col("correct_pairs"), col("precision_ppm"), col("recall_ppm"),
+          selectedFlag(FamilyRecallFloorPpm, CandidateBudgetMax)
+            .as("sel_strict"),
+          selectedFlag(0L, CandidateBudgetMax).as("sel_relaxed"))
     },
   )
 
@@ -290,8 +400,78 @@ object AutoConfig {
        |$union""".stripMargin
   }
 
+  /** oracle197: the q193 oracle's skeleton (variant corpus, per-family
+    * pair chain + CC walk + label completion + size-table census)
+    * extended with each family's CANDIDATE chain (exact = the AllPairs
+    * prefix filter replayed relationally — hot-gram sample, (df, gram)
+    * rarest-prefix window, collision join; minhash = the q45 cand
+    * stage; simhash = the q79 chain radius-unfiltered, whose accepted
+    * subset also feeds the quality chain), then the two selection
+    * windows over the 3-row frontier — the same total order as
+    * [[selectedFlag]]. */
+  private def oracle197: String = {
+    def sub(q: String): String = q.linesIterator.mkString("\n  ")
+    def selFlag(label: String, floorPpm: Long): String = {
+      val feas = s"recall_ppm >= $floorPpm AND candidates <= $CandidateBudgetMax"
+      s"""CAST(CASE WHEN row_number() OVER (ORDER BY
+         |    (CASE WHEN $feas THEN 1 ELSE 0 END) DESC,
+         |    (CASE WHEN $feas THEN candidates ELSE 0 END) ASC,
+         |    recall_ppm DESC, candidates ASC, pref ASC, config ASC) = 1
+         |  THEN 1 ELSE 0 END AS BIGINT) AS sel_$label""".stripMargin
+    }
+    val rows = Seq(("ex", "exact", "exact", 0, "excand"),
+        ("mh", "minhash", "b16r4", 1, "mhcand"),
+        ("sh", "simhash128", "sim128_h3", 2, "shcand"))
+      .map { case (p, fam, config, pref, cand) =>
+        s"""SELECT '$config' AS config, CAST($pref AS BIGINT) AS pref,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $cand) AS candidates, c.*
+           |FROM (
+           |${DedupQuality.censusSql(p, fam)}) c""".stripMargin
+      }
+    s"""WITH RECURSIVE ${DedupQuality.variantCtes(DedupQuality.SepDen)},
+       |excand AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (
+       |  ${sub(Dedup.prefixCandSqlOver("variants"))})),
+       |mhcand AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (
+       |  ${sub(Dedup.minhashCandSqlOver("variants"))})),
+       |shcand AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, hamming FROM (
+       |  ${sub(Dedup.simhashWideCandSqlOver("variants"))})),
+       |expairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (
+       |  ${sub(DedupQuality.exactPairsSqlOver("variants"))})),
+       |mhpairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (
+       |  ${sub(Dedup.minhashPairsSqlOver("variants"))})),
+       |shpairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM shcand WHERE hamming <= 3),
+       |${DedupQuality.ccWalkCtes("ex", "expairs")},
+       |${DedupQuality.ccWalkCtes("mh", "mhpairs")},
+       |${DedupQuality.ccWalkCtes("sh", "shpairs")},
+       |${DedupQuality.labCteSql("ex")},
+       |${DedupQuality.labCteSql("mh")},
+       |${DedupQuality.labCteSql("sh")},
+       |rows AS (
+       |${rows.mkString("\nUNION ALL\n")}),
+       |scored AS (
+       |  SELECT family, config, pref, candidates, n_docs, planted_pairs,
+       |    recovered_pairs, correct_pairs,
+       |    (1000000 * correct_pairs) // greatest(recovered_pairs, 1)
+       |      AS precision_ppm,
+       |    (1000000 * correct_pairs) // greatest(planted_pairs, 1)
+       |      AS recall_ppm
+       |  FROM rows)
+       |SELECT family, config, candidates, n_docs, planted_pairs,
+       |  recovered_pairs, correct_pairs, precision_ppm, recall_ppm,
+       |  ${sub(selFlag("strict", FamilyRecallFloorPpm))},
+       |  ${sub(selFlag("relaxed", 0L))}
+       |FROM scored""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q192_autoconfig" -> oracle192,
     "q195_autotuned_knn" -> oracle195,
+    "q197_family_select" -> oracle197,
   )
 }

@@ -806,6 +806,17 @@ object Dedup {
   /** The q79 chain over any documents-shaped relation — exposed for
     * the q193 quality benchmark's simhash128 family replay. */
   private[operators] def simhashWidePairsSqlOver(src: String): String =
+    simhashWideSqlOver(src, radiusFiltered = true)
+
+  /** The q79 chain WITHOUT the radius accept — every chunk-collision
+    * candidate with its Hamming distance, i.e. the family's SCAN
+    * volume (the q182 cost column) — exposed for the q197
+    * cross-family frontier's simhash128 cost replay. */
+  private[operators] def simhashWideCandSqlOver(src: String): String =
+    simhashWideSqlOver(src, radiusFiltered = false)
+
+  private def simhashWideSqlOver(src: String,
+      radiusFiltered: Boolean): String =
     s"""WITH ${tokenHashCtes(src)},
        |lanes AS (SELECT doc_id, h AS h0,
        |  ${mixSql(s"(h + $GoldenU) % $M64")} AS h1 FROM th),
@@ -823,8 +834,9 @@ object Dedup {
        |  bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) AS hamming
        |FROM chunks a JOIN chunks b
        |  ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
-       |  AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) <= 3""".stripMargin
+       |  AND a.doc_id < b.doc_id${if (radiusFiltered)
+      "\nWHERE bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1)) <= 3"
+    else ""}""".stripMargin
 
   /** CTE chain from `th` (per-occurrence token hashes) to `k4` —
     * (doc_id, band, bucket) LSH band keys: shingle chains (3-step
@@ -1152,6 +1164,59 @@ object Dedup {
        |JOIN sz sa ON doc_a = sa.doc_id
        |JOIN sz sb ON doc_b = sb.doc_id
        |WHERE CAST(i AS BIGINT) * 1000000 // (sa.ng + sb.ng - i) >= 500000""".stripMargin
+
+  /** The q45 chain's CANDIDATE stage only (band keys → bucket
+    * self-join, pre-verify) — the b16r4 scan volume (the q180 cost
+    * column), exposed for the q197 cross-family frontier. */
+  private[operators] def minhashCandSqlOver(src: String): String =
+    s"""WITH ${tokenHashCtes(src)},
+       |$lshBandKeyCtes
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM k4 a JOIN k4 b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin
+
+  /** The q44 chain's CANDIDATE stage — the AllPairs/PPJoin
+    * prefix-filtered candidate pairs ([[jaccardCandidates]]) replayed
+    * relationally: the hot-gram df estimate from the deterministic
+    * 1-in-[[HotSampleMod]] doc slice (df ≥ 2, top 64K by (df DESC,
+    * gram) — the engine's bounded plan-time constant), each doc's
+    * ⌊ng/2⌋+1 rarest grams under the (df, gram) total order (absent
+    * grams default df = 1; gram ties break on binary string order,
+    * matching UTF8String.compareTo), then the prefix-collision join
+    * with the 2× size filter. This is the exact family's SCAN volume
+    * — the cost column the q197 cross-family frontier prices exact
+    * dedup at. */
+  private[operators] def prefixCandSqlOver(src: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $src),
+       |g0 AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+       |  FROM tok),
+       |grams AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       |  FROM g0),
+       |sz AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+       |hot AS (
+       |  SELECT g, count(*) AS gdf FROM grams
+       |  WHERE doc_id % $HotSampleMod = 0
+       |  GROUP BY g HAVING count(*) >= 2
+       |  ORDER BY gdf DESC, g LIMIT 65536),
+       |gdf AS (
+       |  SELECT gr.doc_id, gr.g, coalesce(h.gdf, 1) AS df
+       |  FROM grams gr LEFT JOIN hot h ON gr.g = h.g),
+       |pfx AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT doc_id, g,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY df, g) AS rn,
+       |      count(*) OVER (PARTITION BY doc_id) AS n
+       |    FROM gdf)
+       |  WHERE rn <= n // 2 + 1)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM pfx a JOIN sz sa ON a.doc_id = sa.doc_id
+       |JOIN pfx b ON a.g = b.g AND a.doc_id < b.doc_id
+       |JOIN sz sb ON b.doc_id = sb.doc_id
+       |WHERE sa.ng <= sb.ng * 2 AND sb.ng <= sa.ng * 2""".stripMargin
 
   /** q145: the q45 chain with the q70 split — increment×corpus band
     * collision (never a self-join), exact verify, per-increment best

@@ -92,14 +92,16 @@ object DedupQuality {
     * pairs, complete singletons (their own cluster — the q149
     * convention), then the three size-table censuses. The pair frame
     * must be (doc_a, doc_b) over the planted corpus. */
-  private def familyRow(family: String, corpus: DataFrame,
+  private[operators] def familyRow(family: String, corpus: DataFrame,
       pairs: DataFrame): DataFrame = {
     val labels = graft.dedup.ConnectedComponents.clusterLabels(pairs)
     val lab = corpus.select(col("doc_id"))
       .join(labels.hint("shuffle_merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cid"),
-        (col("doc_id") / lit(VariantsPerBase)).cast("long").as("pid"))
+        // integer floor division, mirroring the oracle's `//` exactly
+        // (double-divide-then-cast drifts above 2^53)
+        expr(s"doc_id div $VariantsPerBase").as("pid"))
     def pairSum(g: DataFrame): DataFrame =
       g.agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("p"))
     val nd = lab.agg(count(lit(1)).as("n_docs"))
@@ -159,7 +161,7 @@ object DedupQuality {
     * raw table (list slice + generated junk tokens; DuckDB
     * generate_series(1, 0) is empty, matching the guarded engine
     * sequence). */
-  private def variantCtes(sepDen: Int): String =
+  private[operators] def variantCtes(sepDen: Int): String =
     s"""vbase AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t
        |  FROM documents WHERE doc_id % $BaseMod = 0),
@@ -223,12 +225,7 @@ object DedupQuality {
     * internal tok/sig names would clash across families). */
   private def oracle193: String = {
     def sub(q: String): String = q.linesIterator.mkString("\n  ")
-    def labCte(p: String): String =
-      s"""${p}lab AS MATERIALIZED (
-         |  SELECT v.doc_id, coalesce(l.cluster_id, v.doc_id) AS cid,
-         |    v.doc_id // $VariantsPerBase AS pid
-         |  FROM variants v LEFT JOIN ${p}labels l ON v.doc_id = l.doc_id)"""
-        .stripMargin
+    def labCte(p: String): String = labCteSql(p)
     val rows = Seq("ex" -> "exact", "mh" -> "minhash", "sh" -> "simhash128")
       .map { case (p, f) => censusSql(p, f) }
     s"""WITH RECURSIVE ${variantCtes(SepDen)},
@@ -258,9 +255,18 @@ object DedupQuality {
        |FROM rows""".stripMargin
   }
 
+  /** Label-completion CTE (singletons = own cluster + planted id)
+    * from a `<p>labels` walk — shared with the q197 oracle. */
+  private[operators] def labCteSql(p: String): String =
+    s"""${p}lab AS MATERIALIZED (
+       |  SELECT v.doc_id, coalesce(l.cluster_id, v.doc_id) AS cid,
+       |    v.doc_id // $VariantsPerBase AS pid
+       |  FROM variants v LEFT JOIN ${p}labels l ON v.doc_id = l.doc_id)"""
+      .stripMargin
+
   /** The exact J ≥ 0.5 pair set over `src` (the q44 truth chain — the
     * ccLabelCtesOver pair stage as a self-contained SELECT). */
-  private def exactPairsSqlOver(src: String): String =
+  private[operators] def exactPairsSqlOver(src: String): String =
     s"""WITH tok AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $src),
        |g0 AS (

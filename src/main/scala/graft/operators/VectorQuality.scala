@@ -103,7 +103,8 @@ object VectorQuality {
       .join(labels.hint("shuffle_merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cid"),
-        (col("doc_id") / lit(VariantsPerBase)).cast("long").as("pid"))
+        // integer floor division, mirroring the oracle's `//` exactly
+        expr(s"doc_id div $VariantsPerBase").as("pid"))
     def pairSum(g: DataFrame): DataFrame =
       g.agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("p"))
     val nd = lab.agg(count(lit(1)).as("n_docs"))

@@ -97,6 +97,35 @@ class AutoConfigSpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("q197: strict floor ships b16r4; a relaxed floor flips to the cheaper family") {
+    // the cross-family frontier at the spec corpus (measured, probe
+    // r14): simhash128 is the CHEAPEST scanner (58 candidates vs
+    // b16r4's 509 vs exact's 2067 on the planted corpus) but recovers
+    // only 2008 ppm of planted pairs — so the 90% cluster-recall
+    // floor selects minhash (exact is 4× the scan for the last 1.8%),
+    // and relaxing the floor to zero flips the selection to the
+    // cheap family: the trade the operator automates, pinned
+    val fr = SparkEntry.queries("q197_family_select")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("family") ->
+        (r.getAs[Long]("candidates"), r.getAs[Long]("recall_ppm"),
+          r.getAs[Long]("sel_strict"), r.getAs[Long]("sel_relaxed"))).toMap
+    assert(fr.keySet === Set("exact", "minhash", "simhash128"))
+    // exactly one selection per scenario
+    assert(fr.values.map(_._3).sum === 1L)
+    assert(fr.values.map(_._4).sum === 1L)
+    // strict: minhash feasible (≥ 90% cluster recall) and cheaper
+    // than exact; simhash128 infeasible by two orders of magnitude
+    assert(fr("minhash")._3 === 1L)
+    assert(fr("minhash")._2 >= AutoConfig.FamilyRecallFloorPpm)
+    assert(fr("exact")._2 === 1000000L)
+    assert(fr("simhash128")._2 < 10000L)
+    assert(fr("minhash")._1 < fr("exact")._1)
+    // relaxed: the cheapest scanner wins — and it is the simhash
+    // family, which the strict floor had excluded on quality
+    assert(fr("simhash128")._4 === 1L)
+    assert(fr("simhash128")._1 < fr("minhash")._1)
+  }
+
   test("q192 sf0.001: ANN selection is corpus-dependent by design") {
     // at sf0.001 all three ≥-floor IVF configs tie on recall and the
     // 16-cell fixed codebook is strictly cheapest — the operator

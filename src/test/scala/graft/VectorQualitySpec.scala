@@ -38,8 +38,8 @@ class VectorQualitySpec extends SparkSpec {
     val ea = v.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
     val eb = v.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
     val pairs = ea.join(eb, col("a") < col("b"))
-      .select((col("a") / 4).cast("long").as("pa"),
-        (col("b") / 4).cast("long").as("pb"),
+      .select(expr("a div 4").as("pa"),
+        expr("b div 4").as("pb"),
         round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6).as("c"))
     val pMin = pairs.filter(col("pa") === col("pb"))
       .agg(min(col("c"))).head.getDouble(0)

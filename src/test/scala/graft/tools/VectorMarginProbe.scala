@@ -14,8 +14,8 @@ import graft.operators.{Centroids94, Similarity, VectorQuality}
   *   2. min (top1 − top2) cell-cosine gap vs the adaptive
   *      Centroids94 prefix;
   *   3. the planted-pair cosine spread per (j_a, j_b) class and the
-  *      max ORGANIC (cross-base) cosine — locating the 0.85 threshold
-  *      in the gap. */
+  *      max ORGANIC (cross-base) cosine — locating the shipped
+  *      VectorQuality.CosThreshold (0.70) in the gap. */
 object VectorMarginProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -48,15 +48,16 @@ object VectorMarginProbe {
       val eb = v.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
       val pairs = ea.join(eb, col("a") < col("b"))
         .select(col("a"), col("b"),
-          (col("a") / 4).cast("long").as("pa"), (col("b") / 4).cast("long").as("pb"),
+          expr("a div 4").as("pa"), expr("b div 4").as("pb"),
           round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6).as("c"))
       val planted = pairs.filter(col("pa") === col("pb"))
         .agg(min(col("c")), max(col("c"))).head
+      val thr = VectorQuality.CosThreshold
       val organic = pairs.filter(col("pa") =!= col("pb"))
-        .agg(max(col("c")), count(when(col("c") >= 0.85, 1))).head
+        .agg(max(col("c")), count(when(col("c") >= thr, 1))).head
       println(s"[vmargin] $dir n=$n minPlaneDot=$minDot minCellGap=$minGap " +
         s"plantedCos=[${planted.get(0)}, ${planted.get(1)}] " +
-        s"organicMax=${organic.get(0)} organic>=0.85: ${organic.get(1)}")
+        s"organicMax=${organic.get(0)} organic>=$thr: ${organic.get(1)}")
     }
     spark.stop()
   }
