@@ -127,7 +127,7 @@ object ScaleProbe {
     val sections: Set[String] =
       if (args.length > 1) args(1).split(',').toSet else Set("all")
     val KnownSections =
-      Set("all", "r8b", "motifs", "r9", "r9b", "r10", "r11", "r12")
+      Set("all", "r8b", "motifs", "r9", "r9b", "r10", "r11", "r12", "r14")
     val unknown = sections.diff(KnownSections)
     require(unknown.isEmpty,
       s"unknown ScaleProbe section(s): ${unknown.toSeq.sorted.mkString(",")}" +
@@ -710,6 +710,44 @@ object ScaleProbe {
       val alphas = grid.indices.map(i =>
         f"${aOfR12(g180.map(r => (r._1, r._2(i))))}%.2f")
       println(s"""{"metric":"r12_probe_exponents","alpha":{"b32r2":${alphas(0)},"b16r4":${alphas(1)},"b8r8":${alphas(2)},"b4r16":${alphas(3)}},"note":"q180 frontier bandings under bijective-renaming replication: every banding's candidate growth ~linear (64-bit bucket keys have no birthday floor at these n; the 16x4 config reproduces the round-2 q45 result)"}""")
+    }
+
+    if (runAll || sections("r14")) {
+      // q199 top-2 cell candidate generator under the signed-permutation
+      // null model (the q102 section's model — replicas decorrelated, so
+      // within-replica pair structure is preserved and cross-replica
+      // cells stay independent). Two readings per scale: (a) candidate
+      // growth α for the single-cell and top-2 generators — the ladder
+      // is the same adaptive Centroids94 prefix, so both track the q102
+      // section's α; (b) the measured fan-out RATIO top2/top1, which the
+      // ×2 per-vector fan-out bounds by 4 structurally and which must
+      // stay ~flat under replication (a growing ratio would mean second
+      // cells pile into few buckets — the skew failure mode).
+      def aOfR14(vs: Seq[(Int, Long)]): Double = {
+        val (ka, va) = vs.head; val (kb, vb) = vs.last
+        if (va == 0 || vb == 0) Double.NaN
+        else math.log(vb.toDouble / va) / math.log(kb.toDouble / ka)
+      }
+      val g199 = scales.map { k =>
+        val embR = rotatedEmbeddings(emb0, k).cache()
+        val n = embR.count()
+        val cents = graft.operators.Centroids94.table.take(
+          graft.operators.Similarity.adaptiveCells(n))
+        val assigned = graft.operators.VectorQuality.assignTop2(
+          embR.select(col("vec_id"), col("embedding")), cents).cache()
+        assigned.count()
+        val (c1, t1) = timed(graft.operators.VectorQuality.cellCands(
+          assigned.select(col("vec_id"), col("c1").as("cell"))).count())
+        val (c2, t2) = timed(graft.operators.VectorQuality.cellCands(
+          graft.operators.VectorQuality.top2Exploded(assigned)).count())
+        println(f"""{"metric":"q199_probe","scale":$k,"n_vecs":$n,"cell_pairs":$c1,"top2_pairs":$c2,"ratio":${c2.toDouble / math.max(c1, 1L)}%.2f,"sec_cell":$t1%.2f,"sec_top2":$t2%.2f}""")
+        embR.unpersist(); assigned.unpersist()
+        (k, c1, c2)
+      }
+      val a1 = f"${aOfR14(g199.map(r => (r._1, r._2)))}%.2f"
+      val a2 = f"${aOfR14(g199.map(r => (r._1, r._3)))}%.2f"
+      val ratios = g199.map(r => f"${r._3.toDouble / math.max(r._2, 1L)}%.2f")
+      println(s"""{"metric":"r14_probe_exponents","alpha":{"cell_pairs":$a1,"top2_pairs":$a2},"fanout_ratios":[${ratios.mkString(",")}],"note":"q199 top-2 generator under signed-permutation replication: both generators ride the same adaptive cell ladder (within-cell pair count ~n·occupancy, the q102 reading); the top2/top1 ratio must hold ~flat and under the structural 4x"}""")
     }
 
     if (!runAll) { spark.stop(); return }

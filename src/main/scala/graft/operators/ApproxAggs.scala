@@ -70,8 +70,10 @@ object ApproxAggs {
   private[graft] val CmWidthGrid = Seq(8, 32, 1024)
 
   /** Integer-cents projection of l_extendedprice — through
-    * DECIMAL(15,2) on BOTH engines (the q01-proven conversion). */
-  private val CentsSql =
+    * DECIMAL(15,2) on BOTH engines (the q01-proven conversion).
+    * Exposed to the q198 sketch-sizing operator (its max-cents
+    * statistic must be the same projection the sketch ingests). */
+  private[operators] val CentsSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)"
 
   val queries: Map[String, Q] = Map(

@@ -76,7 +76,21 @@ object AutoConfig {
   /** The relational argmin over any frontier frame carrying
     * (config, candidates, recall_ppm, pref). Total order documented
     * in the object Scaladoc; LIMIT 1 compiles to TakeOrderedAndProject
-    * over the ≤|grid|-row frontier — driver state is one row. */
+    * over the ≤|grid|-row frontier — driver state is one row.
+    *
+    * FRESHNESS CONTRACT (round-13 verdict #4): the frontier MUST be
+    * measured on (a deterministic sample of) the corpus the selection
+    * will serve, in the same plan — every caller here derives it that
+    * way ([[bandingChoice]]/[[ivfChoice]]/[[sampledBandingChoice]]
+    * take the corpus frame itself). The selection is only as current
+    * as its frontier input: the SAME rule selects ivfA_sqrt at sf0.01
+    * and ivf16_p6 at sf0.1, so replaying a PERSISTED frontier from
+    * another corpus (the Centroids86/94 checked-in-constant pattern,
+    * applied where it must not be) silently inverts the very
+    * corpus-dependence this operator exists to automate — a future
+    * persisted-frontier variant needs a staleness check (corpus
+    * fingerprint or re-measure-on-read), not a cached table.
+    * AutoConfigSpec's freshness test demonstrates the inversion. */
   private[graft] def selectConfig(frontier: DataFrame, floorPpm: Long,
       budget: Long): DataFrame = {
     val qual = frontier.withColumn("qual",
@@ -256,6 +270,141 @@ object AutoConfig {
           .select(col("doc_a"), col("doc_b"))))
   }
 
+  // ---- q198: auto-SIZED sketches -----------------------------------
+
+  /** ⌈e·10⁶⌉ — the Count-Min error constant as a conservative integer
+    * (slightly over-approximating e only WIDENS the guaranteed bound,
+    * never narrows it), so the expected-overestimate ceiling
+    * ⌈e·N / w⌉ is exact integer arithmetic on both engines. At real
+    * scale the product EMicro·N stays inside a BIGINT through
+    * N ≈ 3.4·10¹² token occurrences — beyond a 100 TB text corpus. */
+  private[graft] val EMicro = 2718282L
+
+  /** CMS sizing target: guaranteed expected overestimate ≤ 100
+    * occurrences — an ABSOLUTE accuracy target (what a heavy-hitter
+    * threshold stated in counts needs), which is exactly why the
+    * selected width is corpus-DEPENDENT: e·N/w scales with the token
+    * stream, so 10× the corpus forces the next width up (the q192
+    * switching test applied to memory). */
+  private[graft] val CmsOverestimateTarget = 100L
+
+  /** Bloom sizing target: ≥ 10 bits per inserted gram — the classic
+    * load-factor rule (≈1% FPR at optimal k; Bloom 1970's analysis),
+    * kept INTEGER (bits div n_grams) so the feasibility comparison
+    * has no float seam. */
+  private[graft] val BloomBitsPerGramTarget = 10L
+
+  /** Histogram sizing: the sketch must COVER the measured value span
+    * within this many buckets (the state budget); among widths that
+    * fit, the argmin takes the FINEST (width = the one-bucket
+    * quantile-error bound). */
+  private[graft] val HistBucketBudget = 4096L
+
+  /** The CMS sizing grid extends the q188 measurement grid upward:
+    * q188's {8, 32, 1024} brackets the gate VOCABULARY (the
+    * measurement table); sizing must bracket the achievable εN across
+    * corpus sizes, so the grid carries the next power step the gate
+    * corpora force (1024 suffices at sf0.01's 27k token occurrences,
+    * sf0.1's 271k needs 32768). */
+  private[graft] val SizingCmGrid = Seq(32L, 1024L, 32768L)
+
+  /** q198: the three owned-sketch sizes selected from MEASURED corpus
+    * statistics + stated targets — the q192 argmin applied to MEMORY.
+    * The round-12 sizing tables (q188/q190/q191) measured what each
+    * width costs; their widths were still human-chosen. q198 closes
+    * the loop: per sketch, one 1-row statistic (total token
+    * occurrences / distinct benchmark 5-grams / max ingested cents —
+    * each the exact statistic its sketch's guarantee is stated in),
+    * a tiny literal grid, the derived guarantee per grid row, and a
+    * deterministic total order:
+    *
+    *   - cms_width:  feasible = ⌈e·N/w⌉ ≤ target; cheapest feasible
+    *     state (counters = depth·w); infeasible fallback = tightest
+    *     bound (the most accurate width available);
+    *   - bloom_bits: feasible = bits div n ≥ target; cheapest
+    *     feasible bits; fallback = the largest filter (bits-per-gram
+    *     is monotone in bits, and the integer bound collapses to a
+    *     0-tie when the grid is far too small);
+    *   - hist_width: feasible = buckets(span/w) ≤ budget; FINEST
+    *     feasible width (bound = width, the one-bucket quantile
+    *     guarantee); fallback = fewest buckets.
+    *
+    * Selected at the gate corpora: CMS 1024 at sf0.001/0.01 (N≈27k)
+    * but 32768 at sf0.1 (N≈271k) and Bloom 8192 → 131072 (258–351 vs
+    * 2,419 benchmark grams) — the selection SWITCHES with the corpus,
+    * which is the q192 corpus-dependence property applied to sketch
+    * memory; hist derives the shipped 8192-cent width at every sf
+    * from the measured ~$105k span (the span is corpus-stable HERE —
+    * the rule, not the answer, is the operator). The q153/q188
+    * bracketing lesson is structural now: a grid that fails to
+    * bracket the statistic selects its max-accuracy fallback with
+    * meets_target = 0 — visible, never a silent no-op
+    * (AutoConfigSpec pins the regime). */
+  /** One selected row per sketch: grid × 1-row statistic, derived
+    * (state, bound, feasible), rank-1 under the documented order —
+    * exposed so AutoConfigSpec can drive the fallback regime with a
+    * synthetic statistic the grid cannot bracket. */
+  private[graft] def sizingPick(sketch: String, stat: String,
+      statDf: DataFrame, target: Long, grid: Seq[Long], state: Column,
+      bound: Column, feasible: Column, objective: Column,
+      fallback: Column): DataFrame = {
+    val rows = statDf.select(col("sv"),
+        explode(typedlit(grid)).as("selected"))
+      .withColumn("state", state).withColumn("bound", bound)
+      .withColumn("ok", feasible.cast("int"))
+    val w = Window.orderBy(col("ok").desc,
+      when(col("ok") === 1, objective).otherwise(lit(0L)).asc,
+      fallback, col("selected").asc)
+    rows.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(lit(sketch).as("sketch"), lit(stat).as("stat"),
+        col("sv").as("stat_value"), lit(target).as("target"),
+        col("selected"), col("state"), col("bound"),
+        col("ok").cast("long").as("meets_target"))
+  }
+
+  private[graft] def sketchSizing(docs: DataFrame,
+      li: DataFrame): DataFrame = {
+    import graft.functions.Text
+    val nTok = docs.agg(coalesce(sum(
+      size(Text.tokens(col("text"))).cast("long")), lit(0L)).as("sv"))
+    val nGram = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(Text.wordNGrams(col("text"), 5)).as("g"))
+      .agg(countDistinct(col("g")).as("sv"))
+    val maxC = li.agg(max(expr(ApproxAggs.CentsSql)).as("sv"))
+    cmsPick(nTok).unionByName(bloomPick(nGram)).unionByName(histPick(maxC))
+  }
+
+  /** The three per-sketch parameterizations of [[sizingPick]] — each
+    * takes a 1-row (sv) statistic frame, so the spec can feed
+    * synthetic statistics (the bracketing-fallback regime). */
+  private[graft] def cmsPick(nTok: DataFrame): DataFrame =
+    sizingPick("cms_width", "token_occurrences", nTok,
+      CmsOverestimateTarget, SizingCmGrid,
+      state = lit(ApproxAggs.CmDepth.toLong) * col("selected"),
+      bound = expr(s"(${EMicro}L * sv + selected * 1000000L - 1L)" +
+        " div (selected * 1000000L)"),
+      feasible = col("bound") <= CmsOverestimateTarget,
+      objective = col("state"), fallback = col("bound").asc)
+
+  private[graft] def bloomPick(nGram: DataFrame): DataFrame =
+    sizingPick("bloom_bits", "bench_grams", nGram,
+      BloomBitsPerGramTarget, TextAnalysis.BloomBitsGrid.map(_.toLong),
+      state = col("selected"),
+      bound = expr("selected div greatest(sv, 1L)"),
+      feasible = col("bound") >= BloomBitsPerGramTarget,
+      // fallback on the filter SIZE, not the integer bits-per-gram:
+      // a far-too-small grid rounds every bound to the same 0, and
+      // the accuracy direction is monotone in bits anyway
+      objective = col("state"), fallback = col("selected").desc)
+
+  private[graft] def histPick(maxC: DataFrame): DataFrame =
+    sizingPick("hist_width", "max_cents", maxC,
+      HistBucketBudget, ApproxAggs.HistWidthGrid,
+      state = expr("sv div selected + 1L"),
+      bound = col("selected"),
+      feasible = col("state") <= HistBucketBudget,
+      objective = col("bound"), fallback = col("state").asc)
+
   val queries: Map[String, Q] = Map(
     // -- q192 (round 13): plan-time auto-configuration — the cheapest
     //    frontier config meeting the stated recall floor, per family,
@@ -306,6 +455,20 @@ object AutoConfig {
           selectedFlag(FamilyRecallFloorPpm, CandidateBudgetMax)
             .as("sel_strict"),
           selectedFlag(0L, CandidateBudgetMax).as("sel_relaxed"))
+    },
+
+    // -- q198 (round 14): auto-SIZED sketches — CMS width, Bloom bits
+    //    and histogram width selected from measured corpus statistics
+    //    + stated accuracy/memory targets (the q192 argmin applied to
+    //    sketch MEMORY; the q188/q190/q191 sizing tables' widths were
+    //    still human-chosen). The selected width SWITCHES across sf
+    //    (CMS 1024→32768, Bloom 8192→131072) — corpus-dependence for
+    //    memory, gated. EXACT-gated: the oracle re-measures all three
+    //    statistics and replays the grids, integer bounds and rank-1
+    //    windows. --
+    "q198_sketch_sizing" -> { (s, dir) =>
+      sketchSizing(Tables.load(s, dir, "documents"),
+        Tables.load(s, dir, "lineitem"))
     },
   )
 
@@ -469,9 +632,78 @@ object AutoConfig {
        |FROM scored""".stripMargin
   }
 
+  /** oracle198: the three statistics re-measured (token occurrences
+    * as a length sum over the split stream; distinct benchmark
+    * 5-grams via the oracle78/96 gram chain; max cents through the
+    * shared DECIMAL projection), literal grids, the same integer
+    * bound arithmetic, one rank-1 window per sketch. */
+  private def oracle198: String = {
+    def gridCte(name: String, grid: Seq[Long]): String =
+      s"$name AS (SELECT CAST(unnest([${grid.mkString(", ")}]) AS BIGINT)" +
+        " AS selected)"
+    def selRow(sketch: String, stat: String, statCte: String,
+        target: Long, gridCteName: String, stateSql: String,
+        boundSql: String, feasSql: String, objSql: String,
+        fallbackSql: String): String =
+      s"""SELECT sketch, stat, stat_value, target, selected, state, bound,
+         |  CAST(ok AS BIGINT) AS meets_target
+         |FROM (
+         |  SELECT *, row_number() OVER (ORDER BY ok DESC,
+         |      CASE WHEN ok = 1 THEN $objSql ELSE 0 END ASC,
+         |      $fallbackSql, selected ASC) AS rn
+         |  FROM (
+         |    SELECT '$sketch' AS sketch, '$stat' AS stat,
+         |      CAST(sv AS BIGINT) AS stat_value,
+         |      CAST($target AS BIGINT) AS target,
+         |      CAST(selected AS BIGINT) AS selected,
+         |      CAST($stateSql AS BIGINT) AS state,
+         |      CAST($boundSql AS BIGINT) AS bound,
+         |      CASE WHEN $feasSql THEN 1 ELSE 0 END AS ok
+         |    FROM $statCte, $gridCteName))
+         |WHERE rn = 1""".stripMargin
+    s"""WITH st_tok AS (
+       |  SELECT CAST(coalesce(sum(len(string_split_regex(text, '\\s+'))), 0)
+       |    AS BIGINT) AS sv
+       |  FROM documents),
+       |st_gram AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS sv FROM (
+       |    SELECT DISTINCT
+       |      t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |        || ' ' || t[i+4] AS g
+       |    FROM (
+       |      SELECT t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+       |      FROM (SELECT string_split_regex(text, '\\s+') AS t
+       |            FROM documents WHERE doc_id % 97 = 0)))),
+       |st_cents AS (
+       |  SELECT CAST(max(${ApproxAggs.CentsSql}) AS BIGINT) AS sv
+       |  FROM lineitem),
+       |${gridCte("g_cms", SizingCmGrid)},
+       |${gridCte("g_bloom", TextAnalysis.BloomBitsGrid.map(_.toLong))},
+       |${gridCte("g_hist", ApproxAggs.HistWidthGrid)}
+       |${selRow("cms_width", "token_occurrences", "st_tok",
+          CmsOverestimateTarget, "g_cms",
+          s"${ApproxAggs.CmDepth} * selected",
+          s"($EMicro * sv + selected * 1000000 - 1) // (selected * 1000000)",
+          s"($EMicro * sv + selected * 1000000 - 1) // (selected * 1000000)" +
+            s" <= $CmsOverestimateTarget",
+          "state", "bound ASC")}
+       |UNION ALL
+       |${selRow("bloom_bits", "bench_grams", "st_gram",
+          BloomBitsPerGramTarget, "g_bloom", "selected",
+          "selected // greatest(sv, 1)",
+          s"selected // greatest(sv, 1) >= $BloomBitsPerGramTarget",
+          "state", "selected DESC")}
+       |UNION ALL
+       |${selRow("hist_width", "max_cents", "st_cents",
+          HistBucketBudget, "g_hist", "sv // selected + 1", "selected",
+          s"sv // selected + 1 <= $HistBucketBudget",
+          "bound", "state ASC")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q192_autoconfig" -> oracle192,
     "q195_autotuned_knn" -> oracle195,
     "q197_family_select" -> oracle197,
+    "q198_sketch_sizing" -> oracle198,
   )
 }

@@ -123,6 +123,83 @@ object VectorQuality {
           .as("recall_ppm"))
   }
 
+  /** Top-2 cell assignment (q199): c1 = the argmax cell (identical to
+    * [[cellPairs]]' assignment), c2 = the argmax over the sims array
+    * with c1's slot masked to −2 (below any cosine) — the first
+    * occurrence of the SECOND-highest cell cosine. Tie semantics
+    * replay exactly relationally: ranking (sim DESC, index ASC) per
+    * vector yields c1 at rank 1 and c2 at rank 2, including duplicate
+    * cosine values (first occurrence wins on both engines), so the
+    * oracle needs NO new float margin — only the bit-identical
+    * cosines the q196 family already relies on. Map-side, no explode:
+    * the assignment stays one projection at 100 TB. */
+  private[graft] def assignTop2(v: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    val sims = array(cents.map(c =>
+      VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
+    v.select(col("vec_id"), sims.as("s"))
+      .withColumn("c1",
+        (array_position(col("s"), array_max(col("s"))) - 1).cast("int"))
+      .withColumn("m", transform(col("s"),
+        (x, i) => when(i === col("c1"), lit(-2.0d)).otherwise(x)))
+      .withColumn("c2",
+        (array_position(col("m"), array_max(col("m"))) - 1).cast("int"))
+      .select(col("vec_id"), col("c1"), col("c2"))
+  }
+
+  /** Distinct candidate pairs sharing any cell of a (vec_id, cell)
+    * frame — cell-keyed equi-join, the q102 family's scale shape.
+    * Exposed (with [[top2Exploded]]) for ScaleProbe's r14 section. */
+  private[graft] def cellCands(t: DataFrame): DataFrame =
+    t.as("a").hint("shuffle_merge")
+      .join(t.as("b").hint("shuffle_merge"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+
+  /** The ×2 fan-out frame: one row per (vector, top-2 cell). */
+  private[graft] def top2Exploded(assigned: DataFrame): DataFrame =
+    assigned.select(col("vec_id"),
+      explode(array(col("c1"), col("c2"))).as("cell"))
+
+  /** q199: the SemDeDup recall LEVER — q196 measured the same-cell
+    * restriction's cluster-pair recall at 651k ppm (sf0.1); this is
+    * the fix it exposed, priced by the same benchmark: multi-probe
+    * cell restriction (compare vectors sharing ANY of their top-2
+    * assigned cells — the q94 probe idea applied to dedup) as a
+    * family row beside the single-cell baseline, each with its
+    * measured CANDIDATE volume. A planted pair straddling one cell
+    * boundary is reachable through either endpoint's second cell, so
+    * recall must sit at-or-above the single-cell row at a bounded
+    * candidate increase (per-vector fan-out ×2 ⇒ ≤ 4× pair bound;
+    * measured well under — ScaleProbe r14 runs the generator under
+    * the signed-permutation null model). Scale shape: the assignment
+    * is one map pass; candidates ride cell-keyed equi-joins exactly
+    * like the q102 family; censuses are the q193 size-table reads. */
+  private[graft] def top2QualityTable(e: DataFrame): DataFrame = {
+    val corpus = plantedVecVariants(e).localCheckpoint(true)
+    val cents = Centroids94.table.take(
+      Similarity.adaptiveCells(corpus.count()))
+    val assigned = assignTop2(corpus, cents).localCheckpoint(true)
+    val c1 = cellCands(assigned.select(col("vec_id"),
+      col("c1").as("cell"))).localCheckpoint(true)
+    val c2 = cellCands(top2Exploded(assigned)).localCheckpoint(true)
+    val ea = corpus.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val eb = corpus.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    def verified(cand: DataFrame): DataFrame =
+      cand.join(ea, "vec_a").join(eb, "vec_b")
+        .filter(round(VectorExprs.cosineFast(col("emb_a"), col("emb_b")), 6)
+          >= CosThreshold)
+        .select(col("vec_a"), col("vec_b"))
+    def rowWith(family: String, cand: DataFrame): DataFrame =
+      familyRow(family, corpus, verified(cand))
+        .crossJoin(cand.agg(count(lit(1)).as("candidates")))
+    rowWith("cell", c1).unionByName(rowWith("cell_p2", c2))
+  }
+
   /** The three-family quality table — exposed for VectorQualitySpec. */
   private[graft] def vectorQualityTable(e: DataFrame): DataFrame = {
     val corpus = plantedVecVariants(e).localCheckpoint(true)
@@ -143,10 +220,23 @@ object VectorQuality {
     "q196_vector_quality" -> { (s, dir) =>
       vectorQualityTable(Tables.load(s, dir, "embeddings"))
     },
+
+    // -- q199 (round 14): multi-probe SemDeDup — the recall lever for
+    //    the q196-measured same-cell deficit: vectors compare within
+    //    ANY of their top-2 assigned cells. Two family rows (cell /
+    //    cell_p2), each with measured candidate volume + the planted
+    //    cluster census — the benchmark prices the fix it exposed.
+    //    EXACT-gated: the oracle replays the corpus, the rank-derived
+    //    top-2 assignment, both candidate joins, verifies, CC walks
+    //    and censuses. --
+    "q199_semdedup_probe2" -> { (s, dir) =>
+      top2QualityTable(Tables.load(s, dir, "embeddings"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
     "q196_vector_quality" -> oracle196,
+    "q199_semdedup_probe2" -> oracle199,
   )
 
   // ---- generated oracle ---------------------------------------------
@@ -165,22 +255,10 @@ object VectorQuality {
     * subquery; cell = the adaptive-prefix argmax assignment + same-
     * cell verify), a prefixed recursive CC walk each (the q193
     * fragments reused), label completion and the shared census. */
-  private def oracle196: String = {
-    def sub(q: String): String = q.linesIterator.mkString("\n  ")
-    def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
-    val simList = Centroids94.table
-      .map(c => cosE("embedding", lst(c)))
-      .mkString("[\n      ", ",\n      ", "]")
-    def labCte(p: String): String =
-      s"""${p}lab AS MATERIALIZED (
-         |  SELECT v.vec_id AS doc_id,
-         |    coalesce(l.cluster_id, v.vec_id) AS cid,
-         |    v.vec_id // $VariantsPerBase AS pid
-         |  FROM variants v LEFT JOIN ${p}labels l ON v.vec_id = l.doc_id)"""
-        .stripMargin
-    val rows = Seq("vb" -> "brute", "vs" -> "signlsh", "vc" -> "cell")
-      .map { case (p, f) => DedupQuality.censusSql(p, f) }
-    s"""WITH RECURSIVE vbase AS (
+  /** The variant-corpus CTEs (vbase → vdef → variants) shared by
+    * oracle196 and oracle199. */
+  private def vecVariantCtes: String =
+    s"""vbase AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  WHERE vec_id % $VBaseMod = 0),
        |vdef AS (
@@ -193,7 +271,34 @@ object VectorQuality {
        |    ELSE list_concat(list_slice(embedding, 1, 64 - m),
        |      list_transform(generate_series(1, m), i -> CAST(0.0 AS FLOAT)))
        |    END AS embedding
-       |  FROM vdef),
+       |  FROM vdef)""".stripMargin
+
+  /** The full Centroids94 cosine list over `embedding` — sliced by
+    * `[1:ncells]` at use sites (the adaptive-prefix replay). */
+  private def simListSql: String = {
+    def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
+    Centroids94.table
+      .map(c => cosE("embedding", lst(c)))
+      .mkString("[\n      ", ",\n      ", "]")
+  }
+
+  /** Label completion over the variant vectors (singletons = own
+    * cluster + planted id) — shared by oracle196 and oracle199. */
+  private def vecLabCte(p: String): String =
+    s"""${p}lab AS MATERIALIZED (
+       |  SELECT v.vec_id AS doc_id,
+       |    coalesce(l.cluster_id, v.vec_id) AS cid,
+       |    v.vec_id // $VariantsPerBase AS pid
+       |  FROM variants v LEFT JOIN ${p}labels l ON v.vec_id = l.doc_id)"""
+      .stripMargin
+
+  private def oracle196: String = {
+    def sub(q: String): String = q.linesIterator.mkString("\n  ")
+    val simList = simListSql
+    def labCte(p: String): String = vecLabCte(p)
+    val rows = Seq("vb" -> "brute", "vs" -> "signlsh", "vc" -> "cell")
+      .map { case (p, f) => DedupQuality.censusSql(p, f) }
+    s"""WITH RECURSIVE $vecVariantCtes,
        |bpairs AS MATERIALIZED (
        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
        |  FROM variants a JOIN variants b ON a.vec_id < b.vec_id
@@ -228,6 +333,72 @@ object VectorQuality {
        |rows AS (
        |${rows.mkString("\nUNION ALL\n")})
        |SELECT family, n_docs, planted_pairs, recovered_pairs,
+       |  correct_pairs,
+       |  (1000000 * correct_pairs) // greatest(recovered_pairs, 1)
+       |    AS precision_ppm,
+       |  (1000000 * correct_pairs) // greatest(planted_pairs, 1)
+       |    AS recall_ppm
+       |FROM rows""".stripMargin
+  }
+
+  /** oracle199: the variant corpus + adaptive cell count, the RANKED
+    * cell assignment (per (vector, cell-index) rows ranked by
+    * (cosine DESC, index ASC) — rank 1 IS the engine's argmax, ranks
+    * ≤ 2 the top-2 set, tie-broken identically on both engines by
+    * first occurrence), both candidate joins, the exact-cosine
+    * verify, a CC walk + census per family, with each family's
+    * candidate volume attached (the q197 row shape). */
+  private def oracle199: String = {
+    val rows = Seq(("p1", "cell", "p1cand"), ("p2", "cell_p2", "p2cand"))
+      .map { case (p, fam, cand) =>
+        s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM $cand)
+           |    AS candidates, c.*
+           |FROM (
+           |${DedupQuality.censusSql(p, fam)}) c""".stripMargin
+      }
+    def pairsCte(p: String): String =
+      s"""${p}pairs AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM ${p}cand
+         |  JOIN variants va ON va.vec_id = doc_a
+         |  JOIN variants vb ON vb.vec_id = doc_b
+         |  WHERE round(${cosE("va.embedding", "vb.embedding")}, 6)
+         |    >= $CosThreshold)""".stripMargin
+    s"""WITH RECURSIVE $vecVariantCtes,
+       |vcc AS (
+       |  SELECT CASE WHEN count(*) <= 512 THEN 16
+       |              WHEN count(*) <= 1024 THEN 32
+       |              ELSE 64 END AS ncells
+       |  FROM variants),
+       |vsim AS (
+       |  SELECT vec_id, ($simListSql)[1:ncells] AS lc
+       |  FROM variants, vcc),
+       |vrows AS (
+       |  SELECT vec_id, lc, unnest(generate_series(1, len(lc))) AS i
+       |  FROM vsim),
+       |vranked AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY lc[i] DESC, i ASC) AS rn
+       |  FROM vrows),
+       |vt1 AS (SELECT vec_id, cell FROM vranked WHERE rn = 1),
+       |vt2 AS (SELECT DISTINCT vec_id, cell FROM vranked WHERE rn <= 2),
+       |p1cand AS MATERIALIZED (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM vt1 a JOIN vt1 b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |p2cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM vt2 a JOIN vt2 b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |${pairsCte("p1")},
+       |${pairsCte("p2")},
+       |${DedupQuality.ccWalkCtes("p1", "p1pairs")},
+       |${DedupQuality.ccWalkCtes("p2", "p2pairs")},
+       |${vecLabCte("p1")},
+       |${vecLabCte("p2")},
+       |rows AS (
+       |${rows.mkString("\nUNION ALL\n")})
+       |SELECT family, candidates, n_docs, planted_pairs, recovered_pairs,
        |  correct_pairs,
        |  (1000000 * correct_pairs) // greatest(recovered_pairs, 1)
        |    AS precision_ppm,

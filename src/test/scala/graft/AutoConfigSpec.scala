@@ -126,6 +126,65 @@ class AutoConfigSpec extends SparkSpec {
     assert(fr("simhash128")._1 < fr("minhash")._1)
   }
 
+  test("q192 freshness contract: a frontier measured elsewhere inverts the selection") {
+    // the selectConfig doc's contract, demonstrated (round-13 verdict
+    // #4): the IVF frontier measured on sf0.001's embeddings selects
+    // ivf16_p6, the one measured on sf0.01's own selects ivfA_sqrt —
+    // so serving sf0.01 from a PERSISTED sf0.001 frontier would hand
+    // q195's kNN a config the fresh measurement rejects. Frontier
+    // inputs must derive from the corpus the selection serves, in the
+    // same plan (all AutoConfig entry points do, by construction).
+    val stale = AutoConfig.ivfChoice(
+      Tables.load(spark, sf0001, "embeddings")).head().getString(0)
+    val fresh = AutoConfig.ivfChoice(
+      Tables.load(spark, "/root/testdata/sf0.01", "embeddings"))
+      .head().getString(0)
+    assert(stale === "ivf16_p6")
+    assert(fresh === "ivfA_sqrt")
+    assert(stale !== fresh) // the inversion a staleness check prevents
+  }
+
+  test("q198: selected sketch sizes derive from the measured statistics (and switch with them)") {
+    // sf0.001 (N≈27.9k tokens, 351 bench grams, span≈$105k): CMS
+    // selects 1024 (⌈e·N/1024⌉ = 75 ≤ 100; 32 would guarantee only
+    // 2374), Bloom selects 8192 (23 bits/gram; 1024 gives 2), hist
+    // derives the shipped 8192-cent width (512 needs 20509 buckets,
+    // over the 4096 budget; 8192 is the finest that fits). The same
+    // rules at sf0.1 (N≈271k, 2419 grams) select 32768/131072 — the
+    // switch itself is oracle-gated tri-scale; here we pin the spec
+    // corpus's selections and that every target is met
+    val m = SparkEntry.queries("q198_sketch_sizing")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("sketch") ->
+        (r.getAs[Long]("selected"), r.getAs[Long]("meets_target"))).toMap
+    assert(m("cms_width") === (1024L, 1L))
+    assert(m("bloom_bits") === (8192L, 1L))
+    assert(m("hist_width") === (8192L, 1L))
+  }
+
+  test("q198: a grid that cannot bracket the statistic falls back to max accuracy, visibly") {
+    // the q153/q188 lesson as a structural property: feed the CMS rule
+    // a token stream far beyond the grid's reach (10^10 occurrences —
+    // every width's guaranteed bound exceeds the target) and the
+    // selection must degrade to the TIGHTEST bound available (the
+    // largest width) with meets_target = 0 — a visible shortfall,
+    // never a silent no-op. Same regime for Bloom with a gram
+    // inventory the largest filter cannot cover at 10 bits/gram.
+    val bigTok = Seq(10000000000L).toDF("sv")
+    val c = AutoConfig.cmsPick(bigTok).head()
+    assert(c.getAs[Long]("selected") === 32768L) // max-accuracy fallback
+    assert(c.getAs[Long]("meets_target") === 0L)
+    val bigGram = Seq(1000000L).toDF("sv")
+    val b = AutoConfig.bloomPick(bigGram).head()
+    assert(b.getAs[Long]("selected") === 131072L)
+    assert(b.getAs[Long]("meets_target") === 0L)
+    // and a span no width fits within the bucket budget → fewest
+    // buckets (the only way to fit closest) with the flag down
+    val bigSpan = Seq(131072L * 4096L * 2L).toDF("sv")
+    val h = AutoConfig.histPick(bigSpan).head()
+    assert(h.getAs[Long]("selected") === 131072L)
+    assert(h.getAs[Long]("meets_target") === 0L)
+  }
+
   test("q192 sf0.001: ANN selection is corpus-dependent by design") {
     // at sf0.001 all three ≥-floor IVF configs tie on recall and the
     // 16-cell fixed codebook is strictly cheapest — the operator

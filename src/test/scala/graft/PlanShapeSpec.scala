@@ -1067,6 +1067,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "HashAggregate") === 2, p) // partial + final
   }
 
+  test("q198: the sizing statistics prune their scans to the columns the rules read") {
+    // at 100 TB the three statistics passes are the operator's whole
+    // cost — a scan that drags unneeded columns through the token
+    // explode is the q02 pruning bug at sketch-sizing scale
+    val p = executedPlan("q198_sketch_sizing")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty, p)
+    // documents: text (+ doc_id for the bench slice) — never lang/source
+    assert(!schemas.exists(s => s.contains("lang") || s.contains("source")),
+      schemas.mkString("\n"))
+    // lineitem: l_extendedprice only — never dates or the other decimals
+    assert(schemas.exists(_.contains("l_extendedprice")), schemas.mkString("\n"))
+    assert(!schemas.exists(s => s.contains("l_shipdate") || s.contains("l_tax")),
+      schemas.mkString("\n"))
+  }
+
   test("q01 aggregation is two-phase (partial before the exchange)") {
     val p = executedPlan("q01_agg")
     val firstAgg = p.indexOf("HashAggregate")
