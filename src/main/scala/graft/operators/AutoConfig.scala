@@ -270,6 +270,48 @@ object AutoConfig {
           .select(col("doc_a"), col("doc_b"))))
   }
 
+  // ---- q200: the THRESHOLD selection (SimHash radius) ---------------
+
+  /** Radius-selection precision floor: ≥ 90% of accepted pairs must
+    * be true J ≥ 0.5 near-dups. SimHash accepts on the Hamming proxy
+    * WITHOUT an exact verify, so precision is the guarantee a
+    * deployment states — the knob's OTHER side (recall) is then
+    * maximized, not floored: the selection is "the largest Hamming
+    * ball whose precision still holds", which is how a threshold is
+    * actually chosen. */
+  private[graft] val RadiusPrecisionFloorPpm = 900000L
+
+  /** The relaxed scenario's floor (gated beside the strict one): at
+    * 50% precision the 16-bit family's bigger balls become admissible
+    * where their measured precision survives — which they do at the
+    * small corpora (sim64_h3: 53–60% precision, 71–72% recall) and do
+    * NOT at sf0.1 (12% — the q46 birthday floor eating the 16-bit
+    * chunk keyspace). The relaxed selection is therefore
+    * corpus-DEPENDENT (sim64_h3 → sim128_h3 across sf), the q192
+    * switching property for the threshold knob. */
+  private[graft] val RadiusPrecisionRelaxedPpm = 500000L
+
+  /** The threshold argmin over the q182 radius frontier: among rows
+    * meeting (precision floor, candidate budget), take MAX recall;
+    * ties fall to the smaller accept set (the tighter ball), then the
+    * cheaper scan, then config. No feasible row degrades to the
+    * max-recall row with meets_floors = 0 (the q192 fallback
+    * convention — a planner always emits a config). LIMIT 1 over the
+    * 8-row frontier: plan-time state. */
+  private[graft] def radiusChoice(fr: DataFrame, pFloor: Long,
+      budget: Long): DataFrame = {
+    val feas = (col("precision_ppm") >= pFloor &&
+      col("candidates") <= budget).cast("int")
+    fr.orderBy(feas.desc, col("recall_ppm").desc, col("accepted").asc,
+        col("candidates").asc, col("config").asc)
+      .limit(1)
+      .select(col("config"), col("family"), col("radius"),
+        col("candidates"), col("accepted"), col("truth_pairs"),
+        col("hits"), col("precision_ppm"), col("recall_ppm"),
+        lit(pFloor).as("precision_floor"), lit(budget).as("budget_max"),
+        feas.cast("long").as("meets_floors"))
+  }
+
   // ---- q198: auto-SIZED sketches -----------------------------------
 
   /** ⌈e·10⁶⌉ — the Count-Min error constant as a conservative integer
@@ -469,6 +511,26 @@ object AutoConfig {
     "q198_sketch_sizing" -> { (s, dir) =>
       sketchSizing(Tables.load(s, dir, "documents"),
         Tables.load(s, dir, "lineitem"))
+    },
+
+    // -- q200 (round 14): the THRESHOLD knob selected — the last
+    //    measured-but-unselected knob TYPE (volume q192, family q197,
+    //    memory q198): the SimHash accept radius from the q182
+    //    frontier, as "the largest Hamming ball whose precision holds
+    //    the floor". Strict (90%) derives the shipped sim128_h3 at
+    //    every sf; relaxed (50%) flips to sim64_h3 at the small
+    //    corpora but NOT at sf0.1, where the 16-bit family's
+    //    precision collapses (12%) — the scale-dependence of the
+    //    cheap-looking family, oracle-gated. The frontier computes
+    //    ONCE (checkpointed) and feeds both scenario selections. --
+    "q200_radius_select" -> { (s, dir) =>
+      val fr = Dedup.simhashFrontier(Tables.load(s, dir, "documents"))
+        .localCheckpoint(true)
+      radiusChoice(fr, RadiusPrecisionFloorPpm, CandidateBudgetMax)
+        .select(lit("strict").as("scenario"), col("*"))
+        .unionByName(
+          radiusChoice(fr, RadiusPrecisionRelaxedPpm, CandidateBudgetMax)
+            .select(lit("relaxed").as("scenario"), col("*")))
     },
   )
 
@@ -700,10 +762,39 @@ object AutoConfig {
           "bound", "state ASC")}""".stripMargin
   }
 
+  /** oracle200: the full q182 derivation as a MATERIALIZED frontier
+    * CTE (read by both scenario selections), then per scenario the
+    * same threshold total order, LIMIT 1. */
+  private def oracle200: String = {
+    def sel(scenario: String, pFloor: Long): String = {
+      val feas = s"precision_ppm >= $pFloor AND candidates <= $CandidateBudgetMax"
+      s"""SELECT '$scenario' AS scenario, config, family,
+         |  radius, candidates, accepted, truth_pairs, hits,
+         |  precision_ppm, recall_ppm,
+         |  CAST($pFloor AS BIGINT) AS precision_floor,
+         |  CAST($CandidateBudgetMax AS BIGINT) AS budget_max,
+         |  CAST(CASE WHEN $feas THEN 1 ELSE 0 END AS BIGINT)
+         |    AS meets_floors
+         |FROM fr
+         |ORDER BY (CASE WHEN $feas THEN 1 ELSE 0 END) DESC,
+         |  recall_ppm DESC, accepted ASC, candidates ASC, config ASC
+         |LIMIT 1""".stripMargin
+    }
+    s"""WITH fr AS MATERIALIZED (
+       |${Dedup.oracle182}
+       |)
+       |SELECT * FROM (
+       |${sel("strict", RadiusPrecisionFloorPpm)})
+       |UNION ALL
+       |SELECT * FROM (
+       |${sel("relaxed", RadiusPrecisionRelaxedPpm)})""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q192_autoconfig" -> oracle192,
     "q195_autotuned_knn" -> oracle195,
     "q197_family_select" -> oracle197,
     "q198_sketch_sizing" -> oracle198,
+    "q200_radius_select" -> oracle200,
   )
 }

@@ -1030,7 +1030,7 @@ object Dedup {
     * all four radius rows — the engine's two-pass shape replayed.
     * Candidate CTEs MATERIALIZED (each is read by its flag join;
     * the flag CTEs by the 1-row aggregates). */
-  private def oracle182: String = {
+  private[operators] def oracle182: String = {
     def aggSelect = (Seq("count(*) AS candidates") ++
       RadiusGrid.flatMap(h => Seq(
         s"count(*) FILTER (WHERE hamming <= $h) AS acc$h",

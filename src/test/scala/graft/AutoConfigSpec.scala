@@ -185,6 +185,31 @@ class AutoConfigSpec extends SparkSpec {
     assert(h.getAs[Long]("meets_target") === 0L)
   }
 
+  test("q200: the strict floor derives the shipped radius; the relaxed floor's flip is scale-dependent") {
+    // measured (tri-scale, oracle-gated): at 90% precision the
+    // largest feasible Hamming ball is sim128_h3 at EVERY sf — the
+    // shipped q79 config derived from the data, like q198's hist row.
+    // At 50% the 16-bit family's h3 ball becomes admissible at the
+    // small corpora (53–60% precision, 71–72% recall) — but at sf0.1
+    // its precision is 12% (the q46 birthday floor), so the relaxed
+    // selection is corpus-dependent where the strict one is stable
+    val rows = SparkEntry.queries("q200_radius_select")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("scenario") ->
+        (r.getAs[String]("config"), r.getAs[Long]("meets_floors"))).toMap
+    assert(rows("strict") === (("sim128_h3", 1L)))
+    assert(rows("relaxed") === (("sim64_h3", 1L)))
+    // synthetic fallback regime: floors nothing can meet degrade to
+    // the max-recall row with the flag down, never an empty result
+    val fr = Seq(
+      ("a_h1", "a", 1L, 10L, 5L, 20L, 4L, 800000L, 200000L),
+      ("a_h2", "a", 2L, 10L, 9L, 20L, 6L, 666666L, 300000L))
+      .toDF("config", "family", "radius", "candidates", "accepted",
+        "truth_pairs", "hits", "precision_ppm", "recall_ppm")
+    val fb = AutoConfig.radiusChoice(fr, 900000L, 1000000L).head()
+    assert(fb.getAs[String]("config") === "a_h2") // max recall
+    assert(fb.getAs[Long]("meets_floors") === 0L)
+  }
+
   test("q192 sf0.001: ANN selection is corpus-dependent by design") {
     // at sf0.001 all three ≥-floor IVF configs tie on recall and the
     // 16-cell fixed codebook is strictly cheapest — the operator
