@@ -5,9 +5,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** q192 — plan-time auto-configuration from the frontier decision
-  * tables: the argmin a knee-reading human performs over the q180
-  * MinHash-banding and q175 IVF tables, as a relational operator.
+/** Plan-time auto-configuration from the frontier decision tables —
+  * the selection family: q192 (config within a family: banding/IVF),
+  * q195 (the selection consumed by batch kNN), q197 (the FAMILY
+  * itself, from unified cost + quality), q198 (sketch MEMORY from
+  * measured statistics), q200 (the accept THRESHOLD: SimHash radius)
+  * — every knob TYPE a pipeline tunes, selected by a measured argmin.
+  *
+  * q192 is the pattern: the argmin a knee-reading human performs over
+  * the q180 MinHash-banding and q175 IVF tables, as a relational
+  * operator.
   *
   * The engine MEASURES every knob a dedup/ANN deployment tunes
   * (q175/q177/q180/q182, the round-12 frontier family); this closes
