@@ -277,6 +277,45 @@ object AutoConfig {
           .select(col("doc_a"), col("doc_b"))))
   }
 
+  // ---- q201: the family selection CONSUMED ---------------------------
+
+  /** The q194 calibration convention applied to the FAMILY selection:
+    * the cross-family frontier (planted variants, candidate costs,
+    * quality censuses) is measured on the deterministic 1-in-2 id
+    * slice — at 100 TB the benchmark corpus derives from a sample of
+    * YOUR corpus, never the whole of it — and the q192 total order
+    * picks the family at the house cluster-recall floor. Measured at
+    * the gate corpora: b16r4 at every sf, meets_floor = 1 with
+    * 37k–84k ppm of margin (FamilyChoiceProbe). */
+  private[graft] def sampledFamilyChoice(d: DataFrame): DataFrame =
+    selectConfig(
+      dedupFamilyFrontier(d.filter(col("doc_id") % CalibSampleMod === 0)),
+      FamilyRecallFloorPpm, CandidateBudgetMax)
+
+  /** q201 — dedup with the FAMILY auto-selected: the q197 selection
+    * CONSUMED, the way q194 consumes the banding selection and q195
+    * the (codebook, nprobe). One 1-row plan-time collect reads the
+    * sampled selection, then the FULL corpus pays exactly one dedup
+    * pass in the selected family's production shape: exact →
+    * [[Dedup.dedupKeep]] (prefix-filtered verify), minhash →
+    * [[Dedup.dedupKeepLsh]] at the shipped banding, simhash128 →
+    * the chunk-collision Hamming ≤ 3 drop (no verify — the family's
+    * accept contract). Unselected families' plans are never built. */
+  private[graft] def dedupKeepAuto(d: DataFrame): DataFrame = {
+    val cfg = sampledFamilyChoice(d).head.getString(0)
+    val kept = cfg match {
+      case "exact" => Dedup.dedupKeep(d)
+      case "b16r4" => Dedup.dedupKeepLsh(d, 16)
+      case _ =>
+        val drop = Dedup.simhashPairsWide(d)
+          .filter(col("hamming") <= 3)
+          .select(col("doc_b").as("doc_id")).distinct()
+        d.join(drop, Seq("doc_id"), "left_anti")
+    }
+    kept.select(lit(cfg).as("config"), col("doc_id"), col("source"),
+      col("lang"))
+  }
+
   // ---- q200: the THRESHOLD selection (SimHash radius) ---------------
 
   /** Radius-selection precision floor: ≥ 90% of accepted pairs must
@@ -539,6 +578,19 @@ object AutoConfig {
           radiusChoice(fr, RadiusPrecisionRelaxedPpm, CandidateBudgetMax)
             .select(lit("relaxed").as("scenario"), col("*")))
     },
+
+    // -- q201 (round 14): the family selection CONSUMED — dedup whose
+    //    FAMILY is auto-selected from the q197 frontier measured on
+    //    the mod-2 calibration slice (the q194 sampling convention),
+    //    then ONE full-corpus dedup pass in the selected family's
+    //    production shape. The q192→q194/q195 consume pattern applied
+    //    to the cross-family selection: "which dedup do you ship",
+    //    measured, selected AND executed in one operator. EXACT-gated:
+    //    the oracle replays the sampled frontier + selection and all
+    //    three families' drop sets gated by the selection scalar. --
+    "q201_auto_dedup" -> { (s, dir) =>
+      dedupKeepAuto(Tables.load(s, dir, "documents"))
+    },
   )
 
   /** The selection SQL over a frontier CTE `<src>(config, candidates,
@@ -651,6 +703,22 @@ object AutoConfig {
          |    recall_ppm DESC, candidates ASC, pref ASC, config ASC) = 1
          |  THEN 1 ELSE 0 END AS BIGINT) AS sel_$label""".stripMargin
     }
+    s"""WITH RECURSIVE ${familyFrontierCtes("documents")}
+       |SELECT family, config, candidates, n_docs, planted_pairs,
+       |  recovered_pairs, correct_pairs, precision_ppm, recall_ppm,
+       |  ${sub(selFlag("strict", FamilyRecallFloorPpm))},
+       |  ${sub(selFlag("relaxed", 0L))}
+       |FROM scored""".stripMargin
+  }
+
+  /** The q197 frontier chain over any documents-shaped relation
+    * `src`, as CTEs ending at `scored(family, config, pref,
+    * candidates, n_docs, planted_pairs, recovered_pairs,
+    * correct_pairs, precision_ppm, recall_ppm)` — shared by
+    * oracle197 (over `documents`) and oracle201 (over the mod-2
+    * calibration slice). Splice directly after WITH RECURSIVE. */
+  private def familyFrontierCtes(src: String): String = {
+    def sub(q: String): String = q.linesIterator.mkString("\n  ")
     val rows = Seq(("ex", "exact", "exact", 0, "excand"),
         ("mh", "minhash", "b16r4", 1, "mhcand"),
         ("sh", "simhash128", "sim128_h3", 2, "shcand"))
@@ -660,7 +728,7 @@ object AutoConfig {
            |FROM (
            |${DedupQuality.censusSql(p, fam)}) c""".stripMargin
       }
-    s"""WITH RECURSIVE ${DedupQuality.variantCtes(DedupQuality.SepDen)},
+    s"""${DedupQuality.variantCtes(DedupQuality.SepDen, src)},
        |excand AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM (
        |  ${sub(Dedup.prefixCandSqlOver("variants"))})),
@@ -693,12 +761,48 @@ object AutoConfig {
        |      AS precision_ppm,
        |    (1000000 * correct_pairs) // greatest(planted_pairs, 1)
        |      AS recall_ppm
-       |  FROM rows)
-       |SELECT family, config, candidates, n_docs, planted_pairs,
-       |  recovered_pairs, correct_pairs, precision_ppm, recall_ppm,
-       |  ${sub(selFlag("strict", FamilyRecallFloorPpm))},
-       |  ${sub(selFlag("relaxed", 0L))}
-       |FROM scored""".stripMargin
+       |  FROM rows)""".stripMargin
+  }
+
+  /** oracle201: the calibration slice, the q197 frontier chain over
+    * it, the strict selection as a 1-row `sel` CTE (the shared
+    * selectSql total order), then per family its FULL-corpus drop set
+    * (the audited q44/q45/q79 chains, each nested self-contained)
+    * gated by the selection scalar — only the SELECTED family's drops
+    * reach the anti-join, the lshDropCtesOver gating pattern applied
+    * across families. */
+  private def oracle201: String = {
+    def sub(q: String): String = q.linesIterator.mkString("\n  ")
+    val gated = Seq(("exdrop", "exact"), ("mhdrop", "b16r4"),
+      ("shdrop", "sim128_h3")).map { case (leg, cfg) =>
+      s"""  SELECT doc_id FROM $leg
+         |  WHERE (SELECT config FROM sel) = '$cfg'""".stripMargin
+    }
+    s"""WITH RECURSIVE calib AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % ${CalibSampleMod} = 0),
+       |${familyFrontierCtes("calib")},
+       |frp AS (
+       |  SELECT config, candidates, recall_ppm, pref FROM scored),
+       |sel AS MATERIALIZED (
+       |${selectSql("frp", "dedup_family", FamilyRecallFloorPpm, CandidateBudgetMax)}
+       |),
+       |exdrop AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (
+       |  ${sub(DedupQuality.exactPairsSqlOver("documents"))})),
+       |mhdrop AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (
+       |  ${sub(Dedup.minhashPairsSqlOver("documents"))})),
+       |shdrop AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (
+       |  ${sub(Dedup.simhashWidePairsSqlOver("documents"))})),
+       |dropset AS MATERIALIZED (
+       |${gated.mkString("\n  UNION ALL\n")}
+       |)
+       |SELECT (SELECT config FROM sel) AS config,
+       |  d.doc_id, d.source, d.lang
+       |FROM documents d
+       |ANTI JOIN dropset USING (doc_id)""".stripMargin
   }
 
   /** oracle198: the three statistics re-measured (token occurrences
@@ -803,5 +907,6 @@ object AutoConfig {
     "q197_family_select" -> oracle197,
     "q198_sketch_sizing" -> oracle198,
     "q200_radius_select" -> oracle200,
+    "q201_auto_dedup" -> oracle201,
   )
 }

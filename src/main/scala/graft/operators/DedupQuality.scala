@@ -161,10 +161,11 @@ object DedupQuality {
     * raw table (list slice + generated junk tokens; DuckDB
     * generate_series(1, 0) is empty, matching the guarded engine
     * sequence). */
-  private[operators] def variantCtes(sepDen: Int): String =
+  private[operators] def variantCtes(sepDen: Int,
+      src: String = "documents"): String =
     s"""vbase AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t
-       |  FROM documents WHERE doc_id % $BaseMod = 0),
+       |  FROM $src WHERE doc_id % $BaseMod = 0),
        |vbase2 AS (
        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
        |  FROM vbase WHERE len(t) >= $MinTokens),

@@ -210,6 +210,27 @@ class AutoConfigSpec extends SparkSpec {
     assert(fb.getAs[Long]("meets_floors") === 0L)
   }
 
+  test("q201: the consumed family selection dispatches to the selected family's dedup") {
+    // at the spec corpus the mod-2 sampled frontier selects b16r4
+    // with meets_floor = 1 (FamilyChoiceProbe: recall 975000 vs the
+    // 900000 floor), so the kept set must BE dedupKeepLsh(16)'s, the
+    // config column carrying the decision — the q195 verbatim-rows
+    // property applied to the family selection
+    val sel = AutoConfig.sampledFamilyChoice(
+      Tables.load(spark, sf0001, "documents")).head()
+    assert(sel.getString(0) === "b16r4")
+    assert(sel.getLong(5) === 1L) // measured, not fallback
+    val auto = SparkEntry.queries("q201_auto_dedup")(spark, sf0001)
+      .collect()
+    assert(auto.map(_.getString(0)).toSet === Set("b16r4"))
+    val keptAuto = auto.map(_.getLong(1)).toSet
+    val keptLsh = graft.operators.Dedup.dedupKeepLsh(
+        Tables.load(spark, sf0001, "documents"), 16)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(keptAuto === keptLsh)
+    assert(keptAuto.nonEmpty)
+  }
+
   test("q192 sf0.001: ANN selection is corpus-dependent by design") {
     // at sf0.001 all three ≥-floor IVF configs tie on recall and the
     // 16-cell fixed codebook is strictly cheapest — the operator
