@@ -339,18 +339,78 @@ object ApproxAggs {
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** The global CMS token-hash chain (token stream → per-occurrence
+    * per-depth-row salted splitmix64 hashes), name-PREFIXED, ending at
+    * `<p>sh(j, h)` MATERIALIZED — shared by oracle188 (p = "") and the
+    * q202 auto-sized eval oracle (p = "ac", where the Bloom chain's
+    * CTE names would otherwise collide in the same WITH block). */
+  private[operators] def cmsHashCtes(p: String): String = {
+    import graft.functions.SplitMix64Kernel
+    val m64 = "18446744073709551616"
+    def saltLit(j: Int): String = java.lang.Long.toUnsignedString(
+      (CmSalt + j) * SplitMix64Kernel.Golden)
+    val saltCase = (0 until CmDepth)
+      .map(j => s"WHEN $j THEN ${saltLit(j)}").mkString(" ")
+    s"""${p}tok AS (
+       |  SELECT string_split_regex(text, '\\s+') AS t FROM documents),
+       |${p}pos AS (
+       |  SELECT t, unnest(generate_series(1, len(t))) AS i FROM ${p}tok),
+       |${p}wt AS (SELECT t[i] AS w FROM ${p}pos),
+       |${p}dt AS (SELECT DISTINCT w FROM ${p}wt),
+       |${p}dp AS (SELECT w, ${SplitMix64.polyHashSql("w")} AS p FROM ${p}dt),
+       |${p}dh AS (SELECT w, ${SplitMix64.mixSql("p")} AS th FROM ${p}dp),
+       |${p}occ AS MATERIALIZED (
+       |  SELECT ${p}dh.th FROM ${p}wt JOIN ${p}dh USING (w)),
+       |${p}sj AS (
+       |  SELECT j, (th + CASE j $saltCase END) % $m64 AS x
+       |  FROM ${p}occ, (SELECT unnest(range($CmDepth)) AS j) js),
+       |${p}sh AS MATERIALIZED (
+       |  SELECT j, ${SplitMix64.mixSql("x")} AS h FROM ${p}sj)""".stripMargin
+  }
+
+  /** Gated per-width CMS probe-estimate legs for the q202 auto-sized
+    * eval oracle: the bucket census and the probe rows for a width
+    * exist ONLY when the q198 selection scalar picks it (the q195/
+    * q201 gating pattern), so the oracle pays one census — like the
+    * engine pays one sketch. Probe bucket constants come from the
+    * SAME Scala kernel as the engine's CountMinAgg (the oracle188
+    * convention). Returns (ctes, rows-union) over `<p>sh`. */
+  private[operators] def cmsGatedEvalSql(grid: Seq[Long], gate: String,
+      p: String): (String, String) = {
+    import graft.functions.SplitMix64Kernel
+    val ctes = grid.zipWithIndex.map { case (w, i) =>
+      s"""${p}g${i}c AS (
+         |  SELECT j, h % $w AS bkt, count(*) AS cnt FROM ${p}sh
+         |  WHERE $gate = $w GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val rows = grid.zipWithIndex.flatMap { case (w, i) =>
+      CmProbes.map { t =>
+        val th = SplitMix64Kernel.strHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        val pbVals = (0 until CmDepth).map { j =>
+          val bkt = (SplitMix64Kernel.mix(
+            th + (CmSalt + j) * SplitMix64Kernel.Golden) & (w - 1)).toInt
+          s"($j, $bkt)"
+        }.mkString(", ")
+        s"""SELECT 'cms_width' AS sketch, CAST($w AS BIGINT) AS selected,
+           |  'est_$t' AS item,
+           |  (SELECT CAST(min(coalesce(cnt, 0)) AS BIGINT)
+           |   FROM (VALUES $pbVals) pb(j, bkt)
+           |   LEFT JOIN ${p}g${i}c c ON c.j = pb.j AND c.bkt = pb.bkt)
+           |    AS value
+           |FROM (SELECT 1) one WHERE $gate = $w""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    (ctes, rows)
+  }
+
   /** q188: the oracle95 token-hash chain (global, no lang key), the
     * width-independent salted hashes MATERIALIZED once, then per width
     * only the bucket census re-keys (h % w) — probe bucket constants
     * embedded from the SAME Scala kernel per width, exact counts from
     * the literal-filtered token stream. */
   private def oracle188: String = {
-    import graft.functions.{SplitMix64, SplitMix64Kernel}
-    val m64 = "18446744073709551616"
-    def saltLit(j: Int): String = java.lang.Long.toUnsignedString(
-      (CmSalt + j) * SplitMix64Kernel.Golden)
-    val saltCase = (0 until CmDepth)
-      .map(j => s"WHEN $j THEN ${saltLit(j)}").mkString(" ")
+    import graft.functions.SplitMix64Kernel
     val probeList = CmProbes.map(t => s"'$t'").mkString(", ")
     val widthCtes = CmWidthGrid.zipWithIndex.map { case (w, gi) =>
       s"""g${gi}c AS MATERIALIZED (
@@ -380,23 +440,11 @@ object ApproxAggs {
            |      AS est) r""".stripMargin
       }
     }
-    s"""WITH tok AS (
-       |  SELECT string_split_regex(text, '\\s+') AS t FROM documents),
-       |pos AS (
-       |  SELECT t, unnest(generate_series(1, len(t))) AS i FROM tok),
-       |wt AS (SELECT t[i] AS w FROM pos),
-       |dt AS (SELECT DISTINCT w FROM wt),
-       |dp AS (SELECT w, ${SplitMix64.polyHashSql("w")} AS p FROM dt),
-       |dh AS (SELECT w, ${SplitMix64.mixSql("p")} AS th FROM dp),
-       |occ AS MATERIALIZED (SELECT dh.th FROM wt JOIN dh USING (w)),
+    s"""WITH ${cmsHashCtes("")},
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM occ),
        |ex AS MATERIALIZED (
        |  SELECT w AS token, CAST(count(*) AS BIGINT) AS exact FROM wt
        |  WHERE w IN ($probeList) GROUP BY w),
-       |sj AS (
-       |  SELECT j, (th + CASE j $saltCase END) % $m64 AS x
-       |  FROM occ, (SELECT unnest(range($CmDepth)) AS j) js),
-       |sh AS MATERIALIZED (SELECT j, ${SplitMix64.mixSql("x")} AS h FROM sj),
        |${widthCtes.mkString(",\n")}
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
   }

@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * itself, from unified cost + quality), q198 (sketch MEMORY from
   * measured statistics), q200 (the accept THRESHOLD: SimHash radius)
   * — every knob TYPE a pipeline tunes, selected by a measured argmin.
+  * And every selection has a CONSUMER that reads it in one plan-time
+  * collect and runs the production pass at the selected config only:
+  * volume → q194 (pipeline banding) / q195 (batch kNN), family →
+  * q201 (auto-dispatched dedup), memory → q202 (the three sketches
+  * at their auto-selected sizes), threshold → q203 (dedup at the
+  * auto-selected Hamming radius).
   *
   * q192 is the pattern: the argmin a knee-reading human performs over
   * the q180 MinHash-banding and q175 IVF tables, as a relational
@@ -358,6 +364,44 @@ object AutoConfig {
         feas.cast("long").as("meets_floors"))
   }
 
+  // ---- q203: the THRESHOLD selection CONSUMED ------------------------
+
+  /** The q194/q201 calibration convention applied to the RADIUS
+    * selection: the q182 frontier (both fingerprint families × all
+    * four radii, precision/recall against the slice's own exact
+    * truth) is measured on the deterministic 1-in-2 id slice, and
+    * the q200 strict scenario (90% precision floor, max recall, the
+    * largest admissible Hamming ball) picks the (family, radius) the
+    * full corpus will run. */
+  private[graft] def sampledRadiusChoice(d: DataFrame): DataFrame =
+    radiusChoice(Dedup.simhashFrontier(
+        d.filter(col("doc_id") % CalibSampleMod === 0)),
+      RadiusPrecisionFloorPpm, CandidateBudgetMax)
+
+  /** q203 — dedup at the AUTO-selected SimHash radius: the q200
+    * threshold selection CONSUMED, completing the consume family
+    * (volume → q194/q195, family → q201, memory → q202, threshold →
+    * here). One 1-row plan-time collect reads the sampled selection,
+    * then the FULL corpus pays exactly one chunk-collision pass in
+    * the selected FAMILY at the selected RADIUS — the SimHash accept
+    * contract (Hamming proxy, no verify), with both the fingerprint
+    * width and the ball size derived from the measured frontier
+    * rather than convention. The unselected family's plan is never
+    * built. */
+  private[graft] def dedupKeepAutoRadius(d: DataFrame): DataFrame = {
+    val sel = sampledRadiusChoice(d).head
+    val cfg = sel.getString(0)
+    val fam = sel.getString(1)
+    val radius = sel.getLong(2)
+    val pairs =
+      if (fam == "sim64") Dedup.simhashPairs(d) else Dedup.simhashPairsWide(d)
+    val drop = pairs.filter(col("hamming") <= radius)
+      .select(col("doc_b").as("doc_id")).distinct()
+    d.join(drop, Seq("doc_id"), "left_anti")
+      .select(lit(cfg).as("config"), col("doc_id"), col("source"),
+        col("lang"))
+  }
+
   // ---- q198: auto-SIZED sketches -----------------------------------
 
   /** ⌈e·10⁶⌉ — the Count-Min error constant as a conservative integer
@@ -493,6 +537,87 @@ object AutoConfig {
       feasible = col("state") <= HistBucketBudget,
       objective = col("bound"), fallback = col("state").asc)
 
+  // ---- q202: the MEMORY selections CONSUMED --------------------------
+
+  /** q202 — the three owned sketches RUN at their auto-selected sizes:
+    * the q198 memory selection consumed, the way q194/q195 consume
+    * the volume selection and q201 the family selection. One 3-row
+    * plan-time collect reads the sizing table, then each sketch pays
+    * exactly one production pass at its SELECTED size — the q95
+    * heavy-hitter probe estimates at the selected CMS width, the
+    * q96-shape decontamination flag census at the selected Bloom
+    * bits, and the q55b-family quantiles at the selected histogram
+    * width with the bucket count the selection itself derived
+    * (state = ⌈span/width⌉ — the sketch is sized BY the measured
+    * span, the q153 corpus-adaptive lesson as a consumer). Unselected
+    * sizes' sketches are never built. Output is one long-format row
+    * per produced statistic: (sketch, selected, item, value), every
+    * value a 64-bit integer from the owned-sketch kernels, so the
+    * gate stays EXACT. Scale shape: three audited fixed-memory
+    * sketch passes (CMS/histogram one map-pass each with mergeable
+    * state; the Bloom build is the bounded ≤ bits/8-byte Setup-block
+    * collect documented at q96) plus the q198 statistic passes —
+    * nothing new shuffles; the consumer adds only the 3-row
+    * plan-time selection read. */
+  private[graft] def autoSizedSketchEval(docs: DataFrame,
+      li: DataFrame): DataFrame = {
+    import graft.functions.{Sketches, Text}
+    val sel = sketchSizing(docs, li)
+      .select(col("sketch"), col("selected"), col("state")).collect()
+    val bySketch = sel.map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (cmsW, _) = bySketch("cms_width")
+    val (bloomBits, _) = bySketch("bloom_bits")
+    val (histW, histBuckets) = bySketch("hist_width")
+
+    // CMS heavy-hitter probes at the selected width (the q95 eval
+    // shape, global): 1-row digest, read once per probe row.
+    val cms = docs.select(Text.tokens(col("text")).as("t"))
+      .agg(Sketches.countMin(col("t"), ApproxAggs.CmSalt,
+        ApproxAggs.CmDepth, cmsW.toInt, ApproxAggs.CmProbes).as("s"))
+      .localCheckpoint(true)
+    val cmsRows = ApproxAggs.CmProbes.zipWithIndex.map { case (t, i) =>
+      cms.select(lit("cms_width").as("sketch"), lit(cmsW).as("selected"),
+        lit(s"est_$t").as("item"),
+        element_at(col("s.est"), i + 1).cast("long").as("value"))
+    }.reduce(_.unionByName(_))
+
+    // Bloom decontamination at the selected bits (the q96/q190 eval
+    // shape): benchmark slice builds the filter (bounded collect —
+    // the documented Setup-block exception), corpus probes map-side.
+    val grams = docs.select(col("doc_id"),
+        Text.wordNGrams(col("text"), 5).as("g5"))
+      .localCheckpoint(true) // build + probe read it
+    val words = grams.filter(col("doc_id") % 97 === 0)
+      .agg(Sketches.bloom(col("g5"), TextAnalysis.BloomSalt,
+        bloomBits.toInt, TextAnalysis.BloomK).as("w"))
+      .head.getSeq[Long](0).toArray
+    val bloomRow = grams.filter(col("doc_id") % 97 =!= 0)
+      .select(Sketches.bloomCountHits(col("g5"), words,
+        TextAnalysis.BloomSalt, TextAnalysis.BloomK, bloomBits.toInt)
+        .as("h"))
+      .agg(count(when(col("h") > 0, lit(1))).as("value"))
+      .select(lit("bloom_bits").as("sketch"), lit(bloomBits).as("selected"),
+        lit("flagged_docs").as("item"), col("value").cast("long"))
+
+    // Histogram quantiles at the selected width, bucket count = the
+    // selection's own derived state (⌈span/width⌉ — auto-coverage).
+    val hist = li.select(expr(ApproxAggs.CentsSql).as("cents"))
+      .agg(Sketches.histQuantiles(col("cents"), histW,
+        histBuckets.toInt).as("q"))
+      .localCheckpoint(true) // read by the three item rows
+    val histRows = Seq("n_rows" -> col("q.n"),
+        "p50_cents" -> col("q.p50_cents"),
+        "p90_cents" -> col("q.p90_cents"))
+      .map { case (item, v) =>
+        hist.select(lit("hist_width").as("sketch"),
+          lit(histW).as("selected"), lit(item).as("item"),
+          v.cast("long").as("value"))
+      }.reduce(_.unionByName(_))
+
+    cmsRows.unionByName(bloomRow).unionByName(histRows)
+  }
+
   val queries: Map[String, Q] = Map(
     // -- q192 (round 13): plan-time auto-configuration — the cheapest
     //    frontier config meeting the stated recall floor, per family,
@@ -577,6 +702,34 @@ object AutoConfig {
         .unionByName(
           radiusChoice(fr, RadiusPrecisionRelaxedPpm, CandidateBudgetMax)
             .select(lit("relaxed").as("scenario"), col("*")))
+    },
+
+    // -- q202 (round 14 cont.): the MEMORY selections CONSUMED — the
+    //    three owned sketches run at their q198 auto-selected sizes
+    //    (CMS probe estimates, Bloom decontamination flags, histogram
+    //    quantiles at the auto-derived bucket count). One 3-row
+    //    plan-time collect; unselected sizes' sketches never built.
+    //    EXACT-gated: the oracle replays the sizing selections, then
+    //    per sketch one gated eval leg per grid size — only the
+    //    selected leg survives the scalar gate. --
+    "q202_auto_sized_eval" -> { (s, dir) =>
+      autoSizedSketchEval(Tables.load(s, dir, "documents"),
+        Tables.load(s, dir, "lineitem"))
+    },
+
+    // -- q203 (round 14 cont.): the THRESHOLD selection CONSUMED —
+    //    dedup at the SimHash (family, radius) the q200 strict
+    //    scenario selects from the q182 frontier measured on the
+    //    mod-2 calibration slice. One 1-row plan-time collect; the
+    //    full corpus pays one chunk-collision pass in the selected
+    //    family at the selected radius; the other family's plan is
+    //    never built. EXACT-gated: the oracle replays the sampled
+    //    frontier + the threshold total order, then gates both
+    //    families' full-corpus drop legs on the selection scalars
+    //    (radius applied as a scalar, so all four balls share one
+    //    leg per family). --
+    "q203_auto_radius_dedup" -> { (s, dir) =>
+      dedupKeepAutoRadius(Tables.load(s, dir, "documents"))
     },
 
     // -- q201 (round 14): the family selection CONSUMED — dedup whose
@@ -805,44 +958,46 @@ object AutoConfig {
        |ANTI JOIN dropset USING (doc_id)""".stripMargin
   }
 
-  /** oracle198: the three statistics re-measured (token occurrences
-    * as a length sum over the split stream; distinct benchmark
-    * 5-grams via the oracle78/96 gram chain; max cents through the
-    * shared DECIMAL projection), literal grids, the same integer
-    * bound arithmetic, one rank-1 window per sketch. */
-  private def oracle198: String = {
-    def gridCte(name: String, grid: Seq[Long]): String =
-      s"$name AS (SELECT CAST(unnest([${grid.mkString(", ")}]) AS BIGINT)" +
-        " AS selected)"
-    def selRow(sketch: String, stat: String, statCte: String,
-        target: Long, gridCteName: String, stateSql: String,
-        boundSql: String, feasSql: String, objSql: String,
-        fallbackSql: String): String =
-      s"""SELECT sketch, stat, stat_value, target, selected, state, bound,
-         |  CAST(ok AS BIGINT) AS meets_target
-         |FROM (
-         |  SELECT *, row_number() OVER (ORDER BY ok DESC,
-         |      CASE WHEN ok = 1 THEN $objSql ELSE 0 END ASC,
-         |      $fallbackSql, selected ASC) AS rn
-         |  FROM (
-         |    SELECT '$sketch' AS sketch, '$stat' AS stat,
-         |      CAST(sv AS BIGINT) AS stat_value,
-         |      CAST($target AS BIGINT) AS target,
-         |      CAST(selected AS BIGINT) AS selected,
-         |      CAST($stateSql AS BIGINT) AS state,
-         |      CAST($boundSql AS BIGINT) AS bound,
-         |      CASE WHEN $feasSql THEN 1 ELSE 0 END AS ok
-         |    FROM $statCte, $gridCteName))
-         |WHERE rn = 1""".stripMargin
-    s"""WITH st_tok AS (
+  private def gridCte(name: String, grid: Seq[Long]): String =
+    s"$name AS (SELECT CAST(unnest([${grid.mkString(", ")}]) AS BIGINT)" +
+      " AS selected)"
+
+  private def selRow(sketch: String, stat: String, statCte: String,
+      target: Long, gridCteName: String, stateSql: String,
+      boundSql: String, feasSql: String, objSql: String,
+      fallbackSql: String): String =
+    s"""SELECT sketch, stat, stat_value, target, selected, state, bound,
+       |  CAST(ok AS BIGINT) AS meets_target
+       |FROM (
+       |  SELECT *, row_number() OVER (ORDER BY ok DESC,
+       |      CASE WHEN ok = 1 THEN $objSql ELSE 0 END ASC,
+       |      $fallbackSql, selected ASC) AS rn
+       |  FROM (
+       |    SELECT '$sketch' AS sketch, '$stat' AS stat,
+       |      CAST(sv AS BIGINT) AS stat_value,
+       |      CAST($target AS BIGINT) AS target,
+       |      CAST(selected AS BIGINT) AS selected,
+       |      CAST($stateSql AS BIGINT) AS state,
+       |      CAST($boundSql AS BIGINT) AS bound,
+       |      CASE WHEN $feasSql THEN 1 ELSE 0 END AS ok
+       |    FROM $statCte, $gridCteName))
+       |WHERE rn = 1""".stripMargin
+
+  /** The q198 statistic + grid + selection CTE block: the three
+    * re-measured statistics, the literal grids, and one MATERIALIZED
+    * 1-row selection per sketch (full q198 row schema) — shared by
+    * oracle198 (which unions the selections) and oracle202 (which
+    * gates per-size eval legs on their `selected` scalars). */
+  private def sizingSelCtes: String =
+    s"""st_tok AS (
        |  SELECT CAST(coalesce(sum(len(string_split_regex(text, '\\s+'))), 0)
        |    AS BIGINT) AS sv
        |  FROM documents),
        |st_gram AS (
        |  SELECT CAST(count(*) AS BIGINT) AS sv FROM (
        |    SELECT DISTINCT
-       |      t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-       |        || ' ' || t[i+4] AS g
+       |      t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] ||
+       |        ' ' || t[i+4] AS g
        |    FROM (
        |      SELECT t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
        |      FROM (SELECT string_split_regex(text, '\\s+') AS t
@@ -852,25 +1007,135 @@ object AutoConfig {
        |  FROM lineitem),
        |${gridCte("g_cms", SizingCmGrid)},
        |${gridCte("g_bloom", TextAnalysis.BloomBitsGrid.map(_.toLong))},
-       |${gridCte("g_hist", ApproxAggs.HistWidthGrid)}
+       |${gridCte("g_hist", ApproxAggs.HistWidthGrid)},
+       |sel_cms AS MATERIALIZED (
        |${selRow("cms_width", "token_occurrences", "st_tok",
           CmsOverestimateTarget, "g_cms",
           s"${ApproxAggs.CmDepth} * selected",
           s"($EMicro * sv + selected * 1000000 - 1) // (selected * 1000000)",
           s"($EMicro * sv + selected * 1000000 - 1) // (selected * 1000000)" +
             s" <= $CmsOverestimateTarget",
-          "state", "bound ASC")}
-       |UNION ALL
+          "state", "bound ASC")}),
+       |sel_bloom AS MATERIALIZED (
        |${selRow("bloom_bits", "bench_grams", "st_gram",
           BloomBitsPerGramTarget, "g_bloom", "selected",
           "selected // greatest(sv, 1)",
           s"selected // greatest(sv, 1) >= $BloomBitsPerGramTarget",
-          "state", "selected DESC")}
-       |UNION ALL
+          "state", "selected DESC")}),
+       |sel_hist AS MATERIALIZED (
        |${selRow("hist_width", "max_cents", "st_cents",
           HistBucketBudget, "g_hist", "sv // selected + 1", "selected",
           s"sv // selected + 1 <= $HistBucketBudget",
-          "bound", "state ASC")}""".stripMargin
+          "bound", "state ASC")})""".stripMargin
+
+  /** oracle198: the three statistics re-measured (token occurrences
+    * as a length sum over the split stream; distinct benchmark
+    * 5-grams via the oracle78/96 gram chain; max cents through the
+    * shared DECIMAL projection), literal grids, the same integer
+    * bound arithmetic, one rank-1 window per sketch. */
+  private def oracle198: String =
+    s"""WITH $sizingSelCtes
+       |SELECT * FROM sel_cms
+       |UNION ALL
+       |SELECT * FROM sel_bloom
+       |UNION ALL
+       |SELECT * FROM sel_hist""".stripMargin
+
+  /** oracle202: the q198 selection CTEs unchanged, then per sketch
+    * one gated eval leg per grid size — the CMS probe estimates
+    * (oracle188's census + kernel-constant probe buckets), the Bloom
+    * flagged-docs census (oracle190's position/hit chain) and the
+    * histogram quantiles (oracle191's bucket cumsum at the
+    * auto-derived bucket count) — each leg alive ONLY where the
+    * selection scalar picks its size (the q195/q201 gating pattern),
+    * so the oracle evaluates one size per sketch like the engine. */
+  private def oracle202: String = {
+    val (cmsCtes, cmsRows) = ApproxAggs.cmsGatedEvalSql(SizingCmGrid,
+      "(SELECT selected FROM sel_cms)", "ac")
+    val (blCtes, blRows) = TextAnalysis.bloomGatedEvalSql(
+      TextAnalysis.BloomBitsGrid.map(_.toLong),
+      "(SELECT selected FROM sel_bloom)", "ab")
+    val histCtes = ApproxAggs.HistWidthGrid.zipWithIndex.map { case (w, i) =>
+      s"""ah${i}q AS (
+         |  SELECT least(greatest(cents // $w, 0),
+         |    (SELECT state FROM sel_hist) - 1) AS idx
+         |  FROM ahcents WHERE (SELECT selected FROM sel_hist) = $w),
+         |ah${i}c AS (SELECT idx, count(*) AS c FROM ah${i}q GROUP BY idx),
+         |ah${i}n AS MATERIALIZED (
+         |  SELECT idx, sum(c) OVER (ORDER BY idx) AS cs,
+         |    sum(c) OVER () AS n FROM ah${i}c)""".stripMargin
+    }.mkString(",\n")
+    val histRows = ApproxAggs.HistWidthGrid.zipWithIndex.flatMap {
+      case (w, i) => Seq(
+        "n_rows" ->
+          s"(SELECT CAST(min(n) AS BIGINT) FROM ah${i}n WHERE cs >= (n + 1) // 2)",
+        "p50_cents" ->
+          s"(SELECT CAST(min(idx) * $w AS BIGINT) FROM ah${i}n WHERE cs >= (n + 1) // 2)",
+        "p90_cents" ->
+          s"(SELECT CAST(min(idx) * $w AS BIGINT) FROM ah${i}n WHERE cs >= (9 * n + 9) // 10)"
+      ).map { case (item, vSql) =>
+        s"""SELECT 'hist_width' AS sketch, CAST($w AS BIGINT) AS selected,
+           |  '$item' AS item, $vSql AS value
+           |FROM (SELECT 1) one
+           |WHERE (SELECT selected FROM sel_hist) = $w""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $sizingSelCtes,
+       |${ApproxAggs.cmsHashCtes("ac")},
+       |${TextAnalysis.bloomHashCtes("ab")},
+       |$cmsCtes,
+       |$blCtes,
+       |ahcents AS MATERIALIZED (
+       |  SELECT ${ApproxAggs.CentsSql} AS cents FROM lineitem),
+       |$histCtes
+       |$cmsRows
+       |UNION ALL
+       |$blRows
+       |UNION ALL
+       |$histRows""".stripMargin
+  }
+
+  /** oracle203: the calibration slice, the full q182 frontier chain
+    * over it (simhashFrontierSqlOver — the oracle201 convention for
+    * the radius knob), the strict threshold selection as a 1-row
+    * `sel` CTE, then per fingerprint family ONE full-corpus drop leg
+    * gated by the selection's family scalar with the radius applied
+    * as a scalar accept — only the SELECTED family's chunk join
+    * reaches the anti-join. */
+  private def oracle203: String = {
+    def sub(q: String): String = q.linesIterator.mkString("\n  ")
+    val feas = s"precision_ppm >= $RadiusPrecisionFloorPpm" +
+      s" AND candidates <= $CandidateBudgetMax"
+    val gated = Seq(("d64", "sim64"), ("d128", "sim128")).map {
+      case (leg, fam) =>
+        s"""  SELECT doc_id FROM $leg
+           |  WHERE (SELECT family FROM sel) = '$fam'""".stripMargin
+    }
+    s"""WITH calib AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % ${CalibSampleMod} = 0),
+       |fr AS MATERIALIZED (
+       |  ${sub(Dedup.simhashFrontierSqlOver("calib"))}),
+       |sel AS MATERIALIZED (
+       |  SELECT config, family, radius FROM fr
+       |  ORDER BY (CASE WHEN $feas THEN 1 ELSE 0 END) DESC,
+       |    recall_ppm DESC, accepted ASC, candidates ASC, config ASC
+       |  LIMIT 1),
+       |d64 AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (
+       |  ${sub(Dedup.simhash64CandSqlOver("documents"))}) c
+       |  WHERE hamming <= (SELECT radius FROM sel)),
+       |d128 AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (
+       |  ${sub(Dedup.simhashWideCandSqlOver("documents"))}) c
+       |  WHERE hamming <= (SELECT radius FROM sel)),
+       |dropset AS MATERIALIZED (
+       |${gated.mkString("\n  UNION ALL\n")}
+       |)
+       |SELECT (SELECT config FROM sel) AS config,
+       |  d.doc_id, d.source, d.lang
+       |FROM documents d
+       |ANTI JOIN dropset USING (doc_id)""".stripMargin
   }
 
   /** oracle200: the full q182 derivation as a MATERIALIZED frontier
@@ -908,5 +1173,7 @@ object AutoConfig {
     "q198_sketch_sizing" -> oracle198,
     "q200_radius_select" -> oracle200,
     "q201_auto_dedup" -> oracle201,
+    "q202_auto_sized_eval" -> oracle202,
+    "q203_auto_radius_dedup" -> oracle203,
   )
 }

@@ -786,7 +786,18 @@ object Dedup {
   /** q46: simhash64 fingerprints → 4×16-bit chunk-collision join →
     * Hamming ≤ 3. */
   private def oracle46: String =
-    s"""WITH ${tokenHashCtes()},
+    simhash64SqlOver("documents", radiusFiltered = true)
+
+  /** The q46 chain WITHOUT the radius accept — every chunk-collision
+    * candidate with its Hamming distance, over any documents-shaped
+    * relation — exposed for the q203 auto-radius consumer's sim64
+    * full-corpus drop leg. */
+  private[operators] def simhash64CandSqlOver(src: String): String =
+    simhash64SqlOver(src, radiusFiltered = false)
+
+  private def simhash64SqlOver(src: String,
+      radiusFiltered: Boolean): String =
+    s"""WITH ${tokenHashCtes(src)},
        |lanes AS (SELECT doc_id, h AS h0 FROM th),
        |${fpCtes("lanes", "0")},
        |chunks AS (
@@ -796,8 +807,9 @@ object Dedup {
        |  bit_count(xor(a.fp0, b.fp0)) AS hamming
        |FROM chunks a JOIN chunks b
        |  ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
-       |  AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.fp0, b.fp0)) <= 3""".stripMargin
+       |  AND a.doc_id < b.doc_id${if (radiusFiltered)
+      "\nWHERE bit_count(xor(a.fp0, b.fp0)) <= 3"
+    else ""}""".stripMargin
 
   /** q79: the 128-bit wide variant — lane 1 is the salt-folded mix of
     * the base hash; 4×32-bit chunks; summed word Hammings. */
@@ -1030,7 +1042,13 @@ object Dedup {
     * all four radius rows — the engine's two-pass shape replayed.
     * Candidate CTEs MATERIALIZED (each is read by its flag join;
     * the flag CTEs by the 1-row aggregates). */
-  private[operators] def oracle182: String = {
+  private[operators] def oracle182: String = simhashFrontierSqlOver("documents")
+
+  /** The full q182 radius frontier over any documents-shaped relation
+    * `src` — exposed so the q203 auto-radius consumer's oracle can
+    * measure it on the calibration slice (the bandingFrontierSqlOver
+    * convention). */
+  private[operators] def simhashFrontierSqlOver(src: String): String = {
     def aggSelect = (Seq("count(*) AS candidates") ++
       RadiusGrid.flatMap(h => Seq(
         s"count(*) FILTER (WHERE hamming <= $h) AS acc$h",
@@ -1060,7 +1078,7 @@ object Dedup {
            |FROM ${p}agg""".stripMargin
       }
     }
-    s"""WITH ${tokenHashCtes()},
+    s"""WITH ${tokenHashCtes(src)},
        |lanes AS (SELECT doc_id, h AS h0,
        |  ${mixSql(s"(h + $GoldenU) % $M64")} AS h1 FROM th),
        |${fpCtes("lanes", "0")},

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
-  /** q96 Bloom parameters: 2^17 bits (16 KiB), k = 4 hash rows. */
-  private val BloomSalt = 960L
+  /** q96 Bloom parameters: 2^17 bits (16 KiB), k = 4 hash rows.
+    * Salt/k shared with the q202 auto-sized eval (which selects only
+    * the BITS — the knob q198 sizes). */
+  private[operators] val BloomSalt = 960L
   private val BloomBits = 131072
-  private val BloomK = 4
+  private[operators] val BloomK = 4
 
   /** The English stopword set — shared with q95's Count-Min probes. */
   private[graft] val stopEnList = Seq("the", "a", "of", "in", "to", "is")
@@ -615,16 +617,81 @@ object TextAnalysis {
     rows.reduce(_.unionByName(_))
   }
 
-  /** q190: the oracle96 hash chain with the bits-INDEPENDENT salted
-    * mixes MATERIALIZED once, per-size position sets and hit censuses
-    * re-keyed (h % bits), the exact truth one gram join. */
-  private def oracle190: String = {
+  /** The bits-INDEPENDENT Bloom hash chain (benchmark/corpus 5-gram
+    * split at doc_id % 97, k salted splitmix64 mixes per distinct
+    * gram), name-PREFIXED, ending at `<p>bmix(h)` (benchmark inserts)
+    * and `<p>cmix(doc_id, i, h)` (corpus probes), both MATERIALIZED —
+    * shared by oracle190 (p = "") and the q202 auto-sized eval oracle
+    * (p = "ab", beside the CMS chain in the same WITH block). */
+  private[operators] def bloomHashCtes(p: String): String = {
     import graft.functions.{SplitMix64, SplitMix64Kernel}
     val m64 = "18446744073709551616"
     def saltLit(j: Int): String = java.lang.Long.toUnsignedString(
       (BloomSalt + j) * SplitMix64Kernel.Golden)
     val saltCase = (0 until BloomK)
       .map(j => s"WHEN $j THEN ${saltLit(j)}").mkString(" ")
+    s"""${p}tok AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |${p}g0 AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+       |  FROM ${p}tok),
+       |${p}occ AS (
+       |  SELECT doc_id, i,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+       |  FROM ${p}g0),
+       |${p}dg AS (SELECT DISTINCT g FROM ${p}occ),
+       |${p}dp AS (SELECT g, ${SplitMix64.polyHashSql("g")} AS p FROM ${p}dg),
+       |${p}dh AS (SELECT g, ${SplitMix64.mixSql("p")} AS th FROM ${p}dp),
+       |${p}js AS (SELECT unnest(range($BloomK)) AS j),
+       |${p}bx AS (
+       |  SELECT DISTINCT ${p}dh.th FROM ${p}occ JOIN ${p}dh USING (g)
+       |  WHERE ${p}occ.doc_id % 97 = 0),
+       |${p}bsx AS (SELECT (th + CASE j $saltCase END) % $m64 AS x
+       |  FROM ${p}bx CROSS JOIN ${p}js),
+       |${p}bmix AS MATERIALIZED (
+       |  SELECT ${SplitMix64.mixSql("x")} AS h FROM ${p}bsx),
+       |${p}cx AS (
+       |  SELECT ${p}occ.doc_id, ${p}occ.i, j,
+       |    (${p}dh.th + CASE j $saltCase END) % $m64 AS x
+       |  FROM ${p}occ JOIN ${p}dh USING (g) CROSS JOIN ${p}js
+       |  WHERE ${p}occ.doc_id % 97 <> 0),
+       |${p}cmix AS MATERIALIZED (
+       |  SELECT doc_id, i, ${SplitMix64.mixSql("x")} AS h FROM ${p}cx)"""
+      .stripMargin
+  }
+
+  /** Gated per-bits Bloom decontamination legs for the q202 auto-sized
+    * eval oracle: position set, full-hit census and the flagged-docs
+    * row for a filter size exist ONLY when the q198 selection scalar
+    * picks it — the oracle pays one filter like the engine builds one.
+    * Returns (ctes, rows-union) over `<p>bmix`/`<p>cmix`. */
+  private[operators] def bloomGatedEvalSql(grid: Seq[Long], gate: String,
+      p: String): (String, String) = {
+    val ctes = grid.zipWithIndex.map { case (b, i) =>
+      s"""${p}g${i}pos AS (
+         |  SELECT DISTINCT h % $b AS pos FROM ${p}bmix WHERE $gate = $b),
+         |${p}g${i}hit AS (
+         |  SELECT doc_id, i FROM
+         |    (SELECT doc_id, i, h % $b AS pos FROM ${p}cmix
+         |     WHERE $gate = $b) cp
+         |  JOIN ${p}g${i}pos USING (pos)
+         |  GROUP BY doc_id, i HAVING count(*) = $BloomK)""".stripMargin
+    }.mkString(",\n")
+    val rows = grid.zipWithIndex.map { case (b, i) =>
+      s"""SELECT 'bloom_bits' AS sketch, CAST($b AS BIGINT) AS selected,
+         |  'flagged_docs' AS item,
+         |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM ${p}g${i}hit)
+         |    AS value
+         |FROM (SELECT 1) one WHERE $gate = $b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (ctes, rows)
+  }
+
+  /** q190: the oracle96 hash chain with the bits-INDEPENDENT salted
+    * mixes MATERIALIZED once, per-size position sets and hit censuses
+    * re-keyed (h % bits), the exact truth one gram join. */
+  private def oracle190: String = {
     val sizeCtes = BloomBitsGrid.zipWithIndex.map { case (b, i) =>
       s"""b${i}pos AS MATERIALIZED (SELECT DISTINCT h % $b AS pos FROM bmix),
          |b${i}hit AS (
@@ -649,32 +716,7 @@ object TextAnalysis {
          |    (SELECT tc FROM tr) AS true_contaminated,
          |    (SELECT flagged FROM b${i}fl) AS flagged) r""".stripMargin
     }
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
-       |g0 AS (
-       |  SELECT doc_id, t,
-       |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
-       |  FROM tok),
-       |occ AS (
-       |  SELECT doc_id, i,
-       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
-       |  FROM g0),
-       |dg AS (SELECT DISTINCT g FROM occ),
-       |dp AS (SELECT g, ${SplitMix64.polyHashSql("g")} AS p FROM dg),
-       |dh AS (SELECT g, ${SplitMix64.mixSql("p")} AS th FROM dp),
-       |js AS (SELECT unnest(range($BloomK)) AS j),
-       |bx AS (
-       |  SELECT DISTINCT dh.th FROM occ JOIN dh USING (g)
-       |  WHERE occ.doc_id % 97 = 0),
-       |bsx AS (SELECT (th + CASE j $saltCase END) % $m64 AS x
-       |  FROM bx CROSS JOIN js),
-       |bmix AS MATERIALIZED (SELECT ${SplitMix64.mixSql("x")} AS h FROM bsx),
-       |cx AS (
-       |  SELECT occ.doc_id, occ.i, j, (dh.th + CASE j $saltCase END) % $m64 AS x
-       |  FROM occ JOIN dh USING (g) CROSS JOIN js
-       |  WHERE occ.doc_id % 97 <> 0),
-       |cmix AS MATERIALIZED (
-       |  SELECT doc_id, i, ${SplitMix64.mixSql("x")} AS h FROM cx),
+    s"""WITH ${bloomHashCtes("")},
        |tr AS (
        |  SELECT CAST(count(DISTINCT occ.doc_id) AS BIGINT) AS tc
        |  FROM occ JOIN (SELECT DISTINCT g FROM occ WHERE doc_id % 97 = 0) bg

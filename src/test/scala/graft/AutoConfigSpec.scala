@@ -231,6 +231,72 @@ class AutoConfigSpec extends SparkSpec {
     assert(keptAuto.nonEmpty)
   }
 
+  test("q202: the consumed sizing runs each sketch at the selected size — and reproduces the frontier tables' audited cells") {
+    // the q195 verbatim-rows property applied to the MEMORY knob: the
+    // auto-sized eval must (a) run at exactly the sizes q198 selects
+    // at the spec corpus (CMS 1024 / Bloom 8192 / hist 8192), and
+    // (b) produce the SAME integers the round-12 measurement tables
+    // (q188/q190/q191) measured for those sizes — the consumer is the
+    // frontier's audited cell, executed as production
+    val rows = SparkEntry.queries("q202_auto_sized_eval")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val bySketch = rows.groupBy(_._1)
+    assert(bySketch("cms_width").head._2 === 1024L)
+    assert(bySketch("bloom_bits").head._2 === 8192L)
+    assert(bySketch("hist_width").head._2 === 8192L)
+    // CMS: the probe estimates ARE the q188 frontier's width-1024 row
+    val est202 = bySketch("cms_width")
+      .map(r => r._3.stripPrefix("est_") -> r._4).toMap
+    val est188 = graft.operators.ApproxAggs.cmsWidthFrontier(
+        Tables.load(spark, sf0001, "documents"))
+      .filter(col("width") === 1024L)
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("est"))
+      .toMap
+    assert(est202 === est188)
+    assert(est202.nonEmpty)
+    // Bloom: the flagged census IS the q190 frontier's 8192-bit cell
+    val fl190 = graft.operators.TextAnalysis.bloomFrontier(spark, sf0001)
+      .filter(col("bits") === 8192L).head().getAs[Long]("flagged")
+    assert(bySketch("bloom_bits").head._4 === fl190)
+    // hist: the quantiles ARE the q191 frontier's 8192-cent row (the
+    // auto-derived bucket count covers the span, so no cell clamps
+    // and the two bucket budgets agree on every populated index)
+    val h202 = bySketch("hist_width").map(r => r._3 -> r._4).toMap
+    val h191 = graft.operators.ApproxAggs.histWidthFrontier(
+        Tables.load(spark, sf0001, "lineitem"))
+      .filter(col("width_cents") === 8192L).head()
+    assert(h202("n_rows") === h191.getAs[Long]("n_rows"))
+    assert(h202("p50_cents") === h191.getAs[Long]("p50_cents"))
+    assert(h202("p90_cents") === h191.getAs[Long]("p90_cents"))
+  }
+
+  test("q203: the consumed radius selection dispatches the full corpus at the sampled (family, radius)") {
+    // the threshold knob's consumer at the spec corpus: the mod-2
+    // slice's q182 frontier admits the 16-bit family (the slice is
+    // below the birthday floor) and its h2 ball tops measured recall
+    // — so the selection is sim64_h2, and the kept set must BE the
+    // full-corpus sim64 Hamming ≤ 2 drop, the config column carrying
+    // the decision. (At sf0.01 the slice selects sim128_h2 — recall
+    // ties fall to the tighter ball; the per-sf selections are
+    // oracle-gated tri-scale.)
+    val d = Tables.load(spark, sf0001, "documents")
+    val sel = AutoConfig.sampledRadiusChoice(d).head()
+    assert(sel.getString(0) === "sim64_h2")
+    assert(sel.getAs[Long]("meets_floors") === 1L) // measured, not fallback
+    val auto = SparkEntry.queries("q203_auto_radius_dedup")(spark, sf0001)
+      .collect()
+    assert(auto.map(_.getString(0)).toSet === Set("sim64_h2"))
+    val keptAuto = auto.map(_.getLong(1)).toSet
+    val drop = graft.operators.Dedup.simhashPairs(d)
+      .filter(col("hamming") <= 2)
+      .select(col("doc_b")).collect().map(_.getLong(0)).toSet
+    val expected = d.select(col("doc_id")).collect().map(_.getLong(0))
+      .toSet -- drop
+    assert(keptAuto === expected)
+    assert(keptAuto.nonEmpty)
+  }
+
   test("q192 sf0.001: ANN selection is corpus-dependent by design") {
     // at sf0.001 all three ≥-floor IVF configs tie on recall and the
     // 16-cell fixed codebook is strictly cheapest — the operator
