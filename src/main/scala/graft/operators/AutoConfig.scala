@@ -402,6 +402,73 @@ object AutoConfig {
         col("lang"))
   }
 
+  // ---- q204: PERSISTED frontier + freshness check --------------------
+
+  /** Corpus membership fingerprint for frontier artifacts: row count
+    * plus an order-independent XOR fold of the per-id splitmix64
+    * hashes (the q140 manifest's fp_xor, keyed on vec_id) — one
+    * aggregate scan, 64-bit-integer exact on both engines,
+    * partitioning-independent by XOR commutativity. Contract: ids are
+    * immutable handles (the corpus's own convention), so the stamp
+    * invalidates on any membership change — append, delete,
+    * resample — which is exactly the event that moves a frontier
+    * (the q192 inversion is corpus-size- and content-driven through
+    * membership). In-place mutation of an id's vector without an id
+    * change is outside the contract, as it is for the q140 manifest's
+    * per-source fingerprints over doc ids + bytes. */
+  private[graft] def corpusFingerprint(e: DataFrame): DataFrame =
+    e.select(shiftrightunsigned(graft.functions.SplitMix64.strHash(
+        col("vec_id").cast("string")), 11).as("hu"))
+      .agg(count(lit(1)).as("fp_n"), expr("bit_xor(hu)").as("fp_x"))
+
+  /** A PERSISTED-frontier artifact: the q175 frontier rows stamped
+    * with the fingerprint of the corpus they were measured on. This
+    * is the production shape the q192 freshness contract calls for —
+    * at 100 TB the frontier is measured once and SAVED, not re-run
+    * per query, and the stamp is what makes that safe. */
+  private[graft] def stampedIvfFrontier(e: DataFrame): DataFrame =
+    Similarity.recallFrontier(e)
+      .crossJoin(broadcast(corpusFingerprint(e)))
+
+  /** q204 — the freshness check as an OPERATOR (round-13 verdict #4
+    * beyond documentation): validate a persisted artifact's stamp
+    * against the SERVING corpus's fingerprint; on match, select from
+    * the persisted rows (no corpus-scale measurement — the artifact
+    * pays for itself); on mismatch, RE-MEASURE the frontier on the
+    * serving corpus and select from the fresh table — the stale
+    * artifact is never allowed to pick the config. Both the
+    * comparison and the dispatch are plan-time (two 1-row collects);
+    * the re-measure branch is the audited q175 plan unchanged. */
+  private[graft] def selectIvfChecked(artifact: DataFrame,
+      e: DataFrame): DataFrame = {
+    val st = artifact.select(col("fp_n"), col("fp_x")).head
+    val fp = corpusFingerprint(e).head
+    val ok = st.getLong(0) == fp.getLong(0) && st.getLong(1) == fp.getLong(1)
+    val frontier =
+      if (ok) artifact.drop("fp_n", "fp_x") else Similarity.recallFrontier(e)
+    selectConfig(frontier.withColumn("pref",
+        when(col("config") === "ivfA_sqrt", lit(0L)).otherwise(lit(1L))),
+      AnnRecallFloorPpm, CandidateBudgetMax)
+      .select(lit("ivf").as("family"), col("*"),
+        lit(if (ok) 1L else 0L).as("fp_match"),
+        lit(if (ok) "persisted" else "remeasured").as("source"))
+  }
+
+  /** The stale artifact's own selection, had it been trusted blindly
+    * — the inversion evidence the freshness check exists to prevent,
+    * emitted beside the checked selections so the gate shows WHAT
+    * the check saved (at the sf0.01 gate corpus: the 1-in-8 slice's
+    * frontier selects ivf16_p6 where the fresh measurement selects
+    * ivfA_sqrt — the AutoConfigSpec inversion, now in the gated
+    * output). Selection over the ≤9 persisted rows only — no corpus
+    * scan. */
+  private[graft] def trustedSelection(artifact: DataFrame): DataFrame =
+    selectConfig(artifact.drop("fp_n", "fp_x").withColumn("pref",
+        when(col("config") === "ivfA_sqrt", lit(0L)).otherwise(lit(1L))),
+      AnnRecallFloorPpm, CandidateBudgetMax)
+      .select(lit("ivf").as("family"), col("*"),
+        lit(0L).as("fp_match"), lit("stale_trusted").as("source"))
+
   // ---- q198: auto-SIZED sketches -----------------------------------
 
   /** ⌈e·10⁶⌉ — the Count-Min error constant as a conservative integer
@@ -715,6 +782,32 @@ object AutoConfig {
     "q202_auto_sized_eval" -> { (s, dir) =>
       autoSizedSketchEval(Tables.load(s, dir, "documents"),
         Tables.load(s, dir, "lineitem"))
+    },
+
+    // -- q204 (round 14 cont.): PERSISTED frontier + freshness check
+    //    — the q192 freshness contract as an operator: the q175
+    //    frontier saved as a fingerprint-stamped artifact, the
+    //    selection validating the stamp against the serving corpus
+    //    and RE-MEASURING on mismatch. Three gated scenarios: a
+    //    valid artifact is used as-is (persisted), a stale one (the
+    //    1-in-8 slice's frontier, stamped with the slice's
+    //    fingerprint) is detected and re-measured, and the stale
+    //    artifact's own would-be selection is emitted beside them —
+    //    the inversion the check prevents, in the gated output.
+    //    EXACT-gated: the oracle replays both frontier derivations
+    //    (the parameterized q175 chain, full + slice), both
+    //    fingerprint folds, the comparison, and the match-gated
+    //    selection legs. --
+    "q204_persisted_frontier" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val fresh = stampedIvfFrontier(e).localCheckpoint(true)
+      val stale = stampedIvfFrontier(e.filter(col("vec_id") % 8 === 0))
+        .localCheckpoint(true)
+      selectIvfChecked(fresh, e).select(lit("valid").as("scenario"), col("*"))
+        .unionByName(selectIvfChecked(stale, e)
+          .select(lit("stale").as("scenario"), col("*")))
+        .unionByName(trustedSelection(stale)
+          .select(lit("stale_trusted").as("scenario"), col("*")))
     },
 
     // -- q203 (round 14 cont.): the THRESHOLD selection CONSUMED —
@@ -1138,6 +1231,60 @@ object AutoConfig {
        |ANTI JOIN dropset USING (doc_id)""".stripMargin
   }
 
+  /** oracle204: both frontier derivations as scoped subqueries (the
+    * parameterized q175 chain over `embeddings` and over the
+    * MATERIALIZED slice), both fingerprint folds (the oracle140
+    * poly-31 + splitmix64 chain over the ids, top-53-bit XOR), the
+    * comparison as a 1-row `mt` CTE, then the scenario legs — the
+    * stale scenario's two legs are gated on the match scalar, so the
+    * persisted-vs-remeasured dispatch is replayed, not assumed. */
+  private def oracle204: String = {
+    import graft.functions.SplitMix64
+    def sub(q: String): String = q.linesIterator.mkString("\n  ")
+    def fpCtes(p: String, src: String): String =
+      s"""${p}k AS (SELECT CAST(vec_id AS VARCHAR) AS key FROM $src),
+         |${p}p AS (SELECT ${SplitMix64.polyHashSql("key")} AS p FROM ${p}k),
+         |${p}h AS (SELECT CAST((${SplitMix64.mixSql("p")}) >> 11 AS BIGINT)
+         |  AS hu FROM ${p}p),
+         |${p}fp AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(bit_xor(hu) AS BIGINT) AS x FROM ${p}h)""".stripMargin
+    def frp(src: String): String =
+      s"""SELECT config, candidates, recall_ppm,
+         |  CASE WHEN config = 'ivfA_sqrt' THEN 0 ELSE 1 END AS pref
+         |FROM $src""".stripMargin
+    s"""WITH eslice AS MATERIALIZED (
+       |  SELECT * FROM embeddings WHERE vec_id % 8 = 0),
+       |fr_full AS MATERIALIZED (SELECT * FROM (
+       |  ${sub(Similarity.ivfFrontierSqlOver("embeddings"))})),
+       |fr_slice AS MATERIALIZED (SELECT * FROM (
+       |  ${sub(Similarity.ivfFrontierSqlOver("eslice"))})),
+       |${fpCtes("ff", "embeddings")},
+       |${fpCtes("fs", "eslice")},
+       |mt AS (SELECT CASE WHEN f.n = s.n AND f.x = s.x THEN 1 ELSE 0 END
+       |  AS m FROM fffp f, fsfp s),
+       |frp_full AS (${frp("fr_full")}),
+       |frp_slice AS (${frp("fr_slice")}),
+       |sel_full AS MATERIALIZED (
+       |${selectSql("frp_full", "ivf", AnnRecallFloorPpm, CandidateBudgetMax)}
+       |),
+       |sel_slice AS MATERIALIZED (
+       |${selectSql("frp_slice", "ivf", AnnRecallFloorPpm, CandidateBudgetMax)}
+       |)
+       |SELECT 'valid' AS scenario, sel_full.*,
+       |  CAST(1 AS BIGINT) AS fp_match, 'persisted' AS source
+       |FROM sel_full
+       |UNION ALL
+       |SELECT 'stale', sel_slice.*, CAST(m AS BIGINT), 'persisted'
+       |FROM sel_slice, mt WHERE m = 1
+       |UNION ALL
+       |SELECT 'stale', sel_full.*, CAST(m AS BIGINT), 'remeasured'
+       |FROM sel_full, mt WHERE m = 0
+       |UNION ALL
+       |SELECT 'stale_trusted', sel_slice.*,
+       |  CAST(0 AS BIGINT), 'stale_trusted'
+       |FROM sel_slice""".stripMargin
+  }
+
   /** oracle200: the full q182 derivation as a MATERIALIZED frontier
     * CTE (read by both scenario selections), then per scenario the
     * same threshold total order, LIMIT 1. */
@@ -1175,5 +1322,6 @@ object AutoConfig {
     "q201_auto_dedup" -> oracle201,
     "q202_auto_sized_eval" -> oracle202,
     "q203_auto_radius_dedup" -> oracle203,
+    "q204_persisted_frontier" -> oracle204,
   )
 }

@@ -1103,7 +1103,21 @@ object Similarity {
     * kNN oracle can reuse the WHOLE derivation: the frontier table
     * for its selection AND the candidate sets for the selected
     * config's top-5. */
-  private[operators] def ivfFrontierSqlParts: (String, String) = {
+  private[operators] def ivfFrontierSqlParts: (String, String) =
+    ivfFrontierSqlPartsOver("embeddings")
+
+  /** The q175 frontier as ONE self-contained SELECT over any
+    * embeddings-shaped relation `src` — for nesting as a scoped
+    * subquery (the oracle197 convention), so two instantiations (a
+    * full-corpus one and a slice one) can coexist in one oracle
+    * without CTE-name collisions (q204). */
+  private[operators] def ivfFrontierSqlOver(src: String): String = {
+    val (body, sel) = ivfFrontierSqlPartsOver(src)
+    s"""WITH $body
+       |$sel""".stripMargin
+  }
+
+  private def ivfFrontierSqlPartsOver(src: String): (String, String) = {
     def lst(c: Seq[Double]) = c.map(v => f"$v%.3f").mkString("[", ", ", "]")
     def dotE(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -1151,7 +1165,7 @@ object Similarity {
       FrontierProbes.indices.map(i => s"a${i}row") :+ "asqrow")
       .map(r => s"SELECT * FROM $r").mkString("\n  UNION ALL ")
     s"""queries AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM $src
        |  WHERE vec_id % 50 = 0),
        |nq AS (SELECT count(*) AS n FROM queries),
        |bf AS MATERIALIZED (
@@ -1160,13 +1174,13 @@ object Similarity {
        |      row_number() OVER (PARTITION BY q.q_id
        |        ORDER BY round(${cosE("e.embedding", "q.q_emb")}, 6) DESC,
        |                 e.vec_id) AS rank
-       |    FROM queries q JOIN embeddings e ON e.vec_id <> q.q_id)
+       |    FROM queries q JOIN $src e ON e.vec_id <> q.q_id)
        |  WHERE rank <= 5),
        |cc AS (
        |  SELECT CASE WHEN count(*) <= 512 THEN 16
        |              WHEN count(*) <= 1024 THEN 32
        |              ELSE 64 END AS ncells
-       |  FROM embeddings),
+       |  FROM $src),
        |fcents AS (
        |  SELECT u.cid AS cid, u.ce AS ce
        |  FROM UNNEST([${centStructs(Centroids86.table)}]) AS t(u)),
@@ -1177,13 +1191,13 @@ object Similarity {
        |  SELECT vec_id, embedding,
        |    CAST(list_position(l, list_max(l)) - 1 AS INTEGER) AS cell
        |  FROM (SELECT vec_id, embedding, ${simList(Centroids86.table)} AS l
-       |        FROM embeddings)),
+       |        FROM $src)),
        |aassigned AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    CAST(list_position(lc, list_max(lc)) - 1 AS INTEGER) AS cell
        |  FROM (SELECT vec_id, embedding,
        |          (${simList(Centroids94.table)})[1:ncells] AS lc
-       |        FROM embeddings, cc)),
+       |        FROM $src, cc)),
        |fqrank AS MATERIALIZED (
        |  SELECT q_id, q_emb, cid,
        |    row_number() OVER (PARTITION BY q_id ORDER BY qc DESC, cid) AS pr

@@ -297,6 +297,44 @@ class AutoConfigSpec extends SparkSpec {
     assert(keptAuto.nonEmpty)
   }
 
+  test("q204: the freshness check uses a valid artifact, detects a stale one, and the trusted row shows the prevented inversion") {
+    // spec corpus: the valid artifact is used as-is (persisted), the
+    // 1-in-8-slice artifact is detected (fp_match = 0) and
+    // re-measured to the SAME config the fresh measurement selects —
+    // while the stale artifact, trusted blindly, would have shipped
+    // ivf16_p4 (measured on 63 vectors). At sf0.1 the trusted row is
+    // ivfA_sqrt vs the required ivf16_p6 — the exact verdict-#4
+    // inversion, now in the gated output (oracle-gated tri-scale).
+    val rows = SparkEntry.queries("q204_persisted_frontier")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[String]("config"), r.getAs[Long]("fp_match"),
+          r.getAs[String]("source"))).toMap
+    assert(rows("valid") === (("ivf16_p6", 1L, "persisted")))
+    assert(rows("stale") === (("ivf16_p6", 0L, "remeasured")))
+    assert(rows("stale_trusted")._1 === "ivf16_p4") // the prevented pick
+  }
+
+  test("q204: the persisted path really reads the artifact; the mismatch path really re-measures") {
+    // a DOCTORED artifact — fake frontier rows carrying the CORRECT
+    // corpus stamp — must drive the selection (proof the valid path
+    // never silently re-measures: the fake config comes back); the
+    // same rows with a wrong stamp must be rejected and re-measured
+    // (the real corpus answer comes back)
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val fp = AutoConfig.corpusFingerprint(e).head()
+    def doctored(n: Long, x: Long) =
+      Seq(("fake_cfg", 1L, 1000000L)).toDF("config", "candidates",
+        "recall_ppm").withColumn("fp_n", lit(n)).withColumn("fp_x", lit(x))
+    val trusted = AutoConfig.selectIvfChecked(
+      doctored(fp.getLong(0), fp.getLong(1)), e).head()
+    assert(trusted.getAs[String]("config") === "fake_cfg")
+    assert(trusted.getAs[String]("source") === "persisted")
+    val rejected = AutoConfig.selectIvfChecked(
+      doctored(fp.getLong(0) + 1, fp.getLong(1)), e).head()
+    assert(rejected.getAs[String]("config") === "ivf16_p6")
+    assert(rejected.getAs[String]("source") === "remeasured")
+  }
+
   test("q192 sf0.001: ANN selection is corpus-dependent by design") {
     // at sf0.001 all three ≥-floor IVF configs tie on recall and the
     // 16-cell fixed codebook is strictly cheapest — the operator
