@@ -119,24 +119,38 @@ object EditDistanceJoin {
     // partner's end up to k trailing insertions (end ∈ [|b|−k, |b|]);
     // only middle segments need the full ±k drift. This both tightens
     // the candidate set and keeps the expression count small.
+    // r14 optimization (guide §1.2 per-task work / §4 codegen): the
+    // window enumeration is exploded in TWO stages. Inlining all
+    // (i, d, shift) windows into one array made every entry repeat
+    // the floor((|b|+d)/nSeg) chain — (2k+1)·(nSeg·(k+1)+ (nSeg−2)·k)
+    // CASE branches whose generated Generate.doConsume exceeded
+    // janino's 64 KB method limit, so the WHOLE stage silently fell
+    // back to interpreted per-row evaluation (verify log: "Code grows
+    // beyond 64 KB"). Exploding the hypothetical partner length d
+    // first and computing lenA/segLenA ONCE as columns shrinks the
+    // second explode to nSeg·(k+1) + (nSeg−2)·k small branches —
+    // identical window set (same (i, d, start) enumeration, same
+    // guards), now whole-stage-codegen compiled.
+    val hyp = d.select(col("doc_id"), col("source"), col("head"),
+        explode(array((-k to k).map(dd => lit(dd)): _*)).as("dd"))
+      .select(col("doc_id"), col("source"), col("head"),
+        (len + col("dd")).as("lenA"),
+        floor((len + col("dd")) / nSeg).cast("int").as("segLenA"))
     val windows: Seq[Column] = (0 until nSeg).flatMap { i =>
-      (-k to k).flatMap { dd =>
-        val lenA = len + dd
-        val segLenA = floor(lenA / nSeg).cast("int")
-        val w: Column =
-          if (i == nSeg - 1) (lenA - segLenA * (nSeg - 1)).cast("int")
-          else segLenA
-        val starts: Seq[Column] =
-          if (i == 0) (0 to k).map(s => lit(1) + s)
-          else if (i == nSeg - 1) (0 to k).map(t => len - w + 1 - t)
-          else (-k to k).map(sh => segLenA * i + 1 + sh)
-        starts.map { p =>
-          when(w >= 1 && p >= 1 && (p + w - lit(1)) <= len,
-            struct(lit(i).as("i"), col("head").substr(p, w).as("s")))
-        }
+      val segLenA = col("segLenA")
+      val w: Column =
+        if (i == nSeg - 1) (col("lenA") - segLenA * (nSeg - 1)).cast("int")
+        else segLenA
+      val starts: Seq[Column] =
+        if (i == 0) (0 to k).map(s => lit(1) + s)
+        else if (i == nSeg - 1) (0 to k).map(t => len - w + 1 - t)
+        else (-k to k).map(sh => segLenA * i + 1 + sh)
+      starts.map { p =>
+        when(w >= 1 && p >= 1 && (p + w - lit(1)) <= len,
+          struct(lit(i).as("i"), col("head").substr(p, w).as("s")))
       }
     }
-    val sub = d.select(col("doc_id"), col("source"), col("head"),
+    val sub = hyp.select(col("doc_id"), col("source"), col("head"),
       explode(array(windows: _*)).as("win"))
       .filter(col("win").isNotNull)
       .select(col("doc_id"), col("source"), col("head"),

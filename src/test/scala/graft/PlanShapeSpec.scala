@@ -376,7 +376,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q156: plane/center literals broadcast; candidates are a chunk-keyed equi-join; verify joins candidate-sized — no cartesian") {
-    val p = executedPlan("q156_image_neardup")
+    // materialize=false: the shipped query checkpoints the feature/
+    // chunk/candidate frames (decode runs once, r14 optimization),
+    // which would collapse the visible plan — audit the composed one
+    // (the q93/q144 builder-variant pattern)
+    val p = graft.operators.ImageDedup
+      .imageNearDups(spark, materialize = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the 1216-literal plane table and the 19-row center table are
@@ -400,7 +407,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q164: draw+decode is map-side over the documents scan; kernel shape inherited from q156 — no cartesian, chunk-keyed candidates") {
-    val p = executedPlan("q164_image_neardup_scaled")
+    // materialize=false (see q156 above): audit the composed plan
+    val p = graft.operators.ImageDedup
+      .scaledImageNearDups(spark, sf0001, materialize = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the synthetic corpus is one MapPartitions over the scan — no
