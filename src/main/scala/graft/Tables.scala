@@ -19,6 +19,33 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a frame across the session's cores when its scan
+    * under-parallelizes (r14 optimization, guide §2.5 input skew /
+    * §6 split size). The driver-generated corpora are ONE parquet
+    * file with ONE row group, so every scan is a single input split —
+    * a per-row CPU-heavy stage planned directly over it (media
+    * synthesis + codec decode at ~1 ms/row) runs on ONE core of
+    * local[N] while the other N−1 idle. The repartition is keyed
+    * (deterministic hash — never derived from rand(), SPARK-38388)
+    * and CONDITIONAL on the observed scan parallelism: it only fires
+    * when the frame has fewer partitions than the session's default
+    * parallelism, so at 100 TB — where a corpus scan is thousands of
+    * splits — it is a structural no-op, never an added full-corpus
+    * shuffle. Results are partition-independent; only wall-clock
+    * changes. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // file count is the planner's own lower bound on scan parallelism
+    // and reading it never converts the plan to an RDD (the round-2
+    // lesson behind Dedup.widen — df.rdd.getNumPartitions would
+    // materialize the RDD lineage just to read a number). files == 0
+    // means a non-file-backed plan whose parallelism we can't read
+    // cheaply — leave it alone rather than force a shuffle.
+    val files = df.inputFiles.length
+    if (files == 0 || files >= target) df
+    else df.repartition(target, key)
+  }
+
   /** Normalize `events.ts` to a microsecond TimestampType regardless
     * of how the driver generated the file. Two generations exist:
     *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so it

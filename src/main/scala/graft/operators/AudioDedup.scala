@@ -57,7 +57,8 @@ object AudioDedup {
 
   private[graft] def audioNearDups(s: SparkSession): DataFrame = {
     import s.implicits._
-    val media = s.read.parquet(AudioPath)
+    // spread: one-file fixture scan = single split (see ImageDedup)
+    val media = graft.Tables.spread(s.read.parquet(AudioPath), col("id"))
       .select(col("id"), lit("audio/wav").as("media_type"),
         col("payload"), map().cast("map<string,string>").as("meta"))
       .as[Media]
@@ -100,7 +101,10 @@ object AudioDedup {
       : org.apache.spark.sql.Dataset[Media] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // spread: the single-split corpus scan would otherwise run the
+    // whole WAV synth+encode pass on one core (no-op at real scale)
+    graft.Tables.spread(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map(id =>
         Media(id, "audio/wav", AudioGen.synthScaled(id), Map.empty)))
   }

@@ -313,7 +313,9 @@ object AutoConfig {
       case "exact" => Dedup.dedupKeep(d)
       case "b16r4" => Dedup.dedupKeepLsh(d, 16)
       case _ =>
-        val drop = Dedup.simhashPairsWide(d)
+        // widen (r14): the other two branches widen inside their
+        // dedupKeep bodies; the fingerprint pass here needs it too
+        val drop = Dedup.simhashPairsWide(Dedup.widen(d))
           .filter(col("hamming") <= 3)
           .select(col("doc_b").as("doc_id")).distinct()
         d.join(drop, Seq("doc_id"), "left_anti")
@@ -393,8 +395,10 @@ object AutoConfig {
     val cfg = sel.getString(0)
     val fam = sel.getString(1)
     val radius = sel.getLong(2)
+    // widen (r14): parallelize the full-corpus fingerprint pass
+    val wd = Dedup.widen(d)
     val pairs =
-      if (fam == "sim64") Dedup.simhashPairs(d) else Dedup.simhashPairsWide(d)
+      if (fam == "sim64") Dedup.simhashPairs(wd) else Dedup.simhashPairsWide(wd)
     val drop = pairs.filter(col("hamming") <= radius)
       .select(col("doc_b").as("doc_id")).distinct()
     d.join(drop, Seq("doc_id"), "left_anti")

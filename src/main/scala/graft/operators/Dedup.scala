@@ -251,7 +251,9 @@ object Dedup {
     // -- wide-simhash near-dup pairs (EXACT-gated by the splitmix64
     //    replay; DedupSpec pins completeness vs 128-bit brute force) --
     "q79_simhash_wide" -> { (s, dir) =>
-      simhashPairsWide(Tables.load(s, dir, "documents"))
+      // widen (r14): the single-split scan would serialize the
+      // tokenize+fingerprint pass on one core
+      simhashPairsWide(widen(Tables.load(s, dir, "documents")))
         .filter(col("hamming") <= 3)
     },
 
@@ -260,7 +262,8 @@ object Dedup {
     //    exact verify; DedupSpec additionally pins equality with the
     //    exact Jaccard query's output) --
     "q45_minhash_lsh" -> { (s, dir) =>
-      MinHashLSH.nearDupPairs(Tables.load(s, dir, "documents"),
+      // widen (r14): parallelize the signature pass (see q79)
+      MinHashLSH.nearDupPairs(widen(Tables.load(s, dir, "documents")),
         numHashes = 64, bands = 16, shingleN = 3, threshold = 0.5)
     },
 
@@ -268,7 +271,8 @@ object Dedup {
     //    verified by Hamming distance (complete for distance ≤ 3 by
     //    pigeonhole over 4 chunks); EXACT-gated like q79 --
     "q46_simhash_pairs" -> { (s, dir) =>
-      simhashPairs(Tables.load(s, dir, "documents"))
+      // widen (r14): parallelize the fingerprint pass (see q79)
+      simhashPairs(widen(Tables.load(s, dir, "documents")))
         .filter(col("hamming") <= 3)
     },
 

@@ -81,11 +81,18 @@ object DedupQuality {
     val junk = transform(sequence(lit(1L), col("k")),
       i => concat(lit("x"), col("vid").cast("string"), lit("_"),
         i.cast("string")))
-    v.select(col("vid").as("doc_id"),
+    // widen (r14 optimization): the construction is map-side over the
+    // single-split documents scan, so the frame (and the
+    // localCheckpoint consumers take of it) would otherwise carry ONE
+    // partition — serializing every family's shingle/signature/
+    // fingerprint pass in q193/q197/q201 on one core. Dedup.widen is
+    // gated on the scan's file count: a no-op at real scale and on
+    // the spec's in-memory frames.
+    Dedup.widen(v.select(col("vid").as("doc_id"),
       when(col("j") === 0, concat_ws(" ", col("t")))
         .otherwise(concat_ws(" ",
           concat(slice(col("t"), lit(1), (col("n") - col("k")).cast("int")),
-            junk))).as("text"))
+            junk))).as("text")))
   }
 
   /** One family's quality row from its pair set: CC-cluster the

@@ -71,7 +71,8 @@ object VideoDedup {
 
   private[graft] def videoNearDups(s: SparkSession): DataFrame = {
     import s.implicits._
-    val media = s.read.parquet(VideoPath)
+    // spread: one-file fixture scan = single split (see ImageDedup)
+    val media = graft.Tables.spread(s.read.parquet(VideoPath), col("id"))
       .select(col("id"), lit("video/avi").as("media_type"),
         col("payload"), map().cast("map<string,string>").as("meta"))
       .as[Media]
@@ -119,7 +120,12 @@ object VideoDedup {
       : org.apache.spark.sql.Dataset[Media] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // spread: the single-split corpus scan would otherwise run the
+    // whole AVI synth (4×2 PNG frames per clip) on one core — the
+    // most expensive per-row synth of the three modalities (no-op at
+    // real scale)
+    graft.Tables.spread(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // once per partition
         it.map(id =>

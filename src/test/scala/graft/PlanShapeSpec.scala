@@ -386,11 +386,19 @@ class PlanShapeSpec extends SparkSpec {
         org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // the 1216-literal plane table and the 19-row center table are
-    // the only broadcast sides
-    assert(p.contains("BroadcastHashJoin"), p)
-    // chunk-collision candidates: an equi-join on (chunk_id, chunk)
-    assert(keyedExchanges(p, "chunk_id") >= 1, p)
+    // the fingerprint runs in the MediaChunks codegen kernel over the
+    // gathered feature array (r14: replaced the plane-literal
+    // broadcast join + two keyed aggregations); Hamming and L1 verify
+    // are the row-local codegen companions
+    assert(p.toLowerCase.contains("mediachunks"), p)
+    assert(p.toLowerCase.contains("chunkhamming"), p)
+    assert(p.toLowerCase.contains("arrl1"), p)
+    // chunk-collision candidates: an EQUI-join keyed on the chunk
+    // columns (broadcast at the tiny spec corpus, shuffled at scale —
+    // either way never a nested loop; the keys appear in the join's
+    // details section)
+    assert(count(p, "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)") >= 1, p)
+    assert(p.contains("chunk_id#"), p)
   }
 
   test("q163: the doc sample is a broadcast-dim predicate — one single-partition count agg, ZERO keyed exchanges") {
@@ -414,11 +422,14 @@ class PlanShapeSpec extends SparkSpec {
         org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // the synthetic corpus is one MapPartitions over the scan — no
-    // exchange between the parquet read and the feature explode
+    // the synthetic corpus is one MapPartitions over the (spread)
+    // documents scan
     assert(p.contains("MapPartitions"), p)
-    assert(p.contains("BroadcastHashJoin"), p) // plane/center literals
-    assert(keyedExchanges(p, "chunk_id") >= 1, p)
+    // fingerprint/Hamming/L1 in the codegen kernels, chunk-keyed
+    // equi-join candidates (see q156 above)
+    assert(p.toLowerCase.contains("mediachunks"), p)
+    assert(count(p, "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)") >= 1, p)
+    assert(p.contains("chunk_id#"), p)
   }
 
   test("q155: E-step is a piece-keyed merge join (vocab never broadcasts) feeding the codegen Viterbi kernel; counts map-side combine") {
