@@ -139,20 +139,34 @@ object Perceptron {
     val snaps = scala.collection.mutable.Buffer(w)
     val mcounts = scala.collection.mutable.Buffer.empty[Long]
     (2 to epochs).foreach { _ =>
-      // NOT checkpointed: the recompute for the update semi-join is
-      // one cheap broadcast-join pass over the cached features, and
-      // the un-cut frame keeps the doc_id partitioning the semi-join
-      // rides (A/B'd: checkpointing here was wall-neutral and loses
-      // the partitioning)
+      // r14 optimization (guide §1.2 actions-per-iteration): the
+      // mistake COUNT |M(w^{e-1})| rides the weight checkpoint instead
+      // of its own action — the update's bias-bucket row count IS the
+      // mistake count (every doc carries exactly ONE bias row b = B,
+      // and gram buckets live in [0, B) — disjoint), read off the
+      // materialized ≤(B+1)-row frame for free. The separate
+      // mistakes.count() ran the feats⋈w score pass a SECOND time per
+      // epoch (the semi-join recompute below is the first); fusing
+      // halves the per-epoch passes over the cached feature table.
+      // The mistakes frame itself stays NOT checkpointed: the un-cut
+      // frame keeps the doc_id partitioning the semi-join rides
+      // (A/B'd round 9: checkpointing here was wall-neutral and loses
+      // the partitioning).
       val mistakes = mistakesOf(w)
-      mcounts += mistakes.count() // measures w^{e-1}; bounded driver state
       val upd = feats.join(mistakes, Seq("doc_id"), "left_semi")
         .crossJoin(broadcast(ratio))
-        .groupBy(col("b")).agg(sum(col("y") * cost).as("du"))
-      w = w.join(upd, Seq("b"), "full_outer")
+        .groupBy(col("b"))
+        .agg(sum(col("y") * cost).as("du"), count(lit(1)).as("mb"))
+      val merged = w.join(upd, Seq("b"), "full_outer")
         .select(col("b"),
-          (coalesce(col("w"), lit(0L)) + coalesce(col("du"), lit(0L))).as("w"))
+          (coalesce(col("w"), lit(0L)) + coalesce(col("du"), lit(0L))).as("w"),
+          col("mb"))
         .localCheckpoint(true)
+      // |M| = the bias row's update count (0 when M was empty — the
+      // bias WEIGHT row still exists from epoch 1, mb null)
+      mcounts += merged.filter(col("b") === Buckets.toLong)
+        .agg(coalesce(max(col("mb")), lit(0L))).head.getLong(0)
+      w = merged.select(col("b"), col("w"))
       snaps += w
     }
     mcounts += mistakesOf(w).count() // the last snapshot's own measure

@@ -25,15 +25,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * chunk-keyed probe join against it. */
 object MediaStreams {
 
-  /** The standing library's persisted state: the integer feature
-    * table (id, d, v) and its fingerprint chunks (id, chunk_id,
-    * chunk). */
-  final case class MediaIndex(features: DataFrame, chunks: DataFrame,
+  /** The standing library's persisted state: the per-id fingerprint
+    * frame (id, vec, arr) — feature vector + chunk array in one row
+    * (the r14 array-form kernel carrier; ImageDedup.fpOf). */
+  final case class MediaIndex(fp: DataFrame,
       planeCoef: Seq[(Int, Int, Long)], center: Seq[Long],
       l1Max: Long) {
-    def unpersist(): Unit = {
-      features.unpersist(false); chunks.unpersist(false)
-    }
+    def unpersist(): Unit = fp.unpersist(false)
   }
 
   /** Build (and persist) the standing index from a feature table —
@@ -41,19 +39,19 @@ object MediaStreams {
     * batch gates. */
   def buildIndex(features: DataFrame, planeCoef: Seq[(Int, Int, Long)],
       center: Seq[Long], l1Max: Long): MediaIndex = {
-    val f = features.persist(); f.count()
-    val c = ImageDedup.chunksOf(f, planeCoef, center).persist(); c.count()
-    MediaIndex(f, c, planeCoef, center, l1Max)
+    val fp = ImageDedup.fpOf(features, planeCoef, center).persist()
+    fp.count()
+    MediaIndex(fp, planeCoef, center, l1Max)
   }
 
   /** Flag ONE micro-batch of media feature rows against the standing
     * index — the per-trigger unit (exposed for the spec). */
   def flagBatch(batchFeatures: DataFrame, idx: MediaIndex): DataFrame = {
-    val fInc = batchFeatures.localCheckpoint(true)
-    val cInc = ImageDedup.chunksOf(fInc, idx.planeCoef, idx.center)
+    val fpInc = ImageDedup.fpOf(batchFeatures, idx.planeCoef, idx.center)
       .localCheckpoint(true)
-    ImageDedup.ingestFlags(fInc.select("id").distinct(),
-      fInc, cInc, idx.features, idx.chunks, idx.l1Max)
+    // fp is one row per id — the id column IS the increment universe
+    ImageDedup.ingestFlags(fpInc.select("id"),
+      fpInc, idx.fp, idx.l1Max)
   }
 
   /** Run the stream over raw IMAGE media rows: decode per trigger,

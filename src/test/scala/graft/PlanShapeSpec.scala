@@ -432,6 +432,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("chunk_id#"), p)
   }
 
+  test("q178: ingest probe is a chunk-keyed equi-join carrying both fingerprints — Hamming/L1 in the codegen kernels, no cartesian") {
+    // materialize=false (see q156 above): audit the composed plan —
+    // the shipped query checkpoints the fp frame and the verified set
+    val p = graft.operators.ImageDedup
+      .imageIncremental(spark, sf0001, materialize = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // r14 array form: ONE fingerprint pass (MediaChunks), Hamming
+    // row-local on the collision join (ChunkHamming — no per-chunk
+    // re-join), exact L1 row-local on the id-keyed vec joins (ArrL1 —
+    // no per-dim re-join)
+    assert(p.toLowerCase.contains("mediachunks"), p)
+    assert(p.toLowerCase.contains("chunkhamming"), p)
+    assert(p.toLowerCase.contains("arrl1"), p)
+    // the probe is keyed on the chunk columns; both sides are hinted
+    // off broadcast (corpus-scale standing index — the q145 lesson)
+    assert(p.contains("chunk_id#"), p)
+  }
+
   test("q155: E-step is a piece-keyed merge join (vocab never broadcasts) feeding the codegen Viterbi kernel; counts map-side combine") {
     val d = Tables.load(spark, sf0001, "documents")
     val (sp, voc) = graft.operators.UnigramLM.train(d, rounds = 0)

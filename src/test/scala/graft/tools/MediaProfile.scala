@@ -82,6 +82,11 @@ object MediaPlanDump {
       .scaledImageNearDups(spark, "/root/testdata/sf0.001", materialize = false)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+    println("===== q178 composed ingest plan (materialize=false) =====")
+    println(graft.operators.ImageDedup
+      .imageIncremental(spark, "/root/testdata/sf0.001", materialize = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }
