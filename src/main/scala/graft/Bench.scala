@@ -140,7 +140,27 @@ object Bench {
     // dict necessarily also holds the ~100-byte stamps + audit after it
     // (round-5 put pass_loads BEFORE the 94-entry queries dict and the
     // driver's capture truncated exactly the stamps; third ask, fixed).
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":$passJson,"queries":$qs,"pass_loads":$loadsJson,"suspect":$suspect,"total_best":${fmt(total)}}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":$passJson,"queries":$qs,"pass_loads":$loadsJson,"suspect":$suspect,"total_best":${fmt(total)}}"""
+    println(line)
+    // Round-14 verdict #2 (ADDITIVE — the timing loop and the line
+    // above are untouched): the record keeper stores only a ~2000-char
+    // tail of stdout, so the per-query map has been unparseable for 4
+    // rounds (BENCH_r11–r14 all carry parsed:None). Two additions:
+    //  (a) the identical JSON is ALSO written to a results file
+    //      (SPARK_GRAFT_BENCH_OUT, default BENCH_RESULT.json beside
+    //      the run) so per-query numbers survive any tail truncation;
+    //  (b) a COMPACT totals line (~200 bytes: everything except the
+    //      bulky passes/queries maps, plus the result-file pointer)
+    //      prints LAST, so even a tail-truncated capture ends with
+    //      one complete, parseable JSON object.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] result file write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${names.size},"pass_loads":$loadsJson,"suspect":$suspect,"total_best":${fmt(total)},"result_file":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")}"}""")
     spark.stop()
   }
 }
