@@ -60,30 +60,45 @@ object ConnectedComponents {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val propagated = labels
-        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(labels("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+      // r15 round fusion (guide §1.2 fewer passes / §2.4 fewer
+      // shuffles; same integers every round, same fixpoint):
+      //  (a) neighbor-min + self-label-min as ONE union + aggregate —
+      //      min(own ∪ neighbor labels) ≡ the old least(own,
+      //      coalesce(min-neighbor, own)) left join, one join stage
+      //      fewer per round. Every vertex appears in `labels` (built
+      //      from the symmetrized edge srcs), so the union's labels
+      //      branch keeps full coverage and `prev` is never null.
+      //  (b) the pre-round label rides along (`prev` — max() over the
+      //      union sees exactly the one non-null own-label row per
+      //      vertex), so the convergence count below is a filter over
+      //      the already-checkpointed iterate instead of a per-round
+      //      join back against `labels`.
+      val contrib = labels
+        .select(col("doc_id"), col("cluster_id"),
+          col("cluster_id").as("own"))
+        .unionByName(edges
+          .join(labels, edges("dst") === labels("doc_id"))
+          .select(col("src").as("doc_id"), col("cluster_id"),
+            lit(null).cast("long").as("own")))
+      val propagated = contrib.groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"), max(col("own")).as("prev"))
         .localCheckpoint(true)
       // pointer doubling: cluster_id := label(cluster_id). Labels are
       // always vertex ids of the same component with label(v) <= v,
       // so the lookup stays within the component and only decreases.
       val updated = propagated.as("x")
-        .join(propagated.as("y"), col("x.cluster_id") === col("y.doc_id"), "left")
+        .join(propagated.as("y").select(col("doc_id").as("ydoc"),
+          col("cluster_id").as("ylbl")), col("x.cluster_id") === col("ydoc"),
+          "left")
         .select(col("x.doc_id"),
           least(col("x.cluster_id"),
-            coalesce(col("y.cluster_id"), col("x.cluster_id"))).as("cluster_id"))
+            coalesce(col("ylbl"), col("x.cluster_id"))).as("cluster_id"),
+          col("x.prev"))
         .localCheckpoint(true)
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), col("u.doc_id") === col("l.doc_id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+      val changed = updated
+        .filter(col("cluster_id") =!= col("prev"))
         .count()
-      labels = updated
+      labels = updated.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0
       round += 1
     }

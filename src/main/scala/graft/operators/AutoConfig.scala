@@ -186,15 +186,18 @@ object AutoConfig {
     // lazy: only the adaptive-codebook branches need the corpus count
     // (a full scan); the fixed-codebook ivf16_p* dispatch must not pay it
     lazy val cells = Similarity.adaptiveCells(e.count())
+    // spread (r15): parallelize the single-split per-row assignment
+    // + candidate join (the q94b finding; no-op at real scale)
+    val es = Tables.spread(e, col("vec_id"))
     config match {
       case c if c.startsWith("ivf16_p") =>
-        Similarity.knnJoinQuery(e, Centroids86.table,
+        Similarity.knnJoinQuery(es, Centroids86.table,
           c.stripPrefix("ivf16_p").toInt)
       case "ivfA_sqrt" =>
-        Similarity.knnJoinQuery(e, Centroids94.table.take(cells),
+        Similarity.knnJoinQuery(es, Centroids94.table.take(cells),
           Similarity.adaptiveNProbe(cells))
       case c =>
-        Similarity.knnJoinQuery(e, Centroids94.table.take(cells),
+        Similarity.knnJoinQuery(es, Centroids94.table.take(cells),
           c.stripPrefix("ivfA_p").toInt)
     }
   }
@@ -444,12 +447,22 @@ object AutoConfig {
     * comparison and the dispatch are plan-time (two 1-row collects);
     * the re-measure branch is the audited q175 plan unchanged. */
   private[graft] def selectIvfChecked(artifact: DataFrame,
-      e: DataFrame): DataFrame = {
+      e: DataFrame, fpServing: Option[org.apache.spark.sql.Row] = None,
+      measured: Option[DataFrame] = None): DataFrame = {
     val st = artifact.select(col("fp_n"), col("fp_x")).head
-    val fp = corpusFingerprint(e).head
+    // r15 (guide §5 shared intermediates): a caller validating several
+    // artifacts against ONE serving corpus passes its fingerprint row
+    // once instead of re-running the aggregate scan per artifact, and
+    // may supply an already-measured frontier OF THAT CORPUS for the
+    // mismatch branch (recallFrontier is deterministic, so the rows
+    // are identical to a re-measure — q204 shares its checkpointed
+    // fresh frontier instead of paying the full measurement twice).
+    // Production callers without either still get the re-measure.
+    val fp = fpServing.getOrElse(corpusFingerprint(e).head)
     val ok = st.getLong(0) == fp.getLong(0) && st.getLong(1) == fp.getLong(1)
     val frontier =
-      if (ok) artifact.drop("fp_n", "fp_x") else Similarity.recallFrontier(e)
+      if (ok) artifact.drop("fp_n", "fp_x")
+      else measured.getOrElse(Similarity.recallFrontier(e))
     selectConfig(frontier.withColumn("pref",
         when(col("config") === "ivfA_sqrt", lit(0L)).otherwise(lit(1L))),
       AnnRecallFloorPpm, CandidateBudgetMax)
@@ -807,8 +820,17 @@ object AutoConfig {
       val fresh = stampedIvfFrontier(e).localCheckpoint(true)
       val stale = stampedIvfFrontier(e.filter(col("vec_id") % 8 === 0))
         .localCheckpoint(true)
-      selectIvfChecked(fresh, e).select(lit("valid").as("scenario"), col("*"))
-        .unionByName(selectIvfChecked(stale, e)
+      // r15: ONE serving-corpus fingerprint scan shared by both
+      // checks (was one per check), and the stale scenario's
+      // re-measure branch reads the already-checkpointed fresh
+      // frontier of the SAME corpus instead of re-executing the full
+      // q175 measurement — identical rows (deterministic frontier),
+      // one full frontier pass saved (guide §5).
+      val fpServing = Some(corpusFingerprint(e).head)
+      val measured = Some(fresh.drop("fp_n", "fp_x"))
+      selectIvfChecked(fresh, e, fpServing)
+        .select(lit("valid").as("scenario"), col("*"))
+        .unionByName(selectIvfChecked(stale, e, fpServing, measured)
           .select(lit("stale").as("scenario"), col("*")))
         .unionByName(trustedSelection(stale)
           .select(lit("stale_trusted").as("scenario"), col("*")))

@@ -111,13 +111,22 @@ object DedupQuality {
         expr(s"doc_id div $VariantsPerBase").as("pid"))
     def pairSum(g: DataFrame): DataFrame =
       g.agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("p"))
-    val nd = lab.agg(count(lit(1)).as("n_docs"))
-    val planted = pairSum(lab.groupBy(col("pid"))
-      .agg(count(lit(1)).as("m")))
-    val recovered = pairSum(lab.groupBy(col("cid"))
-      .agg(count(lit(1)).as("m")))
-    val correct = pairSum(lab.groupBy(col("cid"), col("pid"))
-      .agg(count(lit(1)).as("m")))
+    // r15 census fusion (guide §1.2): ONE corpus-scale pass — the
+    // (cid, pid) cell census — from which all four statistics derive
+    // by tiny aggregates over the checkpointed cells (was 4
+    // independent joins+aggregates over the uncheckpointed `lab`
+    // subtree, each re-planning the corpus⋈labels join). Identical
+    // integers: n_docs = Σm; per-pid and per-cid group sizes are sums
+    // of their cells' m; correct pairs read the cells directly.
+    val cells = lab.groupBy(col("cid"), col("pid"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val nd = cells.agg(coalesce(sum(col("m")), lit(0L)).as("n_docs"))
+    val planted = pairSum(cells.groupBy(col("pid"))
+      .agg(sum(col("m")).as("m")))
+    val recovered = pairSum(cells.groupBy(col("cid"))
+      .agg(sum(col("m")).as("m")))
+    val correct = pairSum(cells)
     nd.crossJoin(planted.select(col("p").as("planted_pairs")))
       .crossJoin(recovered.select(col("p").as("recovered_pairs")))
       .crossJoin(correct.select(col("p").as("correct_pairs")))

@@ -157,10 +157,21 @@ object HashedVectors {
     //    rule are q94b's verbatim (Centroids94 prefix, argmax-cosine
     //    assignment, top-6 probe cells, round-6 re-rank). --
     "q151_hashed_vector_ivf" -> { (s, dir) =>
-      val e = denseVectors(Tables.load(s, dir, "documents"))
+      val e0 = denseVectors(Tables.load(s, dir, "documents"))
         .localCheckpoint(true)
+      // spread (r15): AQE coalesces the tiny dense-vector aggregate to
+      // very few partitions and the checkpoint freezes that, so the
+      // per-row 64-cosine assignment + candidate join ran nearly
+      // serial. The frame is already materialized (checkpointed), so
+      // reading its partition count is free — the inputFiles gate
+      // cannot see a non-file-backed frame (files == 0). Keyed
+      // deterministic repartition; no-op when the corpus already
+      // carries >= cores partitions.
+      val target = s.sparkContext.defaultParallelism
+      val e = if (e0.rdd.getNumPartitions >= target) e0
+        else e0.repartition(target, col("vec_id"))
       Similarity.knnJoinQuery(e,
-        Centroids94.table.take(Similarity.adaptiveCells(e.count())))
+        Centroids94.table.take(Similarity.adaptiveCells(e0.count())))
     },
   )
 

@@ -80,7 +80,7 @@ object Perceptron {
   /** (doc_id, y, b) hashed-bigram presence features + the bias row —
     * every doc carries the bias feature, so every doc is scored even
     * with < 2 tokens. Caller repartitions/persists. */
-  private def features(d: DataFrame): DataFrame = {
+  private[graft] def features(d: DataFrame): DataFrame = {
     val y = when(col("source") === Curation.DsirTarget, 1L).otherwise(-1L)
     val grams = d.select(col("doc_id"), y.as("y"),
       explode(NGrams.wordNGramsAll(Text.tokens(col("text")), 2)).as("g"))

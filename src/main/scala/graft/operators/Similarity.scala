@@ -297,7 +297,12 @@ object Similarity {
     //    the same integer ladder and slices the 64-cosine list. --
     "q94b_knn_join_adaptive" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      knnJoinQuery(e, Centroids94.table.take(adaptiveCells(e.count())))
+      // spread (r15): the embeddings corpus is ONE parquet file — the
+      // per-row 64-cosine assignment and the candidate join otherwise
+      // run on a single core (the r14 media single-split lesson, found
+      // on the vector family via the q94b KnnProfile decomposition)
+      knnJoinQuery(Tables.spread(e, col("vec_id")),
+        Centroids94.table.take(adaptiveCells(e.count())))
     },
 
     // -- q94b with the √-scaled PROBE budget (round-5 verdict #3):
@@ -314,7 +319,9 @@ object Similarity {
     "q94c_knn_join_nprobe" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val c = adaptiveCells(e.count())
-      knnJoinQuery(e, Centroids94.table.take(c), adaptiveNProbe(c))
+      // spread (r15): see q94b
+      knnJoinQuery(Tables.spread(e, col("vec_id")),
+        Centroids94.table.take(c), adaptiveNProbe(c))
     },
 
     // -- q175 ANN RECALL-VS-COST FRONTIER (round-11 verdict #1): the
@@ -460,8 +467,17 @@ object Similarity {
     val cents = Centroids94.table.take(adaptiveCells(e.count()))
     val sims = array(cents.map(c =>
       VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
-    e.select(col("vec_id"), col("embedding"),
+    // spread (r15): the embeddings corpus is one parquet file — the
+    // per-row ncells-cosine argmax otherwise runs on one core (the
+    // r14 media single-split lesson; no-op for derived/in-memory
+    // frames and at real scale, where inputs carry >= cores splits).
+    // Checkpointed (r15): every consumer joins or self-joins on the
+    // derived `cell`, and the join's inferred IsNotNull(cell) pushes
+    // below the projection and re-evaluates the ncells-cosine array
+    // per row (guide §4.4); the cut evaluates it exactly once.
+    Tables.spread(e, col("vec_id")).select(col("vec_id"), col("embedding"),
       (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+      .localCheckpoint(true)
   }
 
   /** Within-cell candidate pairs (vec_a < vec_b, embeddings aboard)
@@ -611,8 +627,17 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val sims = array(cents.map(c =>
       VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
+    // r15: BOTH join sides are checkpointed. The join's inferred
+    // IsNotNull(cell)/IsNotNull(qcell) null-filters push below these
+    // projections and RE-EVALUATE the whole ncells-cosine array per
+    // row beneath the filter AND again in the projection (the guide
+    // §4.4 duplicated-evaluation problem, Scala flavor — KnnProfile
+    // measured the composed q94b join at 2.3 s vs 0.67 s for the
+    // materialized sum of its parts at sf0.1/64 cells). The cut also
+    // stops the planner broadcasting the expensive assignment subtree.
     val assigned = e.select(col("vec_id"), col("label"), col("embedding"),
       (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+      .localCheckpoint(true)
     val qc = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         sims.as("sims"))
@@ -622,6 +647,7 @@ object Similarity {
         s"""transform(slice(array_sort(transform(sequence(0, ${cents.length - 1}),
            |  i -> struct(-element_at(sims, i + 1) AS s, i AS i))), 1, $nprobe),
            |  x -> x.i)""".stripMargin)).as("qcell"))
+      .localCheckpoint(true)
     val cand = assigned.as("a")
       .join(qc.as("q"),
         col("a.cell") === col("q.qcell") && col("a.vec_id") =!= col("q.q_id"))
@@ -677,7 +703,10 @@ object Similarity {
     val nq = q.count() // scalar: |Q| (1-in-50 sample, bounded)
     val bfW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    val bf = e.select(col("vec_id"), col("embedding"))
+    // spread (r15): |Q| cosines per corpus row on a single-split scan
+    // otherwise run on one core (see assignCells)
+    val bf = Tables.spread(e, col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -725,8 +754,10 @@ object Similarity {
     def ranked(cents: Seq[Seq[Double]]): (DataFrame, DataFrame) = {
       val sims = array(cents.map(c =>
         VectorExprs.cosineFast(col("embedding"), typedlit(c))): _*)
-      val assigned = e.select(col("vec_id"), col("embedding"),
-        (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
+      // spread (r15): single-split scan, per-row ncells cosines
+      val assigned = Tables.spread(e, col("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          (array_position(sims, array_max(sims)) - 1).cast("int").as("cell"))
         .localCheckpoint(true)
       val qsims = array(cents.map(c =>
         VectorExprs.cosineFast(col("q_emb"), typedlit(c))): _*)
@@ -739,24 +770,34 @@ object Similarity {
         .localCheckpoint(true)
       (assigned, qrank)
     }
-    def cfgRow(label: String, assigned: DataFrame, qrank: DataFrame,
-        ncells: Int, np: Int): DataFrame = {
-      val cand = assigned.as("a")
-        .join(qrank.filter(col("pr") <= np).as("p"),
+    // r15 (guide §1.2 fewer passes): the nprobe ladder is NESTED —
+    // cand(np) ≡ the pr ≤ np slice of cand(np_max) — so each CODEBOOK
+    // pays ONE candidate join at its largest probed depth,
+    // checkpointed WITH the probe rank, and every config's candidate
+    // set is a row-identical filter over that one frame (was one
+    // join + checkpoint per config: 9 corpus-scale joins → 2).
+    def candAll(assigned: DataFrame, qrank: DataFrame,
+        npMax: Int): DataFrame =
+      assigned.as("a")
+        .join(qrank.filter(col("pr") <= npMax).as("p"),
           col("a.cell") === col("p.cid") && col("a.vec_id") =!= col("p.q_id"))
-        .select(col("p.q_id"), col("a.vec_id"),
+        .select(col("p.q_id"), col("a.vec_id"), col("p.pr"),
           round(VectorExprs.cosineFast(col("a.embedding"), col("p.q_emb")), 6)
             .as("cos_sim"))
-        .localCheckpoint(true) // read by the count AND the top-5 window
-      frontierRow(cand, bf, nq, label,
+        .localCheckpoint(true) // read by every config's count + top-5
+    def cfgRow(label: String, all: DataFrame, ncells: Int,
+        np: Int): DataFrame =
+      frontierRow(all.filter(col("pr") <= np).drop("pr"), bf, nq, label,
         Seq("ncells" -> ncells.toLong, "nprobe" -> np.toLong))
-    }
     val (fA, fQ) = ranked(Centroids86.table)
     val (aA, aQ) = ranked(Centroids94.table.take(cellsA))
+    val npA = adaptiveNProbe(cellsA)
+    val fAll = candAll(fA, fQ, FrontierProbes.max)
+    val aAll = candAll(aA, aQ, math.max(FrontierProbes.max, npA))
     val rows =
-      FrontierProbes.map(p => cfgRow(s"ivf16_p$p", fA, fQ, 16, p)) ++
-        FrontierProbes.map(p => cfgRow(s"ivfA_p$p", aA, aQ, cellsA, p)) :+
-        cfgRow("ivfA_sqrt", aA, aQ, cellsA, adaptiveNProbe(cellsA))
+      FrontierProbes.map(p => cfgRow(s"ivf16_p$p", fAll, 16, p)) ++
+        FrontierProbes.map(p => cfgRow(s"ivfA_p$p", aAll, cellsA, p)) :+
+        cfgRow("ivfA_sqrt", aAll, cellsA, npA)
     rows.reduce(_.unionByName(_))
   }
 
@@ -786,24 +827,37 @@ object Similarity {
   private[graft] def lshFrontier(e: DataFrame): DataFrame = {
     val (q, nq, bf) = frontierBase(e)
     def family(label: String, planes: Seq[Seq[Double]]): Seq[DataFrame] = {
-      val bucketed = e.select(col("vec_id"), col("embedding"),
-        Vectors.lshBucket(col("embedding"), planes).as("bucket"))
+      // spread (r15): single-split scan, per-row plane dots
+      val bucketed = Tables.spread(e, col("vec_id"))
+        .select(col("vec_id"), col("embedding"),
+          Vectors.lshBucket(col("embedding"), planes).as("bucket"))
         .localCheckpoint(true)
       val qb = q.withColumn("bucket",
         Vectors.lshBucket(col("q_emb"), planes)).localCheckpoint(true)
+      // r15 (guide §1.2): probe rings NEST — depth d's probe set is
+      // the bitcount ≤ d slice of depth 2's (XOR with distinct masks
+      // hits distinct buckets, so no (q, probe) duplicates) — so the
+      // family pays ONE candidate join at the deepest ring,
+      // checkpointed WITH each probe's mask bitcount, and every
+      // depth's candidate set is a row-identical filter over it
+      // (was one join + checkpoint per depth: 6 joins → 2).
+      val masks2 = hammingMasks(planes.length, 2)
+      val probes = qb.select(col("q_id"), col("q_emb"), explode(
+        array(masks2.map(m => struct(
+          lit(Integer.bitCount(m).toLong).as("bc"),
+          col("bucket").bitwiseXOR(lit(m)).as("probe"))): _*)).as("pp"))
+        .select(col("q_id"), col("q_emb"), col("pp.bc").as("bc"),
+          col("pp.probe").as("probe"))
+      val all = bucketed.as("a").join(probes.as("p"),
+          col("a.bucket") === col("p.probe") &&
+            col("a.vec_id") =!= col("p.q_id"))
+        .select(col("p.q_id"), col("a.vec_id"), col("bc"),
+          round(VectorExprs.cosineFast(col("a.embedding"), col("p.q_emb")), 6)
+            .as("cos_sim"))
+        .localCheckpoint(true) // read by every depth's count + top-5
       Seq(0, 1, 2).map { d =>
-        val masks = hammingMasks(planes.length, d)
-        val probes = qb.select(col("q_id"), col("q_emb"), explode(
-          array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
-          .as("probe"))
-        val cand = bucketed.as("a").join(probes.as("p"),
-            col("a.bucket") === col("p.probe") &&
-              col("a.vec_id") =!= col("p.q_id"))
-          .select(col("p.q_id"), col("a.vec_id"),
-            round(VectorExprs.cosineFast(col("a.embedding"), col("p.q_emb")), 6)
-              .as("cos_sim"))
-          .localCheckpoint(true) // read by the count AND the top-5 window
-        frontierRow(cand, bf, nq, s"${label}_h$d",
+        frontierRow(all.filter(col("bc") <= d).drop("bc"), bf, nq,
+          s"${label}_h$d",
           Seq("nplanes" -> planes.length.toLong, "probe_depth" -> d.toLong))
       }
     }

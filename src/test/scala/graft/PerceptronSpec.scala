@@ -149,4 +149,32 @@ class PerceptronSpec extends SparkSpec {
       .sortBy(_._1)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("fused |M| invariants: gram buckets never collide with the bias bucket, one bias row per doc") {
+    // The r14 epoch fusion reads the per-epoch mistake count off the
+    // materialized update's BIAS-bucket row count. That equals
+    // mistakesOf(w).count() only while (a) every doc contributes
+    // exactly ONE bias row b = Buckets and (b) no gram bucket ever
+    // lands on Buckets (hash % Buckets < Buckets). Pin both directly
+    // (round-14 advice #1) on a corpus mixing real-shaped text, empty
+    // text and sub-bigram docs.
+    val rows = Seq(
+      (1L, "web", "alpha beta gamma delta epsilon"),
+      (2L, "target", "alpha beta alpha beta"),
+      (3L, "web", ""),
+      (4L, "web", "single"),
+      (5L, "target", "gamma delta gamma delta zeta eta theta"))
+    val f = Perceptron.features(corpus(rows))
+    val bias = f.filter(col("b") === Perceptron.Buckets.toLong)
+    assert(bias.count() === rows.size.toLong,
+      "every doc must carry exactly one bias row")
+    assert(bias.select("doc_id").distinct().count() === rows.size.toLong)
+    val gramMax = f.filter(col("b") =!= Perceptron.Buckets.toLong)
+      .agg(org.apache.spark.sql.functions.max(col("b"))).head.getLong(0)
+    assert(gramMax < Perceptron.Buckets.toLong,
+      "gram buckets must stay strictly below the bias bucket")
+    val gramMin = f.filter(col("b") =!= Perceptron.Buckets.toLong)
+      .agg(org.apache.spark.sql.functions.min(col("b"))).head.getLong(0)
+    assert(gramMin >= 0L)
+  }
 }
