@@ -15,6 +15,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Run independent, deterministic builders from driver threads
+    * (r15, guide §2.6 "overlap independent jobs"): Spark's scheduler
+    * runs several jobs at once inside one application — actions are
+    * only sequential because driver code calls them sequentially.
+    * Frontier/benchmark operators that measure K independent configs
+    * each build a chain of SMALL sequential stages (candidate pass →
+    * checkpoint → census); run the chains concurrently so one chain's
+    * stage tail back-fills the cores the others leave idle. Callers
+    * must materialize any SHARED persisted input before forking (all
+    * call sites fork after the shared checkpoint), and every builder
+    * must be deterministic and independent — results are unchanged by
+    * scheduling, only wall-clock. */
+  def inParallel[A](fs: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")

@@ -264,26 +264,37 @@ object AutoConfig {
   private[graft] def dedupFamilyFrontier(d: DataFrame): DataFrame = {
     import graft.dedup.MinHashLSH
     val corpus = DedupQuality.plantedVariants(d).localCheckpoint(true)
-    val exCand = Dedup.jaccardCandidates(corpus).localCheckpoint(true)
-    val mhCand = MinHashLSH.candidatePairs(
-      MinHashLSH.bandBuckets(corpus, "doc_id", "text", 64, 16, 3))
-      .localCheckpoint(true)
-    val shCand = Dedup.simhashPairsWide(corpus).localCheckpoint(true)
     def row(family: String, config: String, pref: Int, cand: DataFrame,
         pairs: DataFrame): DataFrame =
       DedupQuality.familyRow(family, corpus, pairs)
         .crossJoin(cand.agg(count(lit(1)).as("candidates")))
         .withColumn("config", lit(config))
         .withColumn("pref", lit(pref.toLong))
-    row("exact", "exact", 0, exCand,
-      MinHashLSH.verify(corpus, exCand, "doc_id", "text", 3, 0.5)
-        .select(col("doc_a"), col("doc_b")))
-      .unionByName(row("minhash", "b16r4", 1, mhCand,
-        MinHashLSH.verify(corpus, mhCand, "doc_id", "text", 3, 0.5)
-          .select(col("doc_a"), col("doc_b"))))
-      .unionByName(row("simhash128", "sim128_h3", 2, shCand,
-        shCand.filter(col("hamming") <= 3)
-          .select(col("doc_a"), col("doc_b"))))
+    // r15 (guide §2.6): the three family chains (candidate pass →
+    // checkpoint → verify → CC walk → census) are independent and
+    // deterministic over the shared CHECKPOINTED corpus — run them
+    // from driver threads; inParallel preserves row order.
+    Tables.inParallel[DataFrame](Seq(
+      () => {
+        val exCand = Dedup.jaccardCandidates(corpus).localCheckpoint(true)
+        row("exact", "exact", 0, exCand,
+          MinHashLSH.verify(corpus, exCand, "doc_id", "text", 3, 0.5)
+            .select(col("doc_a"), col("doc_b")))
+      },
+      () => {
+        val mhCand = MinHashLSH.candidatePairs(
+          MinHashLSH.bandBuckets(corpus, "doc_id", "text", 64, 16, 3))
+          .localCheckpoint(true)
+        row("minhash", "b16r4", 1, mhCand,
+          MinHashLSH.verify(corpus, mhCand, "doc_id", "text", 3, 0.5)
+            .select(col("doc_a"), col("doc_b")))
+      },
+      () => {
+        val shCand = Dedup.simhashPairsWide(corpus).localCheckpoint(true)
+        row("simhash128", "sim128_h3", 2, shCand,
+          shCand.filter(col("hamming") <= 3)
+            .select(col("doc_a"), col("doc_b")))
+      })).reduce(_.unionByName(_))
   }
 
   // ---- q201: the family selection CONSUMED ---------------------------
@@ -708,10 +719,13 @@ object AutoConfig {
     //    from the measured q180/q175 tables. EXACT-gated: the oracle
     //    replays both frontier derivations and the same total order. --
     "q192_autoconfig" -> { (s, dir) =>
-      val mh = bandingChoice(Tables.load(s, dir, "documents"))
-        .select(lit("minhash_banding").as("family"), col("*"))
-      val ivf = ivfChoice(Tables.load(s, dir, "embeddings"))
-        .select(lit("ivf").as("family"), col("*"))
+      // r15 (guide §2.6): the two family frontiers touch disjoint
+      // tables and are deterministic — build them concurrently
+      val Seq(mh, ivf) = Tables.inParallel[DataFrame](Seq(
+        () => bandingChoice(Tables.load(s, dir, "documents"))
+          .select(lit("minhash_banding").as("family"), col("*")),
+        () => ivfChoice(Tables.load(s, dir, "embeddings"))
+          .select(lit("ivf").as("family"), col("*"))))
       mh.unionByName(ivf)
     },
 
@@ -817,9 +831,12 @@ object AutoConfig {
     //    selection legs. --
     "q204_persisted_frontier" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val fresh = stampedIvfFrontier(e).localCheckpoint(true)
-      val stale = stampedIvfFrontier(e.filter(col("vec_id") % 8 === 0))
-        .localCheckpoint(true)
+      // r15 (guide §2.6): the full and slice frontier measurements are
+      // independent deterministic chains — build them concurrently
+      val Seq(fresh, stale) = Tables.inParallel[DataFrame](Seq(
+        () => stampedIvfFrontier(e).localCheckpoint(true),
+        () => stampedIvfFrontier(e.filter(col("vec_id") % 8 === 0))
+          .localCheckpoint(true)))
       // r15: ONE serving-corpus fingerprint scan shared by both
       // checks (was one per check), and the stale scenario's
       // re-measure branch reads the already-checkpointed fresh

@@ -410,7 +410,10 @@ object Dedup {
     val truth = jaccardPairs(wide).select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val tc = truth.count() // scalar: |truth| (the recall denominator)
-    val rows = BandGrid.map { bands =>
+    // r15 (guide §2.6): the four banding chains are independent,
+    // deterministic passes over the shared CHECKPOINTED signatures —
+    // run them from driver threads (order preserved)
+    val rows = Tables.inParallel(BandGrid.map { bands => () => {
       val r = 64 / bands
       val bandCols = (0 until bands).map(b =>
         graft.functions.SplitMix64.mixFold(slice(col("sig"), b * r + 1, r), b))
@@ -427,7 +430,7 @@ object Dedup {
           col("candidates"), lit(tc).as("truth_pairs"), col("hits"),
           expr(s"(1000000L * hits) div ${math.max(tc, 1L)}L")
             .as("recall_ppm"))
-    }
+    } })
     rows.reduce(_.unionByName(_))
   }
 
@@ -462,7 +465,11 @@ object Dedup {
     val tc = truth.count() // scalar: |truth| (the recall denominator)
     val fams = Seq("sim64" -> simhashPairs(wide),
       "sim128" -> simhashPairsWide(wide))
-    val rows = fams.flatMap { case (fam, pairs) =>
+    // r15 (guide §2.6): the two fingerprint families' candidate +
+    // flag passes are independent and deterministic over the shared
+    // CHECKPOINTED truth — run them from driver threads (order
+    // preserved)
+    val rows = Tables.inParallel(fams.map { case (fam, pairs) => () => {
       val flagged = pairs
         .join(truth.hint("shuffle_merge"), Seq("doc_a", "doc_b"), "left")
         .select(col("hamming"), coalesce(col("it"), lit(0)).as("it"))
@@ -482,7 +489,7 @@ object Dedup {
           expr(s"(1000000L * hit$h) div ${math.max(tc, 1L)}L")
             .as("recall_ppm"))
       }
-    }
+    } }).flatten
     rows.reduce(_.unionByName(_))
   }
 

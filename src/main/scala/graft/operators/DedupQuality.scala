@@ -153,9 +153,16 @@ object DedupQuality {
       .select(col("doc_a"), col("doc_b"))
     val simhash = Dedup.simhashPairsWide(corpus)
       .filter(col("hamming") <= 3).select(col("doc_a"), col("doc_b"))
-    familyRow("exact", corpus, exact)
-      .unionByName(familyRow("minhash", corpus, minhash))
-      .unionByName(familyRow("simhash128", corpus, simhash))
+    // r15 (guide §2.6): the three family stacks (candidates → verify →
+    // CC walk → census) are independent, deterministic chains of small
+    // stages over the shared CHECKPOINTED corpus — run them from
+    // driver threads; output order is preserved (inParallel keeps
+    // input order), results unchanged by scheduling.
+    Tables.inParallel[DataFrame](Seq(
+      () => familyRow("exact", corpus, exact),
+      () => familyRow("minhash", corpus, minhash),
+      () => familyRow("simhash128", corpus, simhash)))
+      .reduce(_.unionByName(_))
   }
 
   val queries: Map[String, Q] = Map(

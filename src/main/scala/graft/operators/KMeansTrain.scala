@@ -291,7 +291,15 @@ object KMeansTrain {
     val ids = e.select(col("vec_id")).orderBy(col("vec_id")).limit(PqK)
       .withColumn("code",
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
-    val parts = PqMGrid.map { m =>
+    // r15 (guide §2.6 overlap independent jobs): the three M-trainings
+    // are independent, deterministic chains of SMALL sequential stages
+    // (each round is a broadcast join + groupBy over the shared
+    // persisted coordinates) — run them from driver threads so one
+    // training's round tail back-fills the cores the others leave
+    // idle. qv0 is already materialized (the truth checkpoint above
+    // scanned it), so the futures never race its caching. Results are
+    // per-M deterministic and unchanged by scheduling.
+    val parts = graft.Tables.inParallel(PqMGrid.map { m => () => {
       val subDim = Dim / m
       // re-KEY the shared coordinates for this M: a projection over
       // the persisted table, never a second explode
@@ -308,7 +316,7 @@ object KMeansTrain {
       val top = adcRankOver(asg.select(col("vec_id"), col("sub"),
         col("code")), adcLut(qv, cent)).localCheckpoint(true)
       (m, asg, top)
-    }
+    } })
     (parts, truth, qv0)
   }
 

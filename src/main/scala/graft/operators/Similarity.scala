@@ -789,11 +789,14 @@ object Similarity {
         np: Int): DataFrame =
       frontierRow(all.filter(col("pr") <= np).drop("pr"), bf, nq, label,
         Seq("ncells" -> ncells.toLong, "nprobe" -> np.toLong))
-    val (fA, fQ) = ranked(Centroids86.table)
-    val (aA, aQ) = ranked(Centroids94.table.take(cellsA))
     val npA = adaptiveNProbe(cellsA)
-    val fAll = candAll(fA, fQ, FrontierProbes.max)
-    val aAll = candAll(aA, aQ, math.max(FrontierProbes.max, npA))
+    // r15 (guide §2.6): the two codebooks' assignment + candidate
+    // chains are independent and deterministic — build concurrently
+    val Seq(fAll, aAll) = Tables.inParallel[DataFrame](Seq(
+      () => { val (a, q2) = ranked(Centroids86.table)
+        candAll(a, q2, FrontierProbes.max) },
+      () => { val (a, q2) = ranked(Centroids94.table.take(cellsA))
+        candAll(a, q2, math.max(FrontierProbes.max, npA)) }))
     val rows =
       FrontierProbes.map(p => cfgRow(s"ivf16_p$p", fAll, 16, p)) ++
         FrontierProbes.map(p => cfgRow(s"ivfA_p$p", aAll, cellsA, p)) :+
@@ -861,8 +864,13 @@ object Similarity {
           Seq("nplanes" -> planes.length.toLong, "probe_depth" -> d.toLong))
       }
     }
-    (family("lsh4", Planes) ++ family("lsh8", Planes177))
-      .reduce(_.unionByName(_))
+    // r15 (guide §2.6): the two plane families are independent and
+    // deterministic — build their bucket + candidate chains
+    // concurrently (order preserved)
+    Tables.inParallel(Seq(
+      () => family("lsh4", Planes),
+      () => family("lsh8", Planes177)))
+      .flatten.reduce(_.unionByName(_))
   }
 
   /** q83's DuckDB oracle is CODE-GENERATED from the same quantized
